@@ -1,0 +1,296 @@
+"""Tolerant HTML tokenizer + lightweight DOM tree.
+
+The north-star design calls for an "HTML5-tolerant byte-stream tag tokenizer
+plus a table-grid resolver" implemented in pure Python and vectorized at the
+Arrow-batch level (many documents per Python call).  This module is the
+tokenizer/tree half: it turns one HTML string into a small DOM-ish tree with
+the *same observable shape* the reference obtains from libxml2's tolerant
+HTML parser (PHP ``DOMDocument::loadHTML`` with ``LIBXML_NOWARNING |
+LIBXML_NOERROR``, reference ``src/Parser.php:417-454``):
+
+- tag and attribute names lowercased;
+- character/entity references decoded (``&nbsp;`` → U+00A0 — the header trim
+  charset depends on this, ``Parser.php:539``);
+- whitespace text nodes PRESERVED verbatim (the reference's rowspan carry is
+  keyed by DOM child index *including* whitespace text nodes,
+  ``Parser.php:559``, so formatting is semantically load-bearing);
+- adjacent character data merged into a single text node (libxml behavior —
+  required for stable child indices);
+- no implicit ``<tbody>`` insertion (libxml's HTML4 parser, unlike the HTML5
+  algorithm, leaves ``<tr>`` as a direct child of ``<table>`` — fixture F02
+  depends on this);
+- recoverable tag soup: implied end tags (``<tr>`` closes an open ``<tr>``,
+  ``<td>`` closes ``<td>/<th>``, …), stray end tags ignored, unclosed
+  elements closed at EOF.
+
+Recoverable-parse anomalies are collected into ``parse_errors`` so that the
+reference's ``failOnXmlErrors()`` mode (``Parser.php:256-271``) can be
+honoured as a per-document ``status='error'`` instead of an exception.
+
+Pure stdlib (``html.parser``) — the sandbox has no lxml; at cluster scale
+this also removes a native-lib deployment dependency from --py-files.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+TEXT = 0
+ELEMENT = 1
+COMMENT = 2
+
+
+class Node:
+    """One DOM node. ``kind`` ∈ {TEXT, ELEMENT, COMMENT}.
+
+    Kept deliberately small (``__slots__``) — the extraction hot path builds
+    millions of these per Arrow batch.
+    """
+
+    __slots__ = ("kind", "tag", "attrs", "children", "data")
+
+    def __init__(self, kind: int, tag: str = "", attrs: dict | None = None, data: str = ""):
+        self.kind = kind
+        self.tag = tag
+        self.attrs = attrs if attrs is not None else {}
+        self.children: list[Node] = []
+        self.data = data
+
+    # --- reference parity helpers -------------------------------------
+
+    def text_content(self) -> str:
+        """PHP ``DOMNode::$nodeValue`` for elements = textContent: the
+        concatenation of all descendant text nodes, comments excluded
+        (reference cell coercion, ``Parser.php:568``)."""
+        out: list[str] = []
+        stack = [self]
+        # iterative DFS, document order
+        while stack:
+            node = stack.pop()
+            if node.kind == TEXT:
+                out.append(node.data)
+            elif node.kind == ELEMENT:
+                stack.extend(reversed(node.children))
+        return "".join(out)
+
+    def get_attribute(self, name: str) -> str:
+        """PHP ``DOMElement::getAttribute`` — '' when absent."""
+        return self.attrs.get(name, "")
+
+    def iter_elements(self):
+        """All descendant elements (not self), document order."""
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if node.kind == ELEMENT:
+                yield node
+                stack.extend(reversed(node.children))
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        if self.kind == TEXT:
+            return f"Text({self.data!r})"
+        if self.kind == COMMENT:
+            return f"Comment({self.data!r})"
+        return f"<{self.tag} {self.attrs} children={len(self.children)}>"
+
+
+VOID_ELEMENTS = frozenset(
+    "area base basefont br col embed frame hr img input isindex keygen link meta param source track wbr".split()
+)
+
+# Implied end tags: when a start tag `t` arrives, pop open elements while the
+# current element's tag is in CLOSE_BEFORE[t].  None of these sets contain
+# 'table', so implied closes never cross a table boundary (matches libxml's
+# HTML4 recovery on the fixture envelope).
+_TABLE_INNER = frozenset({"td", "th", "tr", "caption", "colgroup"})
+_BLOCK_CLOSES_P = frozenset({"p"})
+CLOSE_BEFORE: dict[str, frozenset] = {
+    "td": frozenset({"td", "th", "p"}),
+    "th": frozenset({"td", "th", "p"}),
+    "tr": _TABLE_INNER | {"p"},
+    "thead": _TABLE_INNER | {"thead", "tbody", "tfoot", "p"},
+    "tbody": _TABLE_INNER | {"thead", "tbody", "tfoot", "p"},
+    "tfoot": _TABLE_INNER | {"thead", "tbody", "tfoot", "p"},
+    "caption": _TABLE_INNER | {"p"},
+    "colgroup": _TABLE_INNER | {"p"},
+    "li": frozenset({"li", "p"}),
+    "dt": frozenset({"dt", "dd", "p"}),
+    "dd": frozenset({"dt", "dd", "p"}),
+    "option": frozenset({"option"}),
+    "p": _BLOCK_CLOSES_P,
+    # block-level starts implicitly close an open <p>
+    "div": _BLOCK_CLOSES_P,
+    "table": _BLOCK_CLOSES_P,
+    "ul": _BLOCK_CLOSES_P,
+    "ol": _BLOCK_CLOSES_P,
+    "pre": _BLOCK_CLOSES_P,
+    "blockquote": _BLOCK_CLOSES_P,
+    "form": _BLOCK_CLOSES_P,
+    "hr": _BLOCK_CLOSES_P,
+    "h1": _BLOCK_CLOSES_P,
+    "h2": _BLOCK_CLOSES_P,
+    "h3": _BLOCK_CLOSES_P,
+    "h4": _BLOCK_CLOSES_P,
+    "h5": _BLOCK_CLOSES_P,
+    "h6": _BLOCK_CLOSES_P,
+}
+
+_STRUCTURAL = frozenset({"html", "head", "body"})
+
+
+class _TreeBuilder(HTMLParser):
+    """Incremental tree construction over the stdlib tolerant tokenizer."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node(ELEMENT, tag="#document")
+        self.stack: list[Node] = [self.root]
+        self.errors: list[str] = []
+
+    # -- helpers -------------------------------------------------------
+
+    def _current(self) -> Node:
+        return self.stack[-1]
+
+    def _append(self, node: Node) -> None:
+        self._current().children.append(node)
+
+    def _append_text(self, data: str) -> None:
+        if not data:
+            return
+        children = self._current().children
+        if children and children[-1].kind == TEXT:
+            # libxml keeps contiguous character data as ONE text node; child
+            # indices (rowspan carry keys) depend on this merge.
+            children[-1].data += data
+        else:
+            children.append(Node(TEXT, data=data))
+
+    # -- tokenizer callbacks --------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if tag in _STRUCTURAL:
+            # <html>/<head>/<body> wrappers are skipped entirely — every
+            # XPath in scope uses the descendant axis, so wrappers are
+            # structurally inert (libxml would synthesize them anyway).
+            return
+        close_set = CLOSE_BEFORE.get(tag)
+        if close_set:
+            while len(self.stack) > 1 and self.stack[-1].tag in close_set:
+                self.stack.pop()
+        attr_dict: dict[str, str] = {}
+        for name, value in attrs:
+            name = name.lower()
+            if name not in attr_dict:  # libxml keeps the first duplicate
+                attr_dict[name] = value if value is not None else ""
+        node = Node(ELEMENT, tag=tag, attrs=attr_dict)
+        self._append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if tag in _STRUCTURAL:
+            return
+        if tag in VOID_ELEMENTS:
+            self.handle_starttag(tag, attrs)
+            return
+        self.handle_starttag(tag, attrs)
+        # non-void self-closing (XHTML-ish): empty element
+        if self.stack and self.stack[-1].tag == tag:
+            self.stack.pop()
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in _STRUCTURAL:
+            return
+        if tag in VOID_ELEMENTS:
+            return
+        # find the nearest matching open element
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        self.errors.append(f"unexpected end tag </{tag}>")
+
+    def handle_data(self, data: str) -> None:
+        self._append_text(data)
+
+    def handle_comment(self, data: str) -> None:
+        # Comments ARE childNodes in the reference DOM: they shift the
+        # rowspan-carry child index (Parser.php:559) but contribute nothing
+        # to nodeValue — keep them as real nodes.
+        self._append(Node(COMMENT, data=data))
+
+    def handle_decl(self, decl: str) -> None:
+        pass
+
+    def handle_pi(self, data: str) -> None:
+        pass
+
+    def unknown_decl(self, data: str) -> None:
+        self.errors.append(f"unknown declaration: {data[:40]}")
+
+
+def parse_html(html: str) -> tuple[Node, list[str]]:
+    """Parse ``html`` tolerantly → (document root node, recoverable errors).
+
+    Never raises on malformed input (mirrors ``LIBXML_NOWARNING|NOERROR``,
+    reference ``Parser.php:446``); the error list feeds the
+    ``fail_on_xml_errors`` config knob.
+    """
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception as exc:  # pragma: no cover - extreme tag soup
+        builder.errors.append(f"tokenizer error: {exc}")
+    if len(builder.stack) > 1:
+        builder.errors.append(
+            "unclosed elements at EOF: " + ",".join(n.tag for n in builder.stack[1:])
+        )
+    return builder.root, builder.errors
+
+
+def php_int_cast(value: str) -> int:
+    """PHP ``(int)`` string-cast semantics (reference ``Parser.php:550``):
+    leading whitespace skipped, optional sign, longest numeric prefix parsed,
+    anything else → 0.  ``(int)"3x" == 3``; ``(int)"" == 0``; ``(int)"1e3"``
+    follows PHP's numeric-string fast path (== 1000)."""
+    s = value.lstrip(" \t\n\r\v\f")
+    i, n = 0, len(s)
+    if i < n and s[i] in "+-":
+        i += 1
+    start_digits = i
+    while i < n and s[i].isdigit():
+        i += 1
+    if i == start_digits:
+        return 0
+    int_end = i
+    # PHP numeric-string float prefix: 12.5 / 1e3 / 1.5e2 → truncate toward 0
+    j = i
+    frac = ""
+    exp = ""
+    if j < n and s[j] == ".":
+        j += 1
+        fstart = j
+        while j < n and s[j].isdigit():
+            j += 1
+        frac = s[fstart:j]
+    if j < n and s[j] in "eE":
+        k = j + 1
+        if k < n and s[k] in "+-":
+            k += 1
+        estart = k
+        while k < n and s[k].isdigit():
+            k += 1
+        if k > estart:
+            exp = s[j:k]
+            j = k
+    if frac or exp:
+        try:
+            return int(float(s[:j]))
+        except (ValueError, OverflowError):
+            return int(s[:int_end])
+    return int(s[:int_end])

@@ -1,0 +1,177 @@
+"""Minimal XPath subset used by the extraction engine.
+
+The reference accepts arbitrary XPath through ``tableXPathPosition``
+(``src/Parser.php:67-92``) but *generates* only four shapes internally
+(``Parser.php:56,60,102,105``; ``Section.php:25-27``)::
+
+    (//table)[1]                  -- default table selection
+    (//table[@id="x"])[1]         -- selection by id
+    (//table)[N]                  -- selection by position
+    (//table/thead/tr)[N]         -- header-row location (also //table/tr)
+
+plus the test-suite's ``//p``.  This module evaluates exactly that family —
+absolute descendant paths with child steps, ``[@attr="value"]`` /
+positional predicates, a wildcard step, and an optional outer ``(...)[N]``
+index — over :class:`html_table_spark.htmldom.Node` trees, returning nodes
+in document order (deduplicated), as ``DOMXPath::query`` does.
+
+Anything outside the subset raises :class:`ParserError` with the reference's
+eager-validation message (``Parser.php:73-80`` validates the expression at
+*config* time against an empty document; we validate by parsing the grammar —
+same effect: misconfigurations surface on the driver, never inside a Spark
+task).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .errors import ParserError, msg_invalid_xpath
+from .htmldom import ELEMENT, Node
+
+_STEP_RE = re.compile(
+    r"""^
+    (?P<axis>//|/)
+    (?P<name>\*|[a-zA-Z][a-zA-Z0-9_-]*)
+    (?P<preds>(\[[^\]]*\])*)
+    """,
+    re.VERBOSE,
+)
+_PRED_RE = re.compile(
+    r"""\[
+        (?:
+            @(?P<attr>[a-zA-Z][a-zA-Z0-9_:-]*)\s*=\s*
+            (?:"(?P<dval>[^"]*)"|'(?P<sval>[^']*)')
+          | (?P<pos>\d+)
+        )
+    \]""",
+    re.VERBOSE,
+)
+_OUTER_RE = re.compile(r"^\((?P<path>.+)\)\[(?P<idx>\d+)\]$", re.DOTALL)
+
+
+@dataclass(frozen=True)
+class _Step:
+    descendant: bool  # '//' vs '/'
+    name: str  # tag name or '*'
+    attr_preds: tuple[tuple[str, str], ...]
+    position: int | None  # 1-based positional predicate
+
+
+@dataclass(frozen=True)
+class XPathExpr:
+    steps: tuple[_Step, ...]
+    outer_index: int | None  # 1-based, from the (...)[N] wrapper
+    source: str
+
+    def query(self, root: Node) -> list[Node]:
+        nodes = _eval_steps(root, self.steps)
+        if self.outer_index is not None:
+            i = self.outer_index - 1
+            return [nodes[i]] if 0 <= i < len(nodes) else []
+        return nodes
+
+    def first(self, root: Node) -> Node | None:
+        result = self.query(root)
+        return result[0] if result else None
+
+
+def compile_xpath(expression: str) -> XPathExpr:
+    """Parse ``expression`` or raise ``ParserError`` (reference message,
+    ``Parser.php:77``)."""
+    text = expression.strip()
+    outer_index: int | None = None
+    match = _OUTER_RE.match(text)
+    if match:
+        outer_index = int(match.group("idx"))
+        text = match.group("path").strip()
+    if not text.startswith("/"):
+        raise ParserError(msg_invalid_xpath(expression))
+    steps: list[_Step] = []
+    pos = 0
+    while pos < len(text):
+        m = _STEP_RE.match(text[pos:])
+        if not m:
+            raise ParserError(msg_invalid_xpath(expression))
+        preds_text = m.group("preds") or ""
+        attr_preds: list[tuple[str, str]] = []
+        position: int | None = None
+        consumed = 0
+        for pm in _PRED_RE.finditer(preds_text):
+            if pm.start() != consumed:
+                raise ParserError(msg_invalid_xpath(expression))
+            consumed = pm.end()
+            if pm.group("pos") is not None:
+                position = int(pm.group("pos"))
+            else:
+                value = pm.group("dval")
+                if value is None:
+                    value = pm.group("sval")
+                attr_preds.append((pm.group("attr").lower(), value))
+        if consumed != len(preds_text):
+            raise ParserError(msg_invalid_xpath(expression))
+        steps.append(
+            _Step(
+                descendant=m.group("axis") == "//",
+                name=m.group("name").lower(),
+                attr_preds=tuple(attr_preds),
+                position=position,
+            )
+        )
+        pos += m.end()
+    if not steps:
+        raise ParserError(msg_invalid_xpath(expression))
+    return XPathExpr(steps=tuple(steps), outer_index=outer_index, source=expression)
+
+
+def _matches(node: Node, step: _Step) -> bool:
+    if node.kind != ELEMENT:
+        return False
+    if step.name != "*" and node.tag != step.name:
+        return False
+    for attr, value in step.attr_preds:
+        if node.attrs.get(attr) != value:
+            return False
+    return True
+
+
+def _children_elements(node: Node):
+    for child in node.children:
+        if child.kind == ELEMENT:
+            yield child
+
+
+def _descendants(node: Node):
+    stack = list(reversed([c for c in node.children if c.kind == ELEMENT]))
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(reversed([c for c in n.children if c.kind == ELEMENT]))
+
+
+def _eval_steps(root: Node, steps: tuple[_Step, ...]) -> list[Node]:
+    current: list[Node] = [root]
+    for step in steps:
+        nxt: list[Node] = []
+        seen: set[int] = set()
+        for ctx in current:
+            if step.descendant:
+                candidates = list(_descendants(ctx))
+            else:
+                candidates = list(_children_elements(ctx))
+            matched = [n for n in candidates if _matches(n, step)]
+            if step.position is not None:
+                # positional predicate applies per context node
+                i = step.position - 1
+                matched = [matched[i]] if 0 <= i < len(matched) else []
+            for n in matched:
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    nxt.append(n)
+        current = nxt
+    # Result is in document order because each context's candidates are
+    # generated in document order and contexts themselves are ordered; for
+    # the descendant axis over multiple overlapping contexts the dedup keeps
+    # first occurrence, which for this subset coincides with document order.
+    return current
