@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines.
+
+All of these are pure ``pyspark.sql.functions`` Column expressions — they
+run JVM-side inside whole-stage codegen (no Python on the hot path) and each
+has an exact ANSI-SQL twin runnable by DuckDB, which is how the driver's
+correctness gate verifies them (__spark_entry__.oracle_sql).
+
+Operators: token counting, quality scoring (length/punct/stopword ratios),
+language-ID (stopword-hit heuristic), document fingerprinting (normalizing
+content hash), shingling (word n-grams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic mini stopword lists for the heuristic language scorer
+STOPWORDS_EN = ("the", "a", "of", "and", "to")
+_WS = r"\s+"
+
+
+def tokens(text) -> Column:
+    """Whitespace tokenization (empty string → no tokens)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, _WS)
+    )
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text) -> Column:
+    toks = tokens(text)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / F.size(toks)
+    )
+
+
+def stopword_ratio(text, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*stopwords)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def punct_ratio(text) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{L}\p{N}\s]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        (F.length(text) - F.length(stripped)).cast("double") / F.length(text)
+    )
+
+
+def quality_score(text) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane average token
+    length, some stopwords, low punctuation noise. Rounded for cross-engine
+    float comparability."""
+    toks = token_count(text)
+    length_term = F.least(toks.cast("double") / F.lit(50.0), F.lit(1.0))
+    avg_term = F.when(
+        (avg_token_len(text) >= 2.0) & (avg_token_len(text) <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    stop_term = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    # +1e-9 nudges exact .xxxx5 values off the rounding knife edge so the
+    # score is stable across engines with different double summation order
+    return F.round(0.4 * length_term + 0.3 * avg_term + 0.3 * stop_term + 1e-9, 4)
+
+
+def lang_id(text) -> Column:
+    """Deterministic stopword-hit language heuristic (the operator pattern a
+    real n-gram model slots into): en if any English stopword token appears,
+    else 'unk'."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS_EN)))
+    return F.when(hits > 0, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(text) -> Column:
+    """Normalizing content fingerprint: lowercase, collapse whitespace,
+    trim, md5. Identical in DuckDB: md5(trim(regexp_replace(lower(t),
+    '\\s+', ' ', 'g')))."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), _WS, " ")))
+
+
+def shingles(text, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (JVM-side, no explode):
+    sequence over start positions → slice → concat_ws. Docs shorter than n
+    tokens get a single whole-text shingle."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k <= 0, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )

@@ -1,0 +1,236 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these at 100 TB):
+
+- **exact**: one hash aggregate on a 32-byte digest — map-side partial
+  aggregation, then a single shuffle on the digest. Never shuffles raw text.
+- **MinHash signatures**: computed entirely with JVM array expressions
+  (``transform``/``array_min`` over the shingle array) — zero Python, zero
+  explode, zero shuffle; one pass over the text column.
+- **LSH candidate pairs**: signatures are banded; candidates come from a
+  self-join on (band_idx, band_key) — the shuffle moves only
+  (doc_id, 32-byte band key), NOT documents.  Band keys with huge buckets
+  (degenerate content) can be frequency-capped before the join.
+- **verification**: exact n-gram Jaccard only on LSH candidates (a tiny
+  fraction of the N² pair space).
+- **SimHash**: vectorized Arrow path (pandas UDF) producing a 64-bit
+  fingerprint; near-dup = hamming distance on a long — cheap to band by
+  prefix for the same LSH trick.
+
+The portable hash for MinHash is ``md5(shingle || '#' || seed)`` — chosen
+because Spark and DuckDB produce identical digests, which makes every stage
+up to Jaccard verifiable by the driver's DuckDB oracle.  (xxhash64 would be
+~3× faster; swap ``_mh`` for production — the structure is hash-agnostic.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.text import fingerprint, shingles
+
+
+# -- exact dedup -----------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-hash groups with >1 member: (fp, dup_count, canonical_id).
+    Canonical = smallest id (deterministic)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def distinct_by_content(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct content (min id wins) — the classic
+    training-corpus exact-dedup pass as one aggregate."""
+    canon = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(canon, id_col, "left_semi")
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def _mh(shingle_array: Column, seed: int) -> Column:
+    """One MinHash component: min over md5(shingle || '#seed'). String-min
+    over hex digests == min over the 128-bit integers (fixed width)."""
+    return F.array_min(
+        F.transform(shingle_array, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) — all JVM-side array expressions."""
+    sh = shingles(F.col(text_col), shingle_n).alias("_sh")
+    base = df.select(F.col(id_col), sh)
+    return base.select(
+        id_col,
+        *[_mh(F.col("_sh"), i).alias(f"mh_{i}") for i in range(num_hashes)],
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature and self-join on band keys → (id_a, id_b) candidate
+    pairs (id_a < id_b). Only (id, band_key) crosses the shuffle."""
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh_{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingles for the given candidate pairs:
+    (id_a, id_b, jaccard). Shingle sets travel as exploded (id, shingle)
+    rows only for ids present in ``pairs`` (semi-join pruned)."""
+    ids = pairs.select(F.col("id_a").alias(id_col)).union(
+        pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    pruned = df.join(ids, id_col, "left_semi")
+    sh = (
+        pruned.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        pairs.join(a, "id_a").join(b, ["id_b", "sh"]).groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# -- SimHash (vectorized Arrow path; non-SQL-expressible) --------------------
+
+def _simhash64_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens, Arrow-batched (one Python call
+    per ~10k rows, zero per-row overhead in the plan).  Token hash = first
+    8 bytes of md5 — deterministic across runs/platforms."""
+    import hashlib
+
+    out = []
+    for text in texts:
+        if not text:
+            out.append(0)
+            continue
+        acc = [0] * 64
+        for tok in text.split():
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+            )
+            for bit in range(64):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        sig = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                sig |= 1 << bit
+        # fold into signed 64-bit for Spark LongType
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pd.Series(out)
+
+
+def simhash64(col) -> Column:
+    """Column wrapper; the pandas_udf is registered lazily because the
+    decorator needs an active SparkSession (type resolution)."""
+    return pandas_udf(_simhash64_batch, "long")(col)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band on the top ``prefix_bits`` bits (an
+    LSH on the fingerprint) then verify hamming distance JVM-side via
+    bit_count(a XOR b) — the join shuffles only (id, 8-byte signature)."""
+    sigs = df.select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("sig")
+    ).withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "bucket")
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

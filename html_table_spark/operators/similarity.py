@@ -1,0 +1,117 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two tiers (SURVEY-mandated training-pipeline operator):
+
+- **brute-force cosine top-k** — the exactness baseline. The query vector is
+  a literal array folded into the plan (broadcast by value); the dot product
+  is a JVM ``aggregate`` over ``zip_with`` — whole-stage codegen, no Python,
+  no shuffle except the final top-k (TakeOrdered, no global sort).
+- **LSH-bucketed (random hyperplane) ANN** — the scale path: sign-bit
+  sketches bucket vectors so the per-query probe touches only matching
+  buckets. Hyperplanes are generated from a seeded RNG on the driver, so
+  results are deterministic and reproducible cluster-wide.
+
+At 10^9+ vectors the bucketed variant turns a full-scan-per-query into a
+partition-pruned probe: persist the bucketed table partitioned by
+``bucket`` (or Iceberg-partition it) and the scan prunes to one bucket.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_to_query(vec_col: Column, query: list[float]) -> Column:
+    q = F.array(*[F.lit(float(v)) for v in query])
+    qnorm = sum(v * v for v in query) ** 0.5
+    return F.round(_dot(vec_col, q) / (_norm(vec_col) * F.lit(qnorm)), 4)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (id, cosine) ordered desc. orderBy+limit compiles
+    to TakeOrderedAndProject — per-partition heaps, no global sort."""
+    scored = embeddings.select(
+        F.col(id_col),
+        cosine_to_query(F.col(vec_col).cast("array<double>"), query).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane sign sketch as an int bucket id (JVM-side)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(_dot(vec_col, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_bucketed(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Attach LSH bucket ids. Persist/partition the result by ``bucket`` to
+    get partition-pruned probes at scale."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    return embeddings.withColumn("bucket", signature_bits(vec, planes)), planes
+
+
+def lsh_topk(
+    bucketed: DataFrame,
+    planes: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """ANN probe: score only vectors whose bucket is within
+    ``multiprobe_hamming`` bit flips of the query's bucket (multi-probe LSH
+    recovers recall lost to unlucky hyperplane splits)."""
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(p * q for p, q in zip(plane, query)) >= 0:
+            qbucket |= 1 << i
+    probe = [qbucket]
+    if multiprobe_hamming >= 1:
+        probe += [qbucket ^ (1 << i) for i in range(len(planes))]
+    if multiprobe_hamming >= 2:
+        n = len(planes)
+        probe += [
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n)
+            for j in range(i + 1, n)
+        ]
+    candidates = bucketed.filter(F.col("bucket").isin(probe))
+    return brute_force_topk(candidates, query, k, id_col, vec_col)

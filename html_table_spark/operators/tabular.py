@@ -1,0 +1,112 @@
+"""The reference's downstream query surface as native DataFrame operators.
+
+bakame-php/html-table delegates row processing to league/csv's
+``TabularDataReader`` (reference ``src/Parser.php:392``; verbs evidenced in
+README.md:20-34 and ParserTest.php — SURVEY.md §2.9).  Those verbs assume an
+*insertion-ordered* in-memory row buffer; a distributed DataFrame has no
+such order, so :class:`Tabular` carries explicit order keys and compiles
+each verb to the Catalyst-friendly plan:
+
+| reference verb          | plan here                                      |
+|-------------------------|------------------------------------------------|
+| filter(closure)         | df.filter(expr) — JVM predicate, pushdown-able |
+| sorted(cmp)             | orderBy(sort keys) — comparators become keys   |
+| slice(offset, length)   | orderBy().offset().limit() — no global window  |
+| nth(n) / first()        | slice(n, 1)                                    |
+| fetchPairs(k, v)        | groupBy(k).agg(min_by(v, order)) — first-wins  |
+|                         | without a row_number window shuffle            |
+| reduce(fn, init)        | df.agg(native aggregate)                       |
+| count()                 | df.count()                                     |
+| getHeader()             | df.columns                                     |
+
+``slice``/``nth`` use Spark ≥3.4 ``offset`` + ``limit`` so the sort is a
+top-(offset+length) TakeOrdered plan, not a full global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class Tabular:
+    """Ordered tabular view over a DataFrame (league/csv ResultSet parity)."""
+
+    def __init__(self, df: DataFrame, order_by: list):
+        if not order_by:
+            raise ValueError("Tabular requires explicit order keys on distributed data")
+        self.df = df
+        self.order_by = list(order_by)
+
+    def _ordered(self) -> DataFrame:
+        return self.df.orderBy(*self.order_by)
+
+    # -- verbs ----------------------------------------------------------
+
+    def filter(self, condition) -> "Tabular":
+        return Tabular(self.df.filter(condition), self.order_by)
+
+    def sorted(self, *cols) -> "Tabular":
+        return Tabular(self.df, list(cols))
+
+    def slice(self, offset: int, length: int | None = None) -> DataFrame:
+        out = self._ordered().offset(offset)
+        return out.limit(length) if length is not None else out
+
+    def nth(self, n: int) -> dict | None:
+        rows = self.slice(n, 1).collect()
+        return rows[0].asDict() if rows else None
+
+    def first(self):
+        """league/csv returns [] for an empty set (ParserTest.php:461)."""
+        row = self.nth(0)
+        return row if row is not None else []
+
+    def fetch_pairs(self, key, value) -> DataFrame:
+        """Project two columns into (key, value) with FIRST-wins on duplicate
+        keys (league/csv fetchPairs, README.md:24-34). ``min_by`` keeps the
+        value of the minimal order key per group — one hash aggregate with
+        map-side partials, no window."""
+        order_expr = F.struct(*[F.col(c) if isinstance(c, str) else c for c in self.order_by])
+        return (
+            self.df.groupBy(key)
+            .agg(F.min_by(value, order_expr).alias("value"))
+            .withColumnRenamed(key if isinstance(key, str) else key._jc.toString(), "key")
+        )
+
+    def reduce(self, *aggs: Column) -> DataFrame:
+        return self.df.agg(*aggs)
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def exists(self, condition) -> bool:
+        # limit(1) short-circuits: no full scan once one match is found
+        return self.df.filter(condition).limit(1).count() > 0
+
+    def select(self, *cols) -> "Tabular":
+        return Tabular(self.df.select(*cols), self.order_by)
+
+    def header(self) -> list[str]:
+        return self.df.columns
+
+    def to_local_iterator(self):
+        return self._ordered().toLocalIterator()
+
+
+def extracted_cells(extracted: DataFrame) -> DataFrame:
+    """Explode extraction output spans to one row per span — the relational
+    view used by downstream queries and the DuckDB oracles:
+    (doc_id, table_idx, kind, text, media_ref, offset)."""
+    return extracted.select(
+        "doc_id",
+        "table_idx",
+        F.explode("spans").alias("s"),
+    ).select(
+        "doc_id",
+        "table_idx",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )

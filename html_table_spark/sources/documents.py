@@ -1,0 +1,85 @@
+"""Schemas and readers for the interleaved document corpus.
+
+Input shape is fixed by BASELINE.json (input_hint)::
+
+    documents(doc_id: string,
+              spans: array<struct<kind:string, text:string,
+                                  media_ref:string, offset:int32>>)
+
+Output shape follows FIXTURES.md "Output schema" plus the per-partition
+metrics columns the pipeline aggregates into lineage rows (SURVEY.md §2.6).
+
+The sink side prefers Iceberg when a catalog is configured (cluster
+deployments); in this sandbox there are no Iceberg jars, so
+`html_table_spark.sources.sinks.SnapshotSink` provides snapshot-committed
+Parquet with the same observable semantics (atomic commits, time-travel by
+snapshot, resume via committed-doc anti-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), nullable=False),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+    ]
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), nullable=False),
+        T.StructField("table_idx", T.IntegerType(), nullable=False),
+        T.StructField("caption", T.StringType()),
+        T.StructField("header", T.ArrayType(T.StringType())),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+        T.StructField("n_rows", T.IntegerType()),
+        T.StructField("n_cells", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_msg", T.StringType()),
+        # extraction-time partition id + cumulative partition wall time —
+        # feed per-partition lineage rows without a second pass
+        # (BASELINE.json north_rule)
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("wall_ms", T.DoubleType()),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("doc_count", T.LongType()),
+        T.StructField("table_count", T.LongType()),
+        T.StructField("span_count", T.LongType()),
+        T.StructField("error_count", T.LongType()),
+        T.StructField("wall_ms", T.DoubleType()),
+    ]
+)
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the corpus. Parquet (or Iceberg via ``iceberg://table`` ref).
+
+    Column pruning/predicate pushdown come free from Catalyst as long as
+    callers select only what they need — the extraction pipeline reads
+    exactly (doc_id, spans).
+    """
+    if path.startswith("iceberg://"):
+        return spark.read.format("iceberg").load(path[len("iceberg://"):])
+    return spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
+
+
+def empty_extracted(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], EXTRACTED_SCHEMA)

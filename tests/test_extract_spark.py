@@ -1,0 +1,127 @@
+"""Spark extraction operator vs the (fixture-pinned) kernel oracle.
+
+The kernel itself is verified against hand-derived reference expectations in
+test_semantics_fixtures.py; here we verify that the distributed path —
+Arrow batches, mapInPandas fan-out, span reassembly, mega-doc splitting —
+produces byte-identical span sequences to running the kernel in-process.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from html_table_spark.config import ParserConfig
+from html_table_spark.corpus import fixture_documents, synthesize_documents
+from html_table_spark.fixtures import FIXTURES, f14_mega_doc_html
+from html_table_spark.operators.extract import extract_tables, split_mega_docs
+from html_table_spark.semantics import parse_document
+from html_table_spark.spans import doc_spans_to_html, encode_table_spans, spans_signature
+from html_table_spark.sources.documents import DOCUMENTS_SCHEMA
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+
+def kernel_signatures(rows, config):
+    expected = {}
+    for row in rows:
+        html = doc_spans_to_html(row["spans"])
+        for table in parse_document(html, config):
+            expected[(row["doc_id"], table.table_idx)] = (
+                table.status,
+                table.caption,
+                tuple(table.header),
+                spans_signature(encode_table_spans(table)),
+            )
+    return expected
+
+
+def spark_signatures(df):
+    out = {}
+    # completion markers (table_idx = -1, zero-table docs) are a pipeline
+    # bookkeeping row, not an extraction result
+    for row in df.filter("table_idx >= 0").collect():
+        spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in (row.spans or [])]
+        out[(row.doc_id, row.table_idx)] = (
+            row.status,
+            row.caption,
+            tuple(row.header or []),
+            spans_signature(spans),
+        )
+    return out
+
+
+def test_synthetic_corpus_parity(spark):
+    rows = synthesize_documents(n_docs=120, seed=7, media_fraction=0.4)
+    config = ParserConfig().all_tables()
+    result = extract_tables(_docs_df(spark, rows), config)
+    assert spark_signatures(result) == kernel_signatures(rows, config)
+
+
+def test_fixture_corpus_single_table_mode(spark):
+    rows = [r for r in fixture_documents() if r["doc_id"] in ("F01", "F04", "F05", "F13")]
+    config = ParserConfig()
+    result = extract_tables(_docs_df(spark, rows), config)
+    got = spark_signatures(result)
+    assert set(got) == {(r["doc_id"], 0) for r in rows}
+    assert got == kernel_signatures(rows, config)
+
+
+def test_error_rows_not_exceptions(spark):
+    rows = [
+        {"doc_id": "bad", "spans": [{"kind": "text", "text": "no tables", "media_ref": None, "offset": 0}]},
+        {"doc_id": "ok", "spans": [{"kind": "text", "text": "<table><tr><td>x</td></tr></table>", "media_ref": None, "offset": 0}]},
+    ]
+    result = extract_tables(_docs_df(spark, rows), ParserConfig()).collect()
+    by_id = {r.doc_id: r for r in result}
+    assert by_id["bad"].status == "error"
+    assert by_id["bad"].error_msg == "The HTML table could not be found in the submitted html."
+    assert by_id["ok"].status == "ok"
+    assert by_id["ok"].n_rows == 1
+
+
+def test_multi_span_document_reassembly(spark):
+    # HTML split across many text spans out of order + media spans ignored
+    html = FIXTURES["F01"][0]
+    third = len(html) // 3
+    rows = [
+        {
+            "doc_id": "split",
+            "spans": [
+                {"kind": "text", "text": html[third : 2 * third], "media_ref": None, "offset": 1},
+                {"kind": "media", "text": "", "media_ref": "mX", "offset": 3},
+                {"kind": "text", "text": html[:third], "media_ref": None, "offset": 0},
+                {"kind": "text", "text": html[2 * third :], "media_ref": None, "offset": 2},
+            ],
+        }
+    ]
+    result = extract_tables(_docs_df(spark, rows), ParserConfig()).collect()
+    assert result[0].header == ["prenoms", "nombre", "sexe", "annee"]
+    assert result[0].n_rows == 4
+
+
+@pytest.mark.parametrize("tables_per_chunk", [16, 64])
+def test_mega_doc_split_parity(spark, tables_per_chunk):
+    n_tables = 150
+    html = f14_mega_doc_html(n_tables)
+    rows = [
+        {"doc_id": "mega", "spans": [{"kind": "text", "text": html, "media_ref": None, "offset": 0}]}
+    ]
+    config = ParserConfig().all_tables()
+    chunks = split_mega_docs(_docs_df(spark, rows), tables_per_chunk=tables_per_chunk)
+    got = spark_signatures(extract_tables(chunks, config))
+    expected = kernel_signatures(rows, config)
+    assert len(got) == n_tables
+    assert got == expected  # table_idx base offsets line up globally
+
+
+def test_split_falls_back_on_soup(spark):
+    # unbalanced </table> defeats the linear scan → whole-doc path
+    soup = "</table><table><tr><td>x</td></tr></table>"
+    rows = [
+        {"doc_id": "soup", "spans": [{"kind": "text", "text": soup, "media_ref": None, "offset": 0}]}
+    ]
+    chunks = split_mega_docs(_docs_df(spark, rows), tables_per_chunk=1).collect()
+    assert len(chunks) == 1
+    assert chunks[0].table_idx_base == 0

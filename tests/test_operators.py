@@ -1,0 +1,225 @@
+"""Operator tests: tabular query surface, text analysis, dedup, similarity,
+media plumbing — small deterministic inputs, hand-computable expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from html_table_spark.functions import text as tx
+from html_table_spark.operators import dedup, similarity
+from html_table_spark.operators.media import (
+    MEDIA_SCHEMA,
+    extract_media_features,
+    synthesize_media_table,
+)
+from html_table_spark.operators.tabular import Tabular, extracted_cells
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        Row(name="Abdoulaye", nombre=15, sexe="M", annee=2004, idx=0),
+        Row(name="Abel", nombre=14, sexe="M", annee=2004, idx=1),
+        Row(name="Abiga", nombre=6, sexe="F", annee=2004, idx=2),
+        Row(name="Aboubacar", nombre=8, sexe="M", annee=2004, idx=3),
+        Row(name="Aboubakar", nombre=6, sexe="M", annee=2004, idx=4),
+    ]
+    return spark.createDataFrame(rows)
+
+
+# --- §2.9 tabular verbs (league/csv parity semantics) ----------------------
+
+
+def test_tabular_first_nth_slice(people):
+    t = Tabular(people, order_by=["idx"])
+    assert t.first()["name"] == "Abdoulaye"
+    assert t.nth(1)["name"] == "Abel"
+    assert t.nth(99) is None
+    sliced = [r.name for r in t.slice(1, 2).collect()]
+    assert sliced == ["Abel", "Abiga"]
+
+
+def test_tabular_filter_sorted_count(people):
+    t = Tabular(people, order_by=["idx"])
+    assert t.count() == 5
+    males = t.filter(F.col("sexe") == "M")
+    assert males.count() == 4
+    top = males.sorted(F.col("nombre").desc(), "idx").first()
+    assert top["name"] == "Abdoulaye"
+    assert t.filter(F.col("sexe") == "X").first() == []  # empty → [] (league/csv)
+
+
+def test_tabular_fetch_pairs_first_wins(people):
+    t = Tabular(people, order_by=["idx"])
+    pairs = {r.key: r.value for r in t.fetch_pairs("nombre", "name").collect()}
+    # nombre=6 appears twice (Abiga idx=2, Aboubakar idx=4) → first wins
+    assert pairs[6] == "Abiga"
+    assert pairs[15] == "Abdoulaye"
+
+
+def test_tabular_reduce_exists_header(people):
+    t = Tabular(people, order_by=["idx"])
+    assert t.reduce(F.sum("nombre").alias("s")).collect()[0].s == 49
+    assert t.exists(F.col("name") == "Abel")
+    assert not t.exists(F.col("name") == "Nobody")
+    assert t.header() == ["name", "nombre", "sexe", "annee", "idx"]
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id="a", text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id="b", text=""),
+            Row(doc_id="c", text="zzz!!! ???"),
+        ]
+    )
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            tx.token_count("text").alias("toks"),
+            tx.lang_id("text").alias("lang"),
+            tx.fingerprint("text").alias("fp"),
+            tx.quality_score("text").alias("q"),
+            tx.stopword_ratio("text").alias("sr"),
+        ).collect()
+    }
+    assert got["a"].toks == 9
+    assert got["b"].toks == 0
+    assert got["a"].lang == "en"
+    assert got["c"].lang == "unk"
+    assert got["a"].sr == pytest.approx(2 / 9)
+    assert len(got["a"].fp) == 32
+    assert 0.0 <= got["c"].q < got["a"].q <= 1.0
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([Row(text="a b c d"), Row(text="a b")])
+    got = [r[0] for r in df.select(tx.shingles("text", 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]  # shorter than n → whole text
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        Row(doc_id="d1", text="alpha bravo charlie delta echo foxtrot golf hotel"),
+        Row(doc_id="d2", text="alpha  bravo charlie delta echo foxtrot golf hotel"),  # ws variant
+        Row(doc_id="d3", text="alpha bravo charlie delta echo foxtrot golf INDIA"),  # near-dup
+        Row(doc_id="d4", text="totally different words entirely unrelated content here now"),
+        Row(doc_id="d5", text="alpha bravo charlie delta echo foxtrot golf hotel"),  # exact
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(dup_docs):
+    groups = dedup.exact_duplicates(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0].dup_count == 3  # d1, d2 (ws-normalized), d5
+    assert groups[0].canonical_id == "d1"
+    kept = {r.doc_id for r in dedup.distinct_by_content(dup_docs).collect()}
+    assert kept == {"d1", "d3", "d4"}
+
+
+def test_minhash_lsh_pipeline(dup_docs):
+    sigs = dedup.minhash_signature(dup_docs, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # exact dups share all bands; near-dup d3 shares most shingles with d1/d2/d5
+    assert ("d1", "d2") in got and ("d1", "d5") in got
+    assert not any("d4" in p for pair in got for p in pair)
+    jac = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard(dup_docs, pairs).collect()}
+    assert jac[("d1", "d5")] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in jac.values())
+
+
+def test_simhash_near_dups(dup_docs):
+    got = dedup.simhash_near_dups(dup_docs, max_hamming=10).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert ("d1", "d5") in pairs  # identical text → hamming 0
+    assert not any("d4" in p for pair in pairs for p in pair)
+
+
+# --- similarity search -------------------------------------------------------
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = similarity.brute_force_topk(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in got] == [0, 1]
+    assert got[0].cosine == 1.0
+
+
+def test_lsh_topk_matches_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter("vec_id = 0").first().embedding
+    query = [float(x) for x in query]
+    exact = [r.vec_id for r in similarity.brute_force_topk(emb, query, k=5).collect()]
+    bucketed, planes = similarity.lsh_bucketed(emb, n_planes=6)
+    approx = [
+        r.vec_id
+        for r in similarity.lsh_topk(
+            bucketed, planes, query, k=5, multiprobe_hamming=2
+        ).collect()
+    ]
+    assert exact[0] == 0  # the query vector itself
+    # ANN recall: the top hit must be found; most of top-5 should overlap
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 3
+
+
+# --- media plumbing ----------------------------------------------------------
+
+
+def test_media_features_deterministic(spark):
+    refs = [f"m{i}" for i in range(6)]
+    media = spark.createDataFrame(synthesize_media_table(refs), MEDIA_SCHEMA)
+    feats = extract_media_features(media).collect()
+    assert {r.media_ref for r in feats} == set(refs)
+    by_ref = {r.media_ref: r for r in feats}
+    assert all(r.status == "ok" for r in feats)
+    assert len(by_ref["m1"].feature) == 16
+    assert by_ref["m0"].n_frames > 1  # video mime
+    assert by_ref["m1"].n_frames == 1
+    # determinism: same refs → same features
+    feats2 = extract_media_features(media).collect()
+    assert {r.media_ref: r.feature for r in feats2} == {
+        r.media_ref: r.feature for r in feats
+    }
+
+
+def test_media_real_codec_path_stubbed(spark):
+    refs = ["x1"]
+    media = spark.createDataFrame(synthesize_media_table(refs), MEDIA_SCHEMA)
+    rows = extract_media_features(media, use_real_codecs=True).collect()
+    assert rows[0].status.startswith("error: media decode requires")
+
+
+# --- extracted_cells relational view ----------------------------------------
+
+
+def test_extracted_cells_view(spark):
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.corpus import fixture_documents
+    from html_table_spark.operators.extract import extract_tables
+    from html_table_spark.sources.documents import DOCUMENTS_SCHEMA
+
+    rows = [r for r in fixture_documents() if r["doc_id"] == "F01"]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    cells = extracted_cells(extract_tables(docs, ParserConfig()))
+    counts = {r.kind: r.cnt for r in cells.groupBy("kind").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"header": 4, "cell": 16}

@@ -1,0 +1,97 @@
+"""End-to-end pipeline: skew plan, lineage metrics, snapshot resume."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from html_table_spark.config import ParserConfig
+from html_table_spark.corpus import synthesize_documents
+from html_table_spark.plans.pipeline import (
+    plan_extraction,
+    run_job,
+    with_doc_cost,
+)
+from html_table_spark.sources.documents import DOCUMENTS_SCHEMA
+from html_table_spark.sources.sinks import SnapshotSink
+
+
+def _corpus_df(spark, **kwargs):
+    rows = synthesize_documents(**kwargs)
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA), rows
+
+
+def test_doc_cost_is_jvm_side(spark):
+    df, rows = _corpus_df(spark, n_docs=10, seed=3)
+    costed = with_doc_cost(df)
+    # no Python stage in the plan: the cost column is a JVM aggregate
+    plan = costed._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "Python" not in plan
+    got = {r.doc_id: r.doc_cost for r in costed.collect()}
+    for row in rows:
+        expected = sum(len(s["text"] or "") for s in row["spans"])
+        assert got[row["doc_id"]] == expected
+
+
+def test_plan_extraction_with_mega(spark):
+    df, rows = _corpus_df(spark, n_docs=30, seed=11, mega_docs=1, mega_tables=120)
+    out = plan_extraction(
+        df,
+        ParserConfig().all_tables(),
+        num_partitions=8,
+        mega_cost_threshold=16 * 1024,
+        tables_per_chunk=16,
+    )
+    counts = {r["doc_id"]: r["cnt"] for r in out.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["mega000"] == 120
+    # mega-doc chunks actually spread over multiple extraction partitions
+    parts = (
+        out.filter(F.col("doc_id") == "mega000").select("part_id").distinct().count()
+    )
+    assert parts > 1, "mega-doc not split across partitions"
+
+
+def test_run_job_resume(spark, tmp_path):
+    df, rows = _corpus_df(spark, n_docs=40, seed=5)
+    sink = SnapshotSink(str(tmp_path / "out"))
+    half = df.filter(F.xxhash64("doc_id") % 2 == 0)
+    manifest1 = run_job(spark, half, sink, ParserConfig().all_tables(), num_partitions=4)
+    first = sink.read_committed(spark)
+    n_first_docs = first.select("doc_id").distinct().count()
+    assert n_first_docs == half.count()
+
+    # second run over the FULL corpus resumes: only the other half processed
+    manifest2 = run_job(spark, df, sink, ParserConfig().all_tables(), num_partitions=4)
+    assert manifest2["run_id"] != manifest1["run_id"]
+    all_docs = sink.read_committed(spark)
+    assert all_docs.select("doc_id").distinct().count() == df.count()
+    # no doc processed twice across snapshots
+    dup = (
+        all_docs.select("doc_id", "table_idx")
+        .groupBy("doc_id", "table_idx")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0
+
+    # third run: nothing left to do, commit is empty but valid
+    run_job(spark, df, sink, ParserConfig().all_tables(), num_partitions=4)
+    assert all(m["data_path"] for m in sink.manifests())
+
+    # lineage rows exist, metrics add up to the committed table count
+    lineage = sink.read_lineage(spark)
+    total_tables = sink.read_committed(spark).count()
+    assert lineage.agg(F.sum("table_count")).collect()[0][0] == total_tables
+    assert lineage.filter("wall_ms >= 0").count() == lineage.count()
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    df, _ = _corpus_df(spark, n_docs=12, seed=9)
+    sink = SnapshotSink(str(tmp_path / "tt"))
+    third = df.limit(4)
+    run_job(spark, third, sink, num_partitions=2)
+    run_job(spark, df, sink, num_partitions=2)
+    seq1_docs = sink.read_committed(spark, as_of_seq=1).select("doc_id").distinct().count()
+    all_docs = sink.read_committed(spark).select("doc_id").distinct().count()
+    assert seq1_docs == 4
+    assert all_docs == 12
