@@ -392,8 +392,8 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
-    bucketed, planes = similarity.lsh_bucketed(emb, n_planes=6)
-    return similarity.lsh_topk(bucketed, planes, q, k=10)
+    bucketed, tables = similarity.lsh_multitable(emb, n_tables=4, planes_per_table=8)
+    return similarity.lsh_multitable_topk(bucketed, tables, q, k=10)
 
 
 # ---------------------------------------------------------------------------

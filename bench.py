@@ -36,11 +36,13 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# extraction corpus size by sf tier (docs, mega_docs, mega_tables)
+# extraction corpus size by sf tier (docs, mega_docs, mega_tables) — sized
+# so steady-state kernel work dominates scheduler + Python-worker overheads
+# (sf0.1 ≈ 50 s of single-thread parse work)
 CORPUS_BY_SF = {
-    "0.001": (300, 1, 200),
-    "0.01": (1200, 1, 600),
-    "0.1": (6000, 2, 1500),
+    "0.001": (600, 1, 200),
+    "0.01": (4000, 1, 800),
+    "0.1": (24000, 2, 2000),
 }
 
 HEADLINE = [
@@ -65,18 +67,22 @@ def _sf_of(sf_dir: str) -> str:
 
 def corpus_path(sf: str) -> str:
     n_docs, mega, mega_tables = CORPUS_BY_SF.get(sf, CORPUS_BY_SF["0.01"])
-    path = f"/tmp/spark_graft_bench/corpus_sf{sf}_{n_docs}_{mega}x{mega_tables}.parquet"
+    path = f"/tmp/spark_graft_bench/corpus_sf{sf}_{n_docs}_{mega}x{mega_tables}"
     if not os.path.exists(path):
-        from html_table_spark.corpus import synthesize_documents, write_corpus_parquet
+        from html_table_spark.corpus import synthesize_documents, write_corpus_dir
 
         rows = synthesize_documents(
             n_docs=n_docs, seed=42, mega_docs=mega, mega_tables=mega_tables
         )
-        write_corpus_parquet(rows, path)
+        write_corpus_dir(rows, path, n_shards=64)
     return path
 
 
-def run_extraction_bench(spark, sf: str) -> dict:
+def run_extraction_bench(spark, sf: str, warm: bool = True) -> dict:
+    """Steady-state throughput: the first full run warms the Python worker
+    pool (32 simultaneous pandas imports otherwise dominate a small-corpus
+    measurement — a one-time per-executor cost that is noise at fleet
+    scale), the second run is timed."""
     from html_table_spark.config import ParserConfig
     from html_table_spark.plans.pipeline import plan_extraction
     from html_table_spark.sources.documents import read_documents
@@ -85,6 +91,8 @@ def run_extraction_bench(spark, sf: str) -> dict:
     docs = read_documents(spark, path)
     n_docs = docs.count()
     config = ParserConfig().all_tables()
+    if warm:
+        plan_extraction(docs, config).filter("table_idx >= 0").count()
     started = time.monotonic()
     extracted = plan_extraction(docs, config)
     n_tables = extracted.filter("table_idx >= 0").count()
@@ -146,14 +154,7 @@ def main_extract_only(cores: int) -> None:
     sf = _sf_of(SF_DIR)
     spark = _get_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    # warm-up: JVM/codegen/Python-worker pool, small slice
-    from html_table_spark.config import ParserConfig
-    from html_table_spark.operators.extract import extract_tables
-    from html_table_spark.sources.documents import read_documents
-
-    warm = read_documents(spark, corpus_path(sf)).limit(64)
-    extract_tables(warm, ParserConfig().all_tables()).count()
-    result = run_extraction_bench(spark, sf)
+    result = run_extraction_bench(spark, sf, warm=True)
     result["cores"] = cores
     print(json.dumps(result))
     spark.stop()

@@ -149,6 +149,24 @@ def write_corpus_parquet(rows: list[dict], path: str, row_group_docs: int = 512)
     return path
 
 
+def write_corpus_dir(rows: list[dict], path: str, n_shards: int = 32) -> str:
+    """Write the corpus as a directory of ``n_shards`` Parquet files.
+
+    A single small file caps the scan at ONE task (Spark splits parquet by
+    file byte ranges), serializing the scan + first shuffle regardless of
+    cluster size — at 100 TB the corpus is inherently many files, so the
+    bench corpus must be too. Shards are round-robin so mega-docs spread.
+    """
+    os.makedirs(path, exist_ok=True)
+    for shard in range(n_shards):
+        part = rows[shard::n_shards]
+        table = pa.Table.from_pylist(part, schema=CORPUS_SCHEMA)
+        pq.write_table(
+            table, os.path.join(path, f"part-{shard:05d}.parquet"), row_group_size=256
+        )
+    return path
+
+
 def fixture_documents() -> list[dict]:
     """The F01–F15 fixtures as corpus documents (doc_id = fixture id) for
     end-to-end Spark tests; media fixture F13 includes its input media

@@ -33,6 +33,8 @@ this also removes a native-lib deployment dependency from --py-files.
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
 TEXT = 0
@@ -233,13 +235,10 @@ class _TreeBuilder(HTMLParser):
         self.errors.append(f"unknown declaration: {data[:40]}")
 
 
-def parse_html(html: str) -> tuple[Node, list[str]]:
-    """Parse ``html`` tolerantly → (document root node, recoverable errors).
-
-    Never raises on malformed input (mirrors ``LIBXML_NOWARNING|NOERROR``,
-    reference ``Parser.php:446``); the error list feeds the
-    ``fail_on_xml_errors`` config knob.
-    """
+def parse_html_stdlib(html: str) -> tuple[Node, list[str]]:
+    """Reference tree builder over the stdlib tokenizer — kept as the
+    differential-testing oracle for the fast tokenizer below (and as a
+    fallback via HTML_TABLE_SPARK_TOKENIZER=stdlib)."""
     builder = _TreeBuilder()
     try:
         builder.feed(html)
@@ -251,6 +250,165 @@ def parse_html(html: str) -> tuple[Node, list[str]]:
             "unclosed elements at EOF: " + ",".join(n.tag for n in builder.stack[1:])
         )
     return builder.root, builder.errors
+
+
+# ---------------------------------------------------------------------------
+# Fast tokenizer
+# ---------------------------------------------------------------------------
+# The stdlib tokenizer costs ~2/3 of kernel time (feed/goahead/updatepos do
+# line-tracking and incremental-buffer work we never use).  This is a
+# single-pass regex scanner producing the SAME tree shape — verified by a
+# differential test over all fixtures and the synthetic corpus
+# (tests/test_htmldom.py) — at ~3-4× the throughput.
+
+_TAG_RE = re.compile(
+    r"""<(?:
+        (?P<end>/)\s*(?P<ename>[a-zA-Z][^\s>]*)[^>]*>
+      | (?P<name>[a-zA-Z][^\s/>]*)(?P<attrs>(?:"[^"]*"|'[^']*'|[^>])*?)(?P<selfclose>/?)>
+      | !--(?P<comment>.*?)--\s*>
+      | (?P<bang>![^>]*)>
+      | \?(?P<pi>[^>]*)>
+    )""",
+    re.DOTALL | re.VERBOSE,
+)
+
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)
+        (?:\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]*))?""",
+    re.VERBOSE,
+)
+
+_RAWTEXT = frozenset({"script", "style"})
+
+
+def _parse_attrs(attrs_src: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(attrs_src):
+        name = m.group(1).lower()
+        if name in out:  # libxml keeps the first duplicate
+            continue
+        raw = m.group(2)
+        if raw is None:
+            value = ""
+        elif m.group(3) is not None:
+            value = m.group(3)
+        elif m.group(4) is not None:
+            value = m.group(4)
+        else:
+            value = raw
+        out[name] = unescape(value) if "&" in value else value
+    return out
+
+
+def parse_html_fast(html: str) -> tuple[Node, list[str]]:
+    """Single-pass tolerant tokenizer + tree builder (same observable tree
+    as :func:`parse_html_stdlib`)."""
+    root = Node(ELEMENT, tag="#document")
+    stack = [root]
+    errors: list[str] = []
+    pos = 0
+    n = len(html)
+    pending_text: list[str] = []
+
+    def flush_text() -> None:
+        if not pending_text:
+            return
+        data = "".join(pending_text)
+        pending_text.clear()
+        if "&" in data:
+            data = unescape(data)
+        children = stack[-1].children
+        if children and children[-1].kind == TEXT:
+            children[-1].data += data
+        else:
+            children.append(Node(TEXT, data=data))
+
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt == -1:
+            pending_text.append(html[pos:])
+            break
+        if lt > pos:
+            pending_text.append(html[pos:lt])
+        m = _TAG_RE.match(html, lt)
+        if m is None:
+            # lone '<' that opens no tag — character data (stdlib parity)
+            pending_text.append("<")
+            pos = lt + 1
+            continue
+        pos = m.end()
+        name = m.group("name")
+        if name is not None:
+            tag = name.lower()
+            if tag in _STRUCTURAL:
+                continue
+            flush_text()
+            close_set = CLOSE_BEFORE.get(tag)
+            if close_set:
+                while len(stack) > 1 and stack[-1].tag in close_set:
+                    stack.pop()
+            attrs_src = m.group("attrs")
+            attrs = _parse_attrs(attrs_src) if attrs_src and not attrs_src.isspace() else {}
+            node = Node(ELEMENT, tag=tag, attrs=attrs)
+            stack[-1].children.append(node)
+            if tag in VOID_ELEMENTS:
+                continue
+            if m.group("selfclose"):
+                continue  # empty element (XHTML-ish)
+            stack.append(node)
+            if tag in _RAWTEXT:
+                # raw-text content: scan for the literal end tag
+                end = html.lower().find(f"</{tag}", pos)
+                if end == -1:
+                    end = n
+                if end > pos:
+                    node.children.append(Node(TEXT, data=html[pos:end]))
+                gt = html.find(">", end)
+                pos = n if gt == -1 else gt + 1
+                stack.pop()
+            continue
+        ename = m.group("ename")
+        if ename is not None:
+            tag = ename.lower()
+            if tag in _STRUCTURAL or tag in VOID_ELEMENTS:
+                continue
+            flush_text()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            else:
+                errors.append(f"unexpected end tag </{tag}>")
+            continue
+        comment = m.group("comment")
+        if comment is not None:
+            flush_text()
+            stack[-1].children.append(Node(COMMENT, data=comment))
+            continue
+        # doctype / declarations / processing instructions: dropped
+    flush_text()
+    if len(stack) > 1:
+        errors.append(
+            "unclosed elements at EOF: " + ",".join(n.tag for n in stack[1:])
+        )
+    return root, errors
+
+
+import os as _os
+
+_USE_STDLIB = _os.environ.get("HTML_TABLE_SPARK_TOKENIZER", "fast") == "stdlib"
+
+
+def parse_html(html: str) -> tuple[Node, list[str]]:
+    """Parse ``html`` tolerantly → (document root node, recoverable errors).
+
+    Never raises on malformed input (mirrors ``LIBXML_NOWARNING|NOERROR``,
+    reference ``Parser.php:446``); the error list feeds the
+    ``fail_on_xml_errors`` config knob.
+    """
+    if _USE_STDLIB:
+        return parse_html_stdlib(html)
+    return parse_html_fast(html)
 
 
 def php_int_cast(value: str) -> int:

@@ -73,6 +73,52 @@ def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_multitable(
+    embeddings: DataFrame,
+    n_tables: int = 4,
+    planes_per_table: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Standard multi-table hyperplane LSH: L independent tables of m planes.
+
+    A near neighbor collides in table t with prob (1-θ/π)^m; the union over
+    L tables drives recall up without widening any single probe. Output has
+    one bucket column per table (bucket_0..bucket_{L-1}) — at scale, write
+    L bucket-partitioned projections (or one exploded (table, bucket, id)
+    index) so a probe scans only L buckets."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    vec = F.col(vec_col).cast("array<double>")
+    tables = [
+        hyperplanes(dim, planes_per_table, seed + 1000 * t) for t in range(n_tables)
+    ]
+    out = embeddings
+    for t, planes in enumerate(tables):
+        out = out.withColumn(f"bucket_{t}", signature_bits(vec, planes))
+    return out, tables
+
+
+def lsh_multitable_topk(
+    bucketed: DataFrame,
+    tables: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe each table at the query's exact bucket; union; exact-score the
+    candidate set (brute force on a tiny fraction of the data)."""
+    cond = None
+    for t, planes in enumerate(tables):
+        qbucket = 0
+        for i, plane in enumerate(planes):
+            if sum(p * q for p, q in zip(plane, query)) >= 0:
+                qbucket |= 1 << i
+        this = F.col(f"bucket_{t}") == qbucket
+        cond = this if cond is None else (cond | this)
+    return brute_force_topk(bucketed.filter(cond), query, k, id_col, vec_col)
+
+
 def lsh_bucketed(
     embeddings: DataFrame,
     n_planes: int = 8,

@@ -67,7 +67,10 @@ class Tabular:
         keys (league/csv fetchPairs, README.md:24-34). ``min_by`` keeps the
         value of the minimal order key per group — one hash aggregate with
         map-side partials, no window."""
-        order_expr = F.struct(*[F.col(c) if isinstance(c, str) else c for c in self.order_by])
+        keys = [F.col(c) if isinstance(c, str) else c for c in self.order_by]
+        # a bare primitive order key keeps the aggregate hash-based
+        # (struct-typed min_by buffers fall back to SortAggregate)
+        order_expr = keys[0] if len(keys) == 1 else F.struct(*keys)
         return (
             self.df.groupBy(key)
             .agg(F.min_by(value, order_expr).alias("value"))

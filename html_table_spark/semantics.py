@@ -35,7 +35,7 @@ from functools import lru_cache
 
 from .config import ALL_SECTIONS, TR, ParserConfig, validate_header
 from .errors import MSG_TABLE_NOT_FOUND, ParserError, msg_not_a_table
-from .htmldom import ELEMENT, Node, parse_html, php_int_cast
+from .htmldom import COMMENT, ELEMENT, Node, parse_html, php_int_cast
 from .xpath import XPathExpr, compile_xpath
 
 # PHP trim charset used for header cells ONLY (Parser.php:539):
@@ -95,7 +95,7 @@ _TABLE_EXPR = "//table"  # Parser.php:478
 
 def _span_size(node: Node, attr: str) -> int:
     """Parser.php:549-556 — PHP int cast then clamp to [2, 1000] else 1."""
-    span = php_int_cast(node.get_attribute(attr))
+    span = php_int_cast(node.attrs.get(attr, ""))
     if span < 2 or span > 1000:
         return 1
     return span
@@ -109,6 +109,25 @@ def _collect_media(cell: Node) -> tuple[str, ...]:
             if ref:
                 refs.append(ref)
     return tuple(refs)
+
+
+def _cell_text(node: Node) -> str:
+    """text_content with a fast path for the dominant leaf shape
+    (<td>one text node</td>)."""
+    children = node.children
+    if not children:
+        return ""
+    if len(children) == 1 and children[0].kind != ELEMENT:
+        first = children[0]
+        return first.data if first.kind != COMMENT else ""
+    return node.text_content()
+
+
+def _has_element_child(node: Node) -> bool:
+    for c in node.children:
+        if c.kind == ELEMENT:
+            return True
+    return False
 
 
 def extract_record(
@@ -130,13 +149,19 @@ def extract_record(
             if not pending:
                 del row_span_indices[index]
         if node.kind == ELEMENT and node.tag in CELL_TAGS:
-            text = node.text_content()
-            media = _collect_media(node) if emit_media else ()
+            has_children_elements = _has_element_child(node)
+            text = node.text_content() if has_children_elements else _cell_text(node)
+            media = (
+                _collect_media(node) if (emit_media and has_children_elements) else ()
+            )
             cell = Cell(text, media)
-            colspan = _span_size(node, "colspan")
+            if node.attrs:
+                colspan = _span_size(node, "colspan")
+                rowspan = _span_size(node, "rowspan")
+            else:
+                colspan = rowspan = 1
             cells = [cell] * colspan
             row.extend(cells)
-            rowspan = _span_size(node, "rowspan")
             if rowspan > 1:
                 row_span_indices[index] = [list(cells) for _ in range(rowspan - 1)]
     # single trailing splice at last_index + 1 (Parser.php:577-584)

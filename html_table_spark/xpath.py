@@ -156,15 +156,20 @@ def _eval_steps(root: Node, steps: tuple[_Step, ...]) -> list[Node]:
         nxt: list[Node] = []
         seen: set[int] = set()
         for ctx in current:
-            if step.descendant:
-                candidates = list(_descendants(ctx))
-            else:
-                candidates = list(_children_elements(ctx))
-            matched = [n for n in candidates if _matches(n, step)]
+            candidates = _descendants(ctx) if step.descendant else _children_elements(ctx)
             if step.position is not None:
-                # positional predicate applies per context node
-                i = step.position - 1
-                matched = [matched[i]] if 0 <= i < len(matched) else []
+                # positional predicate applies per context node; stop the
+                # (possibly deep) traversal at the wanted match
+                want = step.position
+                matched = []
+                for n in candidates:
+                    if _matches(n, step):
+                        want -= 1
+                        if want == 0:
+                            matched.append(n)
+                            break
+            else:
+                matched = [n for n in candidates if _matches(n, step)]
             for n in matched:
                 if id(n) not in seen:
                     seen.add(id(n))

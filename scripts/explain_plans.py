@@ -1,0 +1,88 @@
+"""Dump physical plans for the headline queries and assert the plan-shape
+properties the engine is designed around:
+
+- parquet scans are column-pruned (ReadSchema carries only needed columns)
+  and filters are pushed (PushedFilters non-empty where expected);
+- relational operators run inside WholeStageCodegen (no Python in the plan
+  except the extraction/simhash Arrow stages);
+- small dimension joins broadcast (BroadcastHashJoin);
+- top-k compiles to TakeOrderedAndProject (no global sort).
+
+Usage: python scripts/explain_plans.py [sf_dir]   (writes BENCH/PLANS.md)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CHECKS = {
+    # name: (expect_substrings, forbid_substrings)
+    "q1_pricing": (["HashAggregate", "PushedFilters"], ["Python", "Sort "]),
+    "q3_shipping": (["BroadcastHashJoin", "TakeOrderedAndProject"], ["Python"]),
+    "q6_revenue": (["PushedFilters: [IsNotNull(l_shipdate)"], ["Python"]),
+    "qs_sorted_slice": (["TakeOrderedAndProject"], ["Python", "Exchange rangepartitioning"]),
+    "qs_fetch_pairs": (["HashAggregate"], ["Python", "Window"]),
+    "dd_minhash_sig": ([], ["Python", "Exchange"]),  # pure map: no shuffle at all
+    "dd_lsh_pairs": (["HashAggregate"], ["Python"]),
+    "ann_topk": (["TakeOrderedAndProject"], ["Python", "Exchange rangepartitioning"]),
+    "tx_stats": ([], ["Python", "Exchange"]),  # pure map
+    "q_top_customers_window": (["BroadcastHashJoin", "Window"], ["Python"]),
+}
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from html_table_spark.session import get_spark
+
+    spark = get_spark("explain", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    report = ["# Physical plans (sf=%s)\n" % SF]
+    failures = []
+    for name, (expect, forbid) in CHECKS.items():
+        df = queries[name](spark, SF)
+        text = formatted(df)
+        for token in expect:
+            if token not in text:
+                failures.append(f"{name}: missing `{token}`")
+        for token in forbid:
+            if re.search(token, text):
+                failures.append(f"{name}: unexpected `{token}`")
+        status = "OK" if not any(f.startswith(name + ":") for f in failures) else "VIOLATION"
+        report.append(f"\n## {name} — {status}\n\n```\n{text.strip()}\n```\n")
+        print(f"{status:9s} {name}")
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/PLANS.md", "w") as fh:
+        fh.write("\n".join(report))
+    spark.stop()
+    if failures:
+        print("\nPLAN VIOLATIONS:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
+    print("\nall plan-shape checks hold; full dumps in BENCH/PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
