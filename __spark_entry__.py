@@ -216,6 +216,22 @@ def qs_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered.reduce(F.count(F.lit(1)).alias("n"))
 
 
+def qs_fetch_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tabular(_read(spark, sf_dir, "orders"), order_by=["o_orderkey"])
+    return t.fetch_column_by_name("o_orderpriority")
+
+
+def qs_map_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map(closure) as column expressions (the reference's formatter becomes
+    withColumn casts — F12/ParserTest.php:465-491 pattern)."""
+    t = Tabular(_read(spark, sf_dir, "customer"), order_by=["c_custkey"])
+    return t.map(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.col("c_acctbal").cast("int").alias("acctbal_int"),
+    ).df
+
+
 def qs_project_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header projection with reorder + null-fill for a missing offset —
     the reference's combineArray semantics (Parser.php:614-622) as select."""
@@ -419,6 +435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_sorted_slice": qs_sorted_slice,
         "qs_nth": qs_nth,
         "qs_fetch_pairs": qs_fetch_pairs,
+        "qs_fetch_column": qs_fetch_column,
+        "qs_map_value": qs_map_value,
         "qs_count": qs_count,
         "qs_project_nullfill": qs_project_nullfill,
         "q1_pricing": q1_pricing,
@@ -537,6 +555,14 @@ def oracle_sql() -> dict[str, str]:
         "qs_fetch_pairs": """
             SELECT o_custkey AS key, min(o_orderkey) AS value
             FROM orders GROUP BY o_custkey
+        """,
+        "qs_fetch_column": """
+            SELECT o_orderpriority FROM orders
+        """,
+        "qs_map_value": """
+            SELECT c_custkey, upper(c_name) AS name_upper,
+                   CAST(trunc(c_acctbal) AS INT) AS acctbal_int  -- Spark cast truncates; DuckDB cast rounds
+            FROM customer
         """,
         "qs_count": """
             SELECT count(*) AS n FROM lineitem WHERE l_discount >= 0.05

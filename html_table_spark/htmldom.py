@@ -41,6 +41,9 @@ TEXT = 0
 ELEMENT = 1
 COMMENT = 2
 
+_EMPTY_ATTRS: dict = {}
+_EMPTY_CHILDREN: list = []
+
 
 class Node:
     """One DOM node. ``kind`` ∈ {TEXT, ELEMENT, COMMENT}.
@@ -54,9 +57,16 @@ class Node:
     def __init__(self, kind: int, tag: str = "", attrs: dict | None = None, data: str = ""):
         self.kind = kind
         self.tag = tag
-        self.attrs = attrs if attrs is not None else {}
-        self.children: list[Node] = []
         self.data = data
+        if kind == ELEMENT:
+            self.attrs = attrs if attrs is not None else _EMPTY_ATTRS
+            self.children: list[Node] = []
+        else:
+            # text/comment nodes share immutable empties — the tree builder
+            # allocates millions of these per Arrow batch and never mutates
+            # them (attrs/children are read-only by construction)
+            self.attrs = _EMPTY_ATTRS
+            self.children = _EMPTY_CHILDREN
 
     # --- reference parity helpers -------------------------------------
 
@@ -348,7 +358,11 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
                 while len(stack) > 1 and stack[-1].tag in close_set:
                     stack.pop()
             attrs_src = m.group("attrs")
-            attrs = _parse_attrs(attrs_src) if attrs_src and not attrs_src.isspace() else {}
+            attrs = (
+                _parse_attrs(attrs_src)
+                if attrs_src and not attrs_src.isspace()
+                else None  # Node shares one empty dict for attr-less elements
+            )
             node = Node(ELEMENT, tag=tag, attrs=attrs)
             stack[-1].children.append(node)
             if tag in VOID_ELEMENTS:

@@ -80,10 +80,14 @@ def minhash_signature(
     """(id, mh_0..mh_{k-1}) — all JVM-side array expressions."""
     sh = shingles(F.col(text_col), shingle_n).alias("_sh")
     base = df.select(F.col(id_col), sh)
-    return base.select(
+    out = base.select(
         id_col,
         *[_mh(F.col("_sh"), i).alias(f"mh_{i}") for i in range(num_hashes)],
     )
+    # Catalyst's CollapseProject would inline the shingle construction into
+    # every mh_i (k× split/slice/concat per row) and the LSH self-join would
+    # evaluate the whole thing twice; signatures are tiny — materialize.
+    return out.cache()
 
 
 def lsh_candidate_pairs(
@@ -181,26 +185,28 @@ def ngram_jaccard(
 
 def _simhash64_batch(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, Arrow-batched (one Python call
-    per ~10k rows, zero per-row overhead in the plan).  Token hash = first
-    8 bytes of md5 — deterministic across runs/platforms."""
+    per ~10k rows).  Token hash = first 8 bytes of md5 — deterministic
+    across runs/platforms.  Bit voting is numpy-vectorized
+    (``unpackbits``): the per-token × per-bit Python loop would otherwise
+    dominate the stage."""
     import hashlib
 
+    import numpy as np
+
     out = []
+    md5 = hashlib.md5
     for text in texts:
-        if not text:
+        toks = text.split() if text else []
+        if not toks:
             out.append(0)
             continue
-        acc = [0] * 64
-        for tok in text.split():
-            h = int.from_bytes(
-                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
-            )
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        sig = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                sig |= 1 << bit
+        digests = b"".join(md5(t.encode("utf-8")).digest()[:8] for t in toks)
+        bits = np.unpackbits(
+            np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8), axis=1
+        )
+        votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
+        sig_bits = (votes > 0).astype(np.uint8)
+        sig = int.from_bytes(np.packbits(sig_bits).tobytes(), "big")
         # fold into signed 64-bit for Spark LongType
         out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
     return pd.Series(out)
@@ -222,9 +228,14 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash: band on the top ``prefix_bits`` bits (an
     LSH on the fingerprint) then verify hamming distance JVM-side via
     bit_count(a XOR b) — the join shuffles only (id, 8-byte signature)."""
-    sigs = df.select(
-        F.col(id_col), simhash64(F.col(text_col)).alias("sig")
-    ).withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    sigs = (
+        df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+        .withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+        # both sides of the self-join read this — without materialization the
+        # pandas UDF runs twice (locally a cache; at corpus scale write the
+        # signature table out and bucket it)
+        .cache()
+    )
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "bucket")
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "bucket")
     return (

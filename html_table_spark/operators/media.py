@@ -98,6 +98,33 @@ def extract_media_features(media: DataFrame, use_real_codecs: bool = False) -> D
     )
 
 
+def enrich_media_spans(extracted: DataFrame, media_features: DataFrame) -> DataFrame:
+    """Join per-media features back onto the extraction output's media
+    spans: extracted tables → exploded media spans → (doc_id, table_idx,
+    media_ref, pos, width, height, n_frames, feature).
+
+    The features side is the small one (distinct media), so Catalyst/AQE
+    broadcasts it; at corpus scale bucket both sides by media_ref instead.
+    """
+    from pyspark.sql import functions as F
+
+    media_spans = (
+        extracted.select("doc_id", "table_idx", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(
+            "doc_id",
+            "table_idx",
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("pos"),
+        )
+    )
+    return media_spans.join(
+        media_features.select("media_ref", "width", "height", "n_frames", "feature"),
+        "media_ref",
+        "left",
+    )
+
+
 def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
     """Deterministic fake payload rows for the given refs (tests/bench)."""
     rows = []

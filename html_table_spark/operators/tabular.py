@@ -93,6 +93,31 @@ class Tabular:
     def header(self) -> list[str]:
         return self.df.columns
 
+    # -- remaining TabularDataReader verbs (league/csv ≥9.25 full surface,
+    #    SURVEY.md §2.9 "no bespoke work needed" group) -----------------
+
+    def fetch_column_by_name(self, name: str) -> DataFrame:
+        """fetchColumnByName: one column, insertion order preserved."""
+        return self._ordered().select(name)
+
+    def fetch_column_by_offset(self, offset: int) -> DataFrame:
+        """fetchColumnByOffset: 0-based positional column."""
+        return self._ordered().select(self.df.columns[offset])
+
+    def map(self, *exprs) -> "Tabular":
+        """map(closure) → projected expressions (closures become Columns)."""
+        return Tabular(self.df.select(*exprs), self.order_by)
+
+    def each(self):
+        """each(closure): ordered iteration on the driver — inherently
+        sequential in the reference too."""
+        return self._ordered().toLocalIterator()
+
+    def value(self, column: str):
+        """value(): first row's column value, None when empty."""
+        row = self.nth(0)
+        return row.get(column) if row else None
+
     def to_local_iterator(self):
         return self._ordered().toLocalIterator()
 

@@ -1,34 +1,42 @@
 """End-to-end extraction pipeline: skew-aware plan + lineage + resume.
 
-Plan shape (SURVEY.md §3.4, §4.3) — all choices are *plan-shape* decisions,
-no custom Catalyst rules:
+Plan shape (SURVEY.md §3.4, §4.3) — all plan-shape decisions, no custom
+Catalyst rules:
 
-    scan(doc_id, spans)                       -- pruned to 2 columns
-      ├─ cost pre-pass (JVM-side F.aggregate, no Python)
-      ├─ normal docs  ─ salted repartition ─┐
-      └─ mega docs ─ split into table-chunks┴─ mapInPandas extraction
-                         (linear scan; base table ordinal per chunk)
-      → union → per-partition lineage agg → snapshot-committed sink
+    scan(doc_id, spans)                      -- pruned to 2 columns,
+      │                                         parallel by file splits
+      ▼ pass 1 (mapInArrow, ONE full scan)
+    normal docs → extracted rows
+    mega docs   → chunk rows (status='chunk', ≤64 tables each, base ordinal)
+      │  persist (memory/disk — first pass is also the sink payload)
+      ├─ non-chunk rows ───────────────────────────────┐
+      └─ chunk rows → salted repartition → pass 2 ─────┴→ union
+      → per-partition lineage agg → snapshot-committed sink
 
 Why explicit: UDF-stage skew is invisible to AQE (it only splits skewed
 joins/aggregations), so a 2,000-table mega-document would otherwise pin one
-task for the whole stage.  The cost pre-pass is pure JVM (`aggregate` over
-the span array); only docs above ``mega_cost_threshold`` pay the split scan.
+task for the whole stage.  Mega docs are detected inside pass 1 (HTML
+length check — free) and split by a linear boundary scan; they are never
+parsed in place.
 
-Scaling: the salted repartition key is ``pmod(xxhash64(doc_id), P)`` — a
-deterministic, uniformly-distributed assignment that holds at any corpus
-size; P tracks cluster parallelism (defaults to
-``spark.sql.shuffle.partitions``).  At 10^12 docs the only all-data shuffle
-in the job is this single repartition; everything downstream is map-side.
+Why this scales: the corpus is scanned ONCE; the only shuffle moves the
+skewed tail (mega-doc chunks ≪ corpus), salted by
+``pmod(xxhash64(doc_id, chunk), P)``.  Normal docs ride the scan's
+byte-balanced file splits (``maxPartitionBytes``) — at 10^12 documents
+there is no full-corpus shuffle anywhere in the job.  A salted full
+repartition remains available (``repartition_normal='always'``) for
+pathological file layouts, and engages automatically when the scan exposes
+too little parallelism.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..config import ParserConfig
-from ..operators.extract import extract_tables, split_mega_docs
+from ..operators.extract import STATUS_CHUNK, extract_tables
 from ..sources.sinks import SnapshotSink
 
 # Docs whose total text size exceeds this take the mega-doc split path.
@@ -61,21 +69,75 @@ def plan_extraction(
     num_partitions: int | None = None,
     mega_cost_threshold: int = DEFAULT_MEGA_COST,
     tables_per_chunk: int = 64,
+    repartition_normal: str = "auto",
 ) -> DataFrame:
-    """Build the lazy extraction DataFrame (no action triggered)."""
+    """Build the lazy extraction DataFrame (no action triggered).
+
+    ``repartition_normal``: whether to shuffle the normal-doc stream before
+    extraction. ``'never'``: extract directly on scan partitions — zero
+    all-data shuffle; correct whenever input files are well-sized, since
+    ``maxPartitionBytes`` balances splits by bytes and per-doc cost is
+    bounded by ``mega_cost_threshold``. ``'always'``: salted repartition
+    (pay one full shuffle to fix pathological file layouts). ``'auto'``
+    (default): shuffle only when the scan exposes too few partitions to
+    keep the cluster busy. The mega-doc chunk stream is ALWAYS salted —
+    that shuffle moves only the skewed tail, which is the north rule's
+    skew case without the 100 TB full-corpus shuffle.
+    """
     config = config or ParserConfig()
     spark = documents.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    costed = with_doc_cost(documents.select("doc_id", "spans"))
-    normal = costed.filter(F.col("doc_cost") <= mega_cost_threshold).drop("doc_cost")
-    mega = costed.filter(F.col("doc_cost") > mega_cost_threshold).drop("doc_cost")
+    source = documents.select("doc_id", "spans")
+    if repartition_normal == "always":
+        shuffle_source = True
+    elif repartition_normal == "never":
+        shuffle_source = False
+    else:  # auto: cheap structural check, no job triggered
+        scan_parts = documents.rdd.getNumPartitions()
+        shuffle_source = scan_parts < max(2, num_partitions // 2)
+    if shuffle_source:
+        source = salted(source, num_partitions)
 
-    normal_out = extract_tables(salted(normal, num_partitions), config)
-    # mega path: split → rebalance chunks across the cluster → extract
-    chunks = split_mega_docs(mega, tables_per_chunk=tables_per_chunk)
-    mega_out = extract_tables(salted_chunks(chunks, num_partitions), config)
+    if not config.select_all_tables:
+        # reference single-table semantics: selection applies to the whole
+        # document, so mega splitting does not apply
+        return extract_tables(source, config)
+
+    # Pass 1 — the bulk: normal docs extracted on scan partitions; docs over
+    # the cost threshold are skipped with a length check (they never pin a
+    # pass-1 task). No cache, no materialization: pass 1 output flows
+    # straight to the consumer/sink.
+    normal_out = extract_tables(
+        source,
+        config,
+        mega_cost_threshold=mega_cost_threshold,
+        tables_per_chunk=tables_per_chunk,
+        mega_policy="skip",
+    )
+    # Pass 2 — the skewed tail only: a second pruned scan filtered by the
+    # JVM-side cost aggregate (reads just the mega docs' spans), split into
+    # chunk rows by a linear boundary scan, salted so one doc's chunks
+    # spread across the cluster, then extracted with global table ordinals.
+    # The shuffle here moves mega-doc bytes only — there is NO full-corpus
+    # shuffle anywhere in the plan.
+    mega = (
+        with_doc_cost(source)
+        .filter(F.col("doc_cost") > mega_cost_threshold)
+        .drop("doc_cost")
+    )
+    chunks = extract_tables(
+        mega,
+        config,
+        mega_cost_threshold=mega_cost_threshold,
+        tables_per_chunk=tables_per_chunk,
+        mega_policy="chunk",
+    )
+    chunk_rows = chunks.select(
+        "doc_id", "spans", F.col("table_idx").alias("table_idx_base")
+    )
+    mega_out = extract_tables(salted_chunks(chunk_rows, num_partitions), config)
     return normal_out.unionByName(mega_out)
 
 

@@ -96,6 +96,54 @@ def encode_table_spans(table: ExtractedTable) -> list[dict]:
     return spans
 
 
+def encode_table_flat(
+    table: ExtractedTable,
+    out_kind: list,
+    out_text: list,
+    out_ref: list,
+    out_off: list,
+) -> int:
+    """Flat-buffer variant of :func:`encode_table_spans` for the Arrow hot
+    path: appends the span columns in place (no per-span dict objects) and
+    returns the number of spans emitted. Encoding is identical."""
+    if table.status != "ok":
+        return 0
+    n = 0
+    if table.caption is not None:
+        out_kind.append(KIND_CAPTION)
+        out_text.append(table.caption)
+        out_ref.append(None)
+        out_off.append(n)
+        n += 1
+    for name in table.header:
+        out_kind.append(KIND_HEADER)
+        out_text.append(name)
+        out_ref.append(None)
+        out_off.append(n)
+        n += 1
+    for row in table.rows:
+        for cell in row:
+            if cell is None:
+                out_kind.append(KIND_CELL)
+                out_text.append(None)
+                out_ref.append(None)
+                out_off.append(n)
+                n += 1
+            else:
+                out_kind.append(KIND_CELL)
+                out_text.append(cell.text)
+                out_ref.append(None)
+                out_off.append(n)
+                n += 1
+                for ref in cell.media:
+                    out_kind.append(KIND_MEDIA)
+                    out_text.append("")
+                    out_ref.append(ref)
+                    out_off.append(n)
+                    n += 1
+    return n
+
+
 def spans_signature(spans) -> tuple:
     """Hashable (kind, text, media_ref, order) signature for golden
     comparison — the BASELINE.json per-row invariant."""

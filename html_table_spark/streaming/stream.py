@@ -63,6 +63,8 @@ def windowed_event_rates(
     """Watermarked tumbling-window aggregation (streaming or batch input):
     events(ts, event_type, value) → per-window counts + value sums. Late
     rows beyond the watermark are dropped; state is bounded."""
+    # watermarks require zoned TIMESTAMP; parquet often carries TIMESTAMP_NTZ
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
