@@ -10,15 +10,21 @@ Query families:
 - x_*   : extraction pipeline itself, SQL-verified by constructing HTML
           deterministically from documents.text so DuckDB can predict the
           exact cell/header spans (tokenizer → grid resolver → span stream
-          checked end-to-end); plus fixture/media paths (rows-only).
+          checked end-to-end: cells, colspan, rowspan carry, caption,
+          section filters, header inference); plus fixture/media paths
+          (rows-only).
 - qs_*  : the reference's league/csv query-surface verbs (SURVEY.md §2.9).
-- q*    : relational/star-schema workloads (joins/aggs/windows) the 100 TB
-          pipeline needs (SURVEY.md §2.7).
+- q*    : relational/star-schema workloads (joins/aggs/windows/rollup/
+          anti-join) plus the skew-proof plans — salted two-phase
+          aggregation and replicated skew join, result-identical to the
+          plain forms their oracles run (SURVEY.md §2.7).
 - dd_*  : dedup family — exact, MinHash signatures, LSH pairs, n-gram
-          Jaccard (SQL-verified); SimHash (rows-only).
-- tx_*  : text analysis (tokens/quality/lang-id/fingerprint).
-- ann_* : embedding similarity search (brute-force SQL-verified; LSH
-          bucketed rows-only).
+          Jaccard, embedding-cosine near-dup (SQL-verified); SimHash
+          (rows-only).
+- tx_*  : text analysis (tokens ws/BPE-ish/alpha, quality, lang-id,
+          fingerprint).
+- ann_* : embedding similarity search (brute-force and IVF probe
+          SQL-verified; multi-table LSH rows-only).
 """
 
 from __future__ import annotations
@@ -146,6 +152,73 @@ def x_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("n_cells").cast("bigint").alias("n_cells"),
         F.size("spans").cast("bigint").alias("n_spans"),
+    )
+
+
+def x_caption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption extraction ((//caption)[1], Parser.php:389-390) verified by
+    SQL: first word becomes the caption, the rest one-cell body rows."""
+    w0 = F.element_at(_W(), 1)
+    rest = F.regexp_replace("text", r"^[^ ]+ ", "")
+    html = F.concat(
+        F.lit("<table><caption>"), w0,
+        F.lit("</caption><tr><td>"),
+        F.regexp_replace(rest, " ", "</td></tr><tr><td>"),
+        F.lit("</td></tr></table>"),
+    )
+    corpus = _docs_as_corpus(spark, sf_dir, html)
+    out = extract_tables(corpus, ParserConfig())
+    return out.select(
+        "doc_id",
+        "caption",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+    )
+
+
+def x_rowspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rowspan carry-down (§2.5 rule 3: index-keyed splice) verified by SQL:
+    rowspan=2 on the first cell makes row 2 = [w0, w2]."""
+    w0, w1, w2 = (F.element_at(_W(), i) for i in (1, 2, 3))
+    html = F.concat(
+        F.lit('<table><tr><td rowspan="2">'), w0,
+        F.lit("</td><td>"), w1,
+        F.lit("</td></tr><tr><td>"), w2,
+        F.lit("</td></tr></table>"),
+    )
+    corpus = _docs_as_corpus(spark, sf_dir, html)
+    cells = extracted_cells(extract_tables(corpus, ParserConfig()))
+    return cells.select(
+        "doc_id",
+        F.col("text").alias("cell_text"),
+        F.col("offset").cast("int").alias("pos"),
+    )
+
+
+def x_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section inclusion filter (Parser.php:189-254): thead header resolved,
+    tbody kept, tfoot EXCLUDED via excludeSection — verified by SQL (first
+    word = header, last word = dropped tfoot row, middle words = body)."""
+    from html_table_spark.config import TFOOT
+
+    w0 = F.element_at(_W(), 1)
+    last = F.element_at(_W(), -1)
+    middle = F.array_join(F.slice(_W(), 2, F.size(_W()) - 2), "</td></tr><tr><td>")
+    html = F.concat(
+        F.lit("<table><thead><tr><th>"), w0,
+        F.lit("</th></tr></thead><tbody><tr><td>"), middle,
+        F.lit("</td></tr></tbody><tfoot><tr><td>"), last,
+        F.lit("</td></tr></tfoot></table>"),
+    )
+    corpus = _docs_as_corpus(spark, sf_dir, html)
+    cells = extracted_cells(
+        extract_tables(corpus, ParserConfig().exclude_section(TFOOT))
+    )
+    return cells.select(
+        "doc_id",
+        "kind",
+        F.col("text").alias("span_text"),
+        F.col("offset").cast("int").alias("pos"),
     )
 
 
@@ -334,6 +407,68 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (multi-level totals in one shuffle)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the exact plan shape of checkpoint resume
+    (SnapshotSink.remaining_documents: source ANTI committed doc_ids)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skewed event_type key —
+    result-identical to the plain GROUP BY the oracle runs."""
+    from html_table_spark.operators.relational import salted_agg
+
+    ev = _read(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "value_sum": ("sum", "value"),
+            "max_value": ("max", "value"),
+        },
+        entropy=F.col("event_id"),
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated (salted) shuffle join: 5 hot event_type keys would pile
+    onto 5 reducers in a plain shuffle join; the dim side is replicated 8×
+    instead. Oracle runs the plain join."""
+    from html_table_spark.operators.relational import replicated_skew_join
+
+    ev = _read(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("weight", F.length("event_type").cast("double"))
+    )
+    joined = replicated_skew_join(ev, dim, "event_type", F.col("event_id"), buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dd_* dedup family
 # ---------------------------------------------------------------------------
@@ -366,6 +501,18 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(docs, max_hamming=16, prefix_bits=8)
 
 
+def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked (blocking-defined
+    semantics — the oracle replicates the same hyperplane literals). The
+    corpus has no natural near-dups (max pairwise cosine ≈ 0.51), so a
+    deterministic perturbed twin of every vector is unioned in first."""
+    emb = _read(spark, sf_dir, "embeddings")
+    twins = similarity.with_perturbed_twins(emb, id_offset=100000, delta=0.5)
+    return similarity.embedding_near_dup_pairs(
+        twins, threshold=0.85, n_tables=8, planes_per_table=4, seed=7
+    )
+
+
 # ---------------------------------------------------------------------------
 # tx_* text analysis
 # ---------------------------------------------------------------------------
@@ -391,6 +538,18 @@ def tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex pre-tokens,
+    alphabetic-only — all JVM regexp, oracle-checked."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").cast("bigint").alias("n_ws"),
+        tx.bpe_token_count("text").cast("bigint").alias("n_bpe"),
+        tx.alpha_token_count("text").cast("bigint").alias("n_alpha"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # ann_* similarity search
 # ---------------------------------------------------------------------------
@@ -412,6 +571,17 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_multitable_topk(bucketed, tables, q, k=10)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (16 lowest-id vectors as
+    centroids), nearest-centroid assignment JVM-side, probe the 4 nearest
+    inverted lists — the partition-pruned scale path for 10^9 vectors."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, k=16)
+    assigned = similarity.ivf_assign(emb, cents)
+    q = _query_vector(spark, sf_dir)
+    return similarity.ivf_topk(assigned, cents, q, k=10, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -427,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x_cells": x_cells,
         "x_colspan": x_colspan,
+        "x_rowspan": x_rowspan,
+        "x_caption": x_caption,
+        "x_sections": x_sections,
         "x_header_rows": x_header_rows,
         "x_table_summary": x_table_summary,
         "x_fixtures": x_fixtures,
@@ -444,15 +617,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue": q6_revenue,
         "q_top_customers_window": q_top_customers_window,
         "q_events_hourly": q_events_hourly,
+        "q_rollup": q_rollup,
+        "q_anti_join": q_anti_join,
+        "q_salted_agg": q_salted_agg,
+        "q_skew_join": q_skew_join,
         "dd_exact": dd_exact,
         "dd_minhash_sig": dd_minhash_sig,
         "dd_lsh_pairs": dd_lsh_pairs,
         "dd_jaccard": dd_jaccard,
         "dd_simhash": dd_simhash,
+        "dd_embed_cosine": dd_embed_cosine,
         "tx_stats": tx_stats,
         "tx_quality": tx_quality,
+        "tx_tokens": tx_tokens,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
     }
 
 
@@ -474,6 +654,51 @@ def _mh_sql(seed: int) -> str:
     return (
         "list_aggregate(list_transform(sh, s -> md5(s || '#" + str(seed) + "')), 'min')"
     )
+
+
+def _embed_near_dup_sql(threshold: float = 0.85, n_tables: int = 8,
+                        planes_per_table: int = 4, seed: int = 7,
+                        dim: int = 64) -> str:
+    """DuckDB twin of dd_embed_cosine: same perturbed-twin construction and
+    the same hyperplane literals as the Spark LSH blocking."""
+    from html_table_spark.operators.similarity import hyperplanes
+
+    def vec_lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, planes_per_table, seed + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {vec_lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        bucket_exprs.append(f"({bits}) AS b_{t}")
+    same_bucket = " OR ".join(f"a.b_{t} = c.b_{t}" for t in range(n_tables))
+    return f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        all_v AS (
+            SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 100000, list_concat([v[1] + 0.5], v[2:]) FROM base
+        ),
+        b AS (
+            SELECT vec_id, {", ".join(bucket_exprs)} FROM all_v
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+            FROM b a JOIN b c
+              ON a.vec_id < c.vec_id AND ({same_bucket})
+        )
+        SELECT p.id_a, p.id_b,
+               round(list_cosine_similarity(x.v, y.v), 4) AS cosine
+        FROM cand p
+        JOIN all_v x ON x.vec_id = p.id_a
+        JOIN all_v y ON y.vec_id = p.id_b
+        WHERE list_cosine_similarity(x.v, y.v) >= {threshold}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -528,6 +753,41 @@ def oracle_sql() -> dict[str, str]:
                    unnest((string_split(text, ' '))[2:]) AS span_text,
                    CAST(generate_subscripts((string_split(text, ' '))[2:], 1) AS INT) AS pos
             FROM documents
+        """,
+        "x_rowspan": """
+            WITH w AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       split_part(text, ' ', 1) AS w0,
+                       split_part(text, ' ', 2) AS w1,
+                       split_part(text, ' ', 3) AS w2
+                FROM documents
+            )
+            SELECT doc_id,
+                   unnest(list_value(w0, w1, w0, w2)) AS cell_text,
+                   CAST(generate_subscripts(list_value(w0, w1, w0, w2), 1) - 1 AS INT) AS pos
+            FROM w
+        """,
+        "x_caption": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   split_part(text, ' ', 1) AS caption,
+                   CAST(len(string_split(text, ' ')) - 1 AS BIGINT) AS n_rows,
+                   CAST(len(string_split(text, ' ')) - 1 AS BIGINT) AS n_cells
+            FROM documents
+        """,
+        "x_sections": """
+            WITH w AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       string_split(text, ' ') AS words
+                FROM documents
+            )
+            SELECT doc_id, 'header' AS kind, words[1] AS span_text,
+                   CAST(0 AS INT) AS pos
+            FROM w
+            UNION ALL
+            SELECT doc_id, 'cell' AS kind,
+                   unnest(words[2:len(words)-1]) AS span_text,
+                   CAST(generate_subscripts(words[2:len(words)-1], 1) AS INT) AS pos
+            FROM w
         """,
         "x_table_summary": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -626,6 +886,69 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS value_sum
             FROM events GROUP BY 1, 2
+        """,
+        "q_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "q_salted_agg": """
+            SELECT event_type,
+                   CAST(count(event_id) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS value_sum,
+                   round(max(value), 4) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "q_skew_join": """
+            SELECT event_type,
+                   round(sum(value * len(event_type)), 2) AS weighted_sum,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "dd_embed_cosine": _embed_near_dup_sql(),
+        "tx_tokens": """
+            SELECT doc_id,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha
+            FROM documents
+        """,
+        "ann_ivf": """
+            WITH cent AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+                FROM embeddings WHERE vec_id < 16
+            ),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sims AS (
+                SELECT e.vec_id, e.v, cent.cid,
+                       list_cosine_similarity(e.v, cent.c) AS s
+                FROM e CROSS JOIN cent
+            ),
+            assigned AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY s DESC, cid) AS rn
+                    FROM sims
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT v FROM e WHERE vec_id = 0),
+            probe AS (
+                SELECT cid FROM cent, q
+                ORDER BY list_cosine_similarity(c, q.v) DESC, cid
+                LIMIT 4
+            )
+            SELECT a.vec_id,
+                   round(list_cosine_similarity(a.v, q.v), 4) AS cosine
+            FROM assigned a JOIN probe USING (cid), q
+            ORDER BY cosine DESC, a.vec_id
+            LIMIT 10
         """,
         "dd_exact": f"""
             SELECT {_FP_SQL} AS fp,

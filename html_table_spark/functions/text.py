@@ -90,6 +90,26 @@ def fingerprint(text) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), _WS, " ")))
 
 
+# BPE-ish pre-tokenization: alphanumeric runs or single non-space symbols —
+# the split a byte-pair encoder sees before merges. RE2 (DuckDB) and Java
+# regex (Spark) agree on this character-class-only pattern.
+_BPE_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]"
+
+
+def bpe_tokens(text) -> Column:
+    """Token pieces under a BPE-style pre-tokenizer (JVM regexp, no Python)."""
+    return F.regexp_extract_all(text, F.lit(_BPE_PATTERN), 0)
+
+
+def bpe_token_count(text) -> Column:
+    return F.size(bpe_tokens(text))
+
+
+def alpha_token_count(text) -> Column:
+    """Purely alphabetic tokens — the cheap signal for prose-vs-markup."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+"), 0))
+
+
 def shingles(text, n: int = 3) -> Column:
     """Word n-gram shingles as an array column (JVM-side, no explode):
     sequence over start positions → slice → concat_ws. Docs shorter than n

@@ -1,0 +1,82 @@
+"""Skew-aware relational operators: salted two-phase aggregation and the
+replicated (salted) shuffle join.
+
+Why these exist (SURVEY.md §2.7, §4.3): at 100 TB a handful of hot keys —
+one event type with 40% of the rows, one mega-document — turns a single
+``groupBy``/``join`` reducer into the job's critical path.  AQE splits
+skewed *join* partitions but does nothing for a skewed aggregation key, and
+nothing when the skew lives upstream of a UDF stage.  The classic fixes:
+
+- **salted aggregation** — aggregate on (key, salt) first so every hot key
+  fans out over S reducers, then re-aggregate the S partials.  Valid for any
+  algebraic aggregate (sum/count/min/max; avg = sum/count).
+- **replicated skew join** — when the dim side is too big to broadcast but
+  the fact side's keys are skewed: replicate each dim row S times with an
+  explicit salt, salt the fact side with pmod(hash, S), join on (key, salt).
+  Each hot key now lands on S reducers instead of one.
+
+Both transformations are *result-identical* to their naive forms, which is
+exactly what makes them oracle-checkable: the DuckDB twin runs the plain
+GROUP BY / JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salt_column", "salted_agg", "replicated_skew_join"]
+
+
+def salt_column(entropy: Column, buckets: int) -> Column:
+    """Deterministic salt in [0, buckets): pmod(xxhash64(e), S). Feed it a
+    high-cardinality column (an id) so hot grouping keys spread evenly."""
+    return F.pmod(F.xxhash64(entropy), F.lit(buckets))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    entropy: Column,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation.
+
+    ``aggs`` maps output name -> (function, column) with function in
+    {sum, count, min, max}. Phase 1 aggregates by (keys..., salt) — the map
+    side already partially aggregates, and each hot key spreads over
+    ``buckets`` reducers; phase 2 merges the partials on the true keys. The
+    merge function for count is sum; min/max are idempotent.
+    """
+    merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first = {"sum": F.sum, "count": lambda c: F.count(c), "min": F.min, "max": F.max}
+    partial = (
+        df.withColumn("_salt", salt_column(entropy, buckets))
+        .groupBy(*keys, "_salt")
+        .agg(*[first[fn](col).alias(name) for name, (fn, col) in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge[fn](name).alias(name) for name, (fn, col) in aggs.items()]
+    )
+
+
+def replicated_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    entropy: Column,
+    buckets: int = 8,
+) -> DataFrame:
+    """Inner join ``fact ⋈ dim`` on ``key`` that survives hot fact keys.
+
+    The dim side is exploded ``buckets`` × (acceptable when |dim| ≪ |fact|
+    but beyond the broadcast threshold); the fact side gets a deterministic
+    salt from ``entropy``. Every (key, salt) shuffle bucket then holds
+    ~1/buckets of a hot key's rows. Result == plain inner join.
+    """
+    salted_fact = fact.withColumn("_salt", salt_column(entropy, buckets))
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")

@@ -119,6 +119,145 @@ def lsh_multitable_topk(
     return brute_force_topk(bucketed.filter(cond), query, k, id_col, vec_col)
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse quantizer: the ``k`` lowest-id vectors act as
+    centroids (a reproducible k-means seeding; swap in Lloyd iterations for
+    production — the index layout below is identical). Collecting k vectors
+    is a driver-side index-build constant, not a data-path collect."""
+    rows = (
+        embeddings.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (ties → lowest
+    centroid id) — pure JVM array expressions, one pass, no shuffle. At scale,
+    write the result partitioned by ``centroid_id`` so a probe scan prunes to
+    ``nprobe`` partitions of a 10^9-vector index."""
+    v = F.col(vec_col).cast("array<double>")
+    entries = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        cnorm = sum(x * x for x in cvec) ** 0.5
+        sim = _dot(v, c) / (_norm(v) * F.lit(cnorm))
+        # array_max on (sim, -cid) structs == argmax by sim, min cid on ties
+        entries.append(
+            F.struct(sim.alias("s"), F.lit(-cid).cast("long").alias("negcid"))
+        )
+    best = F.array_max(F.array(*entries))
+    return embeddings.withColumn("centroid_id", (-best["negcid"]).cast("long"))
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids against the query driver-side (tiny), scan
+    only the ``nprobe`` nearest inverted lists, exact-score the survivors."""
+    qnorm = sum(x * x for x in query) ** 0.5
+
+    def cos(cvec: list[float]) -> float:
+        cn = sum(x * x for x in cvec) ** 0.5
+        return sum(a * b for a, b in zip(cvec, query)) / (cn * qnorm)
+
+    probe = [cid for cid, _ in sorted(centroids, key=lambda c: (-cos(c[1]), c[0]))][:nprobe]
+    return brute_force_topk(
+        assigned.filter(F.col("centroid_id").isin(probe)), query, k, id_col, vec_col
+    )
+
+
+def with_perturbed_twins(
+    embeddings: DataFrame,
+    id_offset: int = 100000,
+    delta: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Union the corpus with a deterministic near-duplicate twin of every
+    vector (first component shifted by ``delta``) — test scaffolding for
+    near-dup operators on corpora that lack natural near-dups. The identical
+    construction is expressible in ANSI SQL, keeping the oracle exact."""
+    v = F.col(vec_col).cast("array<double>")
+    twin = embeddings.select(
+        (F.col(id_col) + F.lit(id_offset)).alias(id_col),
+        F.concat(
+            F.array(F.element_at(v, 1) + F.lit(delta)),
+            F.slice(v, 2, F.size(v) - 1),
+        ).alias(vec_col),
+    )
+    return embeddings.select(F.col(id_col), v.alias(vec_col)).unionByName(twin)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, LSH-blocked:
+
+    1. L hyperplane tables bucket every vector (JVM sign-bit sketches);
+    2. candidate pairs = same bucket in ANY table (per-table self-join on the
+       bucket int — only (id, int) crosses the shuffle, never vectors);
+    3. exact cosine on candidates only; keep pairs ≥ ``threshold``.
+
+    Semantics are deliberately *blocking-defined* (pairs the LSH union
+    surfaces), so the DuckDB oracle replicates the same plane literals and
+    reproduces the result exactly. With ``planes_per_table=4`` a true
+    near-dup at cos ≥ 0.95 collides per-table with p ≈ (1-θ/π)^4 ≈ 0.8,
+    so the 8-table union misses with p ≈ 2e-6."""
+    bucketed, _tables = lsh_multitable(
+        embeddings, n_tables=n_tables, planes_per_table=planes_per_table,
+        seed=seed, vec_col=vec_col,
+    )
+    sigs = bucketed.select(
+        id_col, *[f"bucket_{t}" for t in range(n_tables)]
+    ).cache()
+    cand = None
+    for t in range(n_tables):
+        a = sigs.select(F.col(id_col).alias("id_a"), F.col(f"bucket_{t}").alias("b"))
+        b = sigs.select(F.col(id_col).alias("id_b"), F.col(f"bucket_{t}").alias("b"))
+        this = a.join(b, "b").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cand = this if cand is None else cand.unionByName(this)
+    cand = cand.distinct()
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def lsh_bucketed(
     embeddings: DataFrame,
     n_planes: int = 8,

@@ -246,3 +246,107 @@ def test_extracted_cells_view(spark):
     cells = extracted_cells(extract_tables(docs, ParserConfig()))
     counts = {r.kind: r.cnt for r in cells.groupBy("kind").agg(F.count("*").alias("cnt")).collect()}
     assert counts == {"header": 4, "cell": 16}
+
+
+# --- IVF ANN + embedding near-dup + skew-aware relational ops --------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        Row(vec_id=i, embedding=[rng.gauss(0.0, 1.0) for _ in range(16)])
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_ivf_probe_matches_brute_force_on_probed_lists(vectors):
+    cents = similarity.ivf_centroids(vectors, k=4)
+    assert [c[0] for c in cents] == [0, 1, 2, 3]
+    assigned = similarity.ivf_assign(vectors, cents)
+    # every vector gets exactly one centroid in range
+    cids = {r.centroid_id for r in assigned.select("centroid_id").collect()}
+    assert cids <= {0, 1, 2, 3}
+    # a centroid vector must be assigned to itself (cosine 1 with itself)
+    self_row = assigned.filter(F.col("vec_id") == 2).first()
+    assert self_row.centroid_id == 2
+    q = [float(x) for x in vectors.filter("vec_id = 5").first().embedding]
+    top = similarity.ivf_topk(assigned, cents, q, k=3, nprobe=4).collect()
+    # nprobe == k_centroids → probe covers everything → equals brute force
+    brute = similarity.brute_force_topk(vectors, q, k=3).collect()
+    assert [(r.vec_id, r.cosine) for r in top] == [
+        (r.vec_id, r.cosine) for r in brute
+    ]
+    assert top[0].vec_id == 5 and top[0].cosine == 1.0
+
+
+def test_embedding_near_dup_finds_perturbed_twins(vectors):
+    both = similarity.with_perturbed_twins(vectors, id_offset=1000, delta=0.3)
+    assert both.count() == 80
+    pairs = similarity.embedding_near_dup_pairs(
+        both, threshold=0.9, n_tables=8, planes_per_table=4, seed=7
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # every found pair is an (original, twin) pair and cosine is high
+    for r in pairs:
+        assert r.id_b == r.id_a + 1000
+        assert r.cosine >= 0.9
+    # LSH with 8 tables catches nearly all twins on 40 vectors
+    assert len(found) >= 35
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from html_table_spark.operators.relational import salted_agg
+
+    rows = [Row(k="hot" if i % 10 else "cold", i=i, v=float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.k: (r.n, round(r.s, 6), r.mx)
+        for r in salted_agg(
+            df, ["k"], {"n": ("count", "i"), "s": ("sum", "v"), "mx": ("max", "v")},
+            entropy=F.col("i"), buckets=7,
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, round(r.s, 6), r.mx)
+        for r in df.groupBy("k")
+        .agg(F.count("i").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_replicated_skew_join_equals_plain_join(spark):
+    from html_table_spark.operators.relational import replicated_skew_join
+
+    fact = spark.createDataFrame(
+        [Row(k="a" if i % 4 else "b", i=i, v=float(i)) for i in range(100)]
+    )
+    dim = spark.createDataFrame([Row(k="a", w=2.0), Row(k="b", w=3.0)])
+    got = (
+        replicated_skew_join(fact, dim, "k", F.col("i"), buckets=5)
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw"))
+        .collect()
+    )
+    want = (
+        fact.join(dim, "k")
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw"))
+        .collect()
+    )
+    assert {tuple(r) for r in got} == {tuple(r) for r in want}
+
+
+def test_bpe_and_alpha_token_counts(spark):
+    df = spark.createDataFrame([Row(doc_id="d", text="Hello, world! x2 -- ok")])
+    row = df.select(
+        tx.token_count("text").alias("ws"),
+        tx.bpe_token_count("text").alias("bpe"),
+        tx.alpha_token_count("text").alias("alpha"),
+    ).first()
+    # ws: Hello, world! x2 -- ok → 5
+    # bpe: Hello , world ! x2 - - ok → 8
+    # alpha: Hello world x ok → 4
+    assert (row.ws, row.bpe, row.alpha) == (5, 8, 4)
