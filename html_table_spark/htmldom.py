@@ -271,16 +271,24 @@ def parse_html_stdlib(html: str) -> tuple[Node, list[str]]:
 # differential test over all fixtures and the synthetic corpus
 # (tests/test_htmldom.py) — at ~3-4× the throughput.
 
+# start-tag alternative first: it's ~half of all tokens and the alternatives
+# are mutually exclusive on the character after '<', so order only affects
+# how fast the engine reaches the common case
 _TAG_RE = re.compile(
     r"""<(?:
-        (?P<end>/)\s*(?P<ename>[a-zA-Z][^\s>]*)[^>]*>
-      | (?P<name>[a-zA-Z][^\s/>]*)(?P<attrs>(?:"[^"]*"|'[^']*'|[^>])*?)(?P<selfclose>/?)>
+        (?P<name>[a-zA-Z][^\s/>]*)(?P<attrs>(?:"[^"]*"|'[^']*'|[^>])*?)(?P<selfclose>/?)>
+      | (?P<end>/)\s*(?P<ename>[a-zA-Z][^\s>]*)[^>]*>
       | !--(?P<comment>.*?)--\s*>
       | (?P<bang>![^>]*)>
       | \?(?P<pi>[^>]*)>
     )""",
     re.DOTALL | re.VERBOSE,
 )
+_G_NAME = _TAG_RE.groupindex["name"]
+_G_ATTRS = _TAG_RE.groupindex["attrs"]
+_G_SELFCLOSE = _TAG_RE.groupindex["selfclose"]
+_G_ENAME = _TAG_RE.groupindex["ename"]
+_G_COMMENT = _TAG_RE.groupindex["comment"]
 
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)
@@ -312,19 +320,21 @@ def _parse_attrs(attrs_src: str) -> dict[str, str]:
 
 def parse_html_fast(html: str) -> tuple[Node, list[str]]:
     """Single-pass tolerant tokenizer + tree builder (same observable tree
-    as :func:`parse_html_stdlib`)."""
+    as :func:`parse_html_stdlib`).
+
+    Hot-loop notes: text slices are appended directly (adjacent runs merge
+    at append time, so entity decoding per-piece equals decoding the merged
+    run — an entity can never contain '<'); group lookups are positional;
+    ``.lower()`` only allocates when the input isn't already lowercase."""
     root = Node(ELEMENT, tag="#document")
     stack = [root]
     errors: list[str] = []
     pos = 0
     n = len(html)
-    pending_text: list[str] = []
+    find = html.find
+    tag_match = _TAG_RE.match
 
-    def flush_text() -> None:
-        if not pending_text:
-            return
-        data = "".join(pending_text)
-        pending_text.clear()
+    def append_text(data: str) -> None:
         if "&" in data:
             data = unescape(data)
         children = stack[-1].children
@@ -334,30 +344,30 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
             children.append(Node(TEXT, data=data))
 
     while pos < n:
-        lt = html.find("<", pos)
+        lt = find("<", pos)
         if lt == -1:
-            pending_text.append(html[pos:])
+            append_text(html[pos:])
             break
         if lt > pos:
-            pending_text.append(html[pos:lt])
-        m = _TAG_RE.match(html, lt)
+            append_text(html[pos:lt])
+        m = tag_match(html, lt)
         if m is None:
             # lone '<' that opens no tag — character data (stdlib parity)
-            pending_text.append("<")
+            append_text("<")
             pos = lt + 1
             continue
         pos = m.end()
-        name = m.group("name")
+        g = m.group
+        name = g(_G_NAME)
         if name is not None:
-            tag = name.lower()
+            tag = name if name.islower() else name.lower()
             if tag in _STRUCTURAL:
                 continue
-            flush_text()
             close_set = CLOSE_BEFORE.get(tag)
             if close_set:
                 while len(stack) > 1 and stack[-1].tag in close_set:
                     stack.pop()
-            attrs_src = m.group("attrs")
+            attrs_src = g(_G_ATTRS)
             attrs = (
                 _parse_attrs(attrs_src)
                 if attrs_src and not attrs_src.isspace()
@@ -367,7 +377,7 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
             stack[-1].children.append(node)
             if tag in VOID_ELEMENTS:
                 continue
-            if m.group("selfclose"):
+            if g(_G_SELFCLOSE):
                 continue  # empty element (XHTML-ish)
             stack.append(node)
             if tag in _RAWTEXT:
@@ -377,16 +387,15 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
                     end = n
                 if end > pos:
                     node.children.append(Node(TEXT, data=html[pos:end]))
-                gt = html.find(">", end)
+                gt = find(">", end)
                 pos = n if gt == -1 else gt + 1
                 stack.pop()
             continue
-        ename = m.group("ename")
+        ename = g(_G_ENAME)
         if ename is not None:
-            tag = ename.lower()
+            tag = ename if ename.islower() else ename.lower()
             if tag in _STRUCTURAL or tag in VOID_ELEMENTS:
                 continue
-            flush_text()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
@@ -394,13 +403,11 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
             else:
                 errors.append(f"unexpected end tag </{tag}>")
             continue
-        comment = m.group("comment")
+        comment = g(_G_COMMENT)
         if comment is not None:
-            flush_text()
             stack[-1].children.append(Node(COMMENT, data=comment))
             continue
         # doctype / declarations / processing instructions: dropped
-    flush_text()
     if len(stack) > 1:
         errors.append(
             "unclosed elements at EOF: " + ",".join(n.tag for n in stack[1:])

@@ -35,7 +35,7 @@ from functools import lru_cache
 
 from .config import ALL_SECTIONS, TR, ParserConfig, validate_header
 from .errors import MSG_TABLE_NOT_FOUND, ParserError, msg_not_a_table
-from .htmldom import COMMENT, ELEMENT, Node, parse_html, php_int_cast
+from .htmldom import COMMENT, ELEMENT, TEXT, Node, parse_html, php_int_cast
 from .xpath import XPathExpr, compile_xpath
 
 # PHP trim charset used for header cells ONLY (Parser.php:539):
@@ -143,14 +143,23 @@ def extract_record(
     row: list[Cell] = []
     index = -2  # PHP: $index ??= -2 when the tr has no childNodes
     for index, node in enumerate(tr.children):
-        pending = row_span_indices.get(index)
-        if pending is not None:
-            row.extend(pending.pop(0))
-            if not pending:
-                del row_span_indices[index]
+        if row_span_indices:
+            pending = row_span_indices.get(index)
+            if pending is not None:
+                row.extend(pending.pop(0))
+                if not pending:
+                    del row_span_indices[index]
         if node.kind == ELEMENT and node.tag in CELL_TAGS:
-            has_children_elements = _has_element_child(node)
-            text = node.text_content() if has_children_elements else _cell_text(node)
+            children = node.children
+            if len(children) == 1 and children[0].kind == TEXT:
+                # dominant shape: <td>text</td> — no helper calls
+                text = children[0].data
+                has_children_elements = False
+            else:
+                has_children_elements = _has_element_child(node)
+                text = (
+                    node.text_content() if has_children_elements else _cell_text(node)
+                )
             media = (
                 _collect_media(node) if (emit_media and has_children_elements) else ()
             )

@@ -66,15 +66,23 @@ class XPathExpr:
     source: str
 
     def query(self, root: Node) -> list[Node]:
-        nodes = _eval_steps(root, self.steps)
+        it = _iter_steps(root, self.steps)
         if self.outer_index is not None:
+            # lazy: stop traversing the tree at the N-th match
             i = self.outer_index - 1
-            return [nodes[i]] if 0 <= i < len(nodes) else []
-        return nodes
+            if i < 0:
+                return []
+            for idx, node in enumerate(it):
+                if idx == i:
+                    return [node]
+            return []
+        return list(it)
 
     def first(self, root: Node) -> Node | None:
-        result = self.query(root)
-        return result[0] if result else None
+        if self.outer_index is not None and self.outer_index != 1:
+            result = self.query(root)
+            return result[0] if result else None
+        return next(_iter_steps(root, self.steps), None)
 
 
 def compile_xpath(expression: str) -> XPathExpr:
@@ -143,40 +151,62 @@ def _children_elements(node: Node):
 
 
 def _descendants(node: Node):
-    stack = list(reversed([c for c in node.children if c.kind == ELEMENT]))
+    # filter on pop instead of building per-node element listcomps: one
+    # slice-reverse per expanded node, no throwaway lists on leaf-heavy trees
+    stack = node.children[::-1]
     while stack:
         n = stack.pop()
-        yield n
-        stack.extend(reversed([c for c in n.children if c.kind == ELEMENT]))
+        if n.kind == ELEMENT:
+            yield n
+            if n.children:
+                stack.extend(n.children[::-1])
+
+
+def _step_matches(ctx: Node, step: _Step):
+    candidates = _descendants(ctx) if step.descendant else _children_elements(ctx)
+    if step.position is not None:
+        # positional predicate applies per context node; stop the
+        # (possibly deep) traversal at the wanted match
+        want = step.position
+        for n in candidates:
+            if _matches(n, step):
+                want -= 1
+                if want == 0:
+                    yield n
+                    return
+    else:
+        for n in candidates:
+            if _matches(n, step):
+                yield n
+
+
+def _iter_steps(root: Node, steps: tuple[_Step, ...]):
+    """Lazily yield the path's matches in document order, deduplicated —
+    depth-first chaining of the per-step generators, so an outer
+    ``(...)[1]`` consumer stops the whole traversal at the first match.
+
+    Order note: contexts are processed in document order and each context's
+    matches are generated in document order; for overlapping descendant
+    contexts the first-occurrence dedup coincides with document order for
+    this XPath subset (same argument as the eager evaluator it replaced).
+    """
+    last = len(steps) - 1
+
+    def walk(level: int, ctx: Node):
+        step = steps[level]
+        if level == last:
+            yield from _step_matches(ctx, step)
+        else:
+            for node in _step_matches(ctx, step):
+                yield from walk(level + 1, node)
+
+    seen: set[int] = set()
+    for node in walk(0, root):
+        key = id(node)
+        if key not in seen:
+            seen.add(key)
+            yield node
 
 
 def _eval_steps(root: Node, steps: tuple[_Step, ...]) -> list[Node]:
-    current: list[Node] = [root]
-    for step in steps:
-        nxt: list[Node] = []
-        seen: set[int] = set()
-        for ctx in current:
-            candidates = _descendants(ctx) if step.descendant else _children_elements(ctx)
-            if step.position is not None:
-                # positional predicate applies per context node; stop the
-                # (possibly deep) traversal at the wanted match
-                want = step.position
-                matched = []
-                for n in candidates:
-                    if _matches(n, step):
-                        want -= 1
-                        if want == 0:
-                            matched.append(n)
-                            break
-            else:
-                matched = [n for n in candidates if _matches(n, step)]
-            for n in matched:
-                if id(n) not in seen:
-                    seen.add(id(n))
-                    nxt.append(n)
-        current = nxt
-    # Result is in document order because each context's candidates are
-    # generated in document order and contexts themselves are ordered; for
-    # the descendant axis over multiple overlapping contexts the dedup keeps
-    # first occurrence, which for this subset coincides with document order.
-    return current
+    return list(_iter_steps(root, steps))
