@@ -77,16 +77,28 @@ def minhash_signature(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) — all JVM-side array expressions."""
+    """(id, mh_0..mh_{k-1}) — all JVM-side array expressions.
+
+    Two materialization points, both load-bearing:
+
+    - the shingle ARRAY is cached before the k mh_i projections. Catalyst's
+      CollapseProject would otherwise inline the split/slice/concat shingle
+      construction into every mh_i — and higher-order array functions are
+      interpreted, not codegen'd, so that's a real k× recompute (measured
+      ~4× on the sf0.1 corpus). At 10^12-doc scale the equivalent is
+      writing the signature table out once and reading it back.
+    - the signatures are cached because the LSH self-join reads them twice.
+    """
+    from .util import ensure_parallelism
+
     sh = shingles(F.col(text_col), shingle_n).alias("_sh")
-    base = df.select(F.col(id_col), sh)
+    base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), sh
+    ).cache()
     out = base.select(
         id_col,
         *[_mh(F.col("_sh"), i).alias(f"mh_{i}") for i in range(num_hashes)],
     )
-    # Catalyst's CollapseProject would inline the shingle construction into
-    # every mh_i (k× split/slice/concat per row) and the LSH self-join would
-    # evaluate the whole thing twice; signatures are tiny — materialize.
     return out.cache()
 
 
@@ -228,8 +240,11 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash: band on the top ``prefix_bits`` bits (an
     LSH on the fingerprint) then verify hamming distance JVM-side via
     bit_count(a XOR b) — the join shuffles only (id, 8-byte signature)."""
+    from .util import ensure_parallelism
+
     sigs = (
-        df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
         .withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
         # both sides of the self-join read this — without materialization the
         # pandas UDF runs twice (locally a cache; at corpus scale write the

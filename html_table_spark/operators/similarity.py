@@ -87,12 +87,15 @@ def lsh_multitable(
     one bucket column per table (bucket_0..bucket_{L-1}) — at scale, write
     L bucket-partitioned projections (or one exploded (table, bucket, id)
     index) so a probe scans only L buckets."""
+    from .util import ensure_parallelism
+
     dim = len(embeddings.select(vec_col).first()[0])
     vec = F.col(vec_col).cast("array<double>")
     tables = [
         hyperplanes(dim, planes_per_table, seed + 1000 * t) for t in range(n_tables)
     ]
-    out = embeddings
+    # L×m interpreted dot products per row — spread narrow inputs first
+    out = ensure_parallelism(embeddings)
     for t, planes in enumerate(tables):
         out = out.withColumn(f"bucket_{t}", signature_bits(vec, planes))
     return out, tables
@@ -148,6 +151,9 @@ def ivf_assign(
     centroid id) — pure JVM array expressions, one pass, no shuffle. At scale,
     write the result partitioned by ``centroid_id`` so a probe scan prunes to
     ``nprobe`` partitions of a 10^9-vector index."""
+    from .util import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
     v = F.col(vec_col).cast("array<double>")
     entries = []
     for cid, cvec in centroids:
