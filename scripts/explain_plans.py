@@ -43,11 +43,19 @@ CHECKS = {
     "q6_revenue": (["PushedFilters: [IsNotNull(l_shipdate)"], ["Python"]),
     "qs_sorted_slice": (["TakeOrderedAndProject"], ["Python", "Exchange rangepartitioning"]),
     "qs_fetch_pairs": (["HashAggregate"], ["Python", "Window"]),
-    "dd_minhash_sig": ([], ["Python", "Exchange"]),  # pure map: no shuffle at all
+    # one deliberate roundrobin spread for narrow single-file scans; never a
+    # key shuffle (hashpartitioning) — the signature computation is a map
+    "dd_minhash_sig": ([], ["Python", "Exchange hashpartitioning"]),
     "dd_lsh_pairs": (["HashAggregate"], ["Python"]),
     "ann_topk": (["TakeOrderedAndProject"], ["Python", "Exchange rangepartitioning"]),
+    "ann_ivf": (["TakeOrderedAndProject"], ["Python", "Exchange rangepartitioning"]),
     "tx_stats": ([], ["Python", "Exchange"]),  # pure map
+    "tx_tokens": ([], ["Python", "Exchange"]),  # pure map
     "q_top_customers_window": (["BroadcastHashJoin", "Window"], ["Python"]),
+    "q_rollup": (["Expand", "HashAggregate"], ["Python"]),  # one shuffle, no union-of-aggs
+    "q_anti_join": (["LeftAnti"], ["Python"]),
+    "q_salted_agg": (["HashAggregate"], ["Python", "Sort "]),
+    "q_skew_join": (["Generate"], ["Python", "BroadcastNestedLoop"]),
 }
 
 
