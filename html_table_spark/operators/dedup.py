@@ -158,35 +158,36 @@ def ngram_jaccard(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles for the given candidate pairs:
-    (id_a, id_b, jaccard). Shingle sets travel as exploded (id, shingle)
-    rows only for ids present in ``pairs`` (semi-join pruned)."""
+    (id_a, id_b, jaccard).
+
+    Shingle SETS (array_distinct, bounded by doc token count) travel only
+    for ids present in ``pairs`` (semi-join pruned), and the intersection is
+    one ``array_intersect`` per candidate pair — no explode, no per-shingle
+    shuffle rows, no count aggregations. Candidate pairs are a vanishing
+    fraction of N² after LSH banding, so the joined set is small by
+    construction even at corpus scale."""
     ids = pairs.select(F.col("id_a").alias(id_col)).union(
         pairs.select(F.col("id_b").alias(id_col))
     ).distinct()
-    pruned = df.join(ids, id_col, "left_semi")
-    sh = (
-        pruned.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
-        .distinct()
+    sets = (
+        df.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh_set"),
+        )
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
-    inter = (
-        pairs.join(a, "id_a").join(b, ["id_b", "sh"]).groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter),
                 4,
             ).alias("jaccard"),
         )

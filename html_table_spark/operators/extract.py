@@ -336,6 +336,7 @@ def extract_tables(
     mega_cost_threshold: int | None = None,
     tables_per_chunk: int = 64,
     mega_policy: str = "parse",
+    spread_small_inputs: bool = True,
 ) -> DataFrame:
     """documents(doc_id, spans[, table_idx_base]) → extracted tables.
 
@@ -348,11 +349,19 @@ def extract_tables(
     dict/object materialization (BASELINE.json hot-path constraint taken to
     its conclusion).
     """
+    from .util import ensure_parallelism
+
     config = config or ParserConfig()
     cols = ["doc_id", "spans"] + (
         ["table_idx_base"] if "table_idx_base" in documents.columns else []
     )
     pruned = documents.select(*cols)  # explicit pruning before the UDF stage
+    if spread_small_inputs:
+        # a dimension-sized corpus arriving as one file = one partition
+        # would serialize the whole Arrow stage on a single Python worker.
+        # The full pipeline (plans/pipeline.py) manages partitioning itself
+        # and passes False to keep its zero-shuffle 'never' contract.
+        pruned = ensure_parallelism(pruned)
     return pruned.mapInArrow(
         make_arrow_extractor(
             config,

@@ -103,7 +103,7 @@ def plan_extraction(
     if not config.select_all_tables:
         # reference single-table semantics: selection applies to the whole
         # document, so mega splitting does not apply
-        return extract_tables(source, config)
+        return extract_tables(source, config, spread_small_inputs=False)
 
     # Pass 1 — the bulk: normal docs extracted on scan partitions; docs over
     # the cost threshold are skipped with a length check (they never pin a
@@ -115,6 +115,7 @@ def plan_extraction(
         mega_cost_threshold=mega_cost_threshold,
         tables_per_chunk=tables_per_chunk,
         mega_policy="skip",
+        spread_small_inputs=False,
     )
     # Pass 2 — the skewed tail only: a second pruned scan filtered by the
     # JVM-side cost aggregate (reads just the mega docs' spans), split into
@@ -133,11 +134,14 @@ def plan_extraction(
         mega_cost_threshold=mega_cost_threshold,
         tables_per_chunk=tables_per_chunk,
         mega_policy="chunk",
+        spread_small_inputs=False,
     )
     chunk_rows = chunks.select(
         "doc_id", "spans", F.col("table_idx").alias("table_idx_base")
     )
-    mega_out = extract_tables(salted_chunks(chunk_rows, num_partitions), config)
+    mega_out = extract_tables(
+        salted_chunks(chunk_rows, num_partitions), config, spread_small_inputs=False
+    )
     return normal_out.unionByName(mega_out)
 
 
