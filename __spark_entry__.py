@@ -305,6 +305,25 @@ def qs_map_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def qs_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exists(predicate) — league/csv TabularDataReader verb as one
+    aggregate (no collect)."""
+    t = Tabular(_read(spark, sf_dir, "orders"), order_by=["o_orderkey"])
+    return t.filter(F.col("o_orderpriority") == "1-URGENT").reduce(
+        (F.count(F.lit(1)) > 0).alias("found")
+    )
+
+
+def qs_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce(fn, init) — the reference's client-side fold becomes a native
+    aggregate (ParserTest.php:540-548 pattern)."""
+    t = Tabular(_read(spark, sf_dir, "orders"), order_by=["o_orderkey"])
+    return t.filter(F.col("o_totalprice") > 100000).reduce(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def qs_project_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header projection with reorder + null-fill for a missing offset —
     the reference's combineArray semantics (Parser.php:614-622) as select."""
@@ -611,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_fetch_column": qs_fetch_column,
         "qs_map_value": qs_map_value,
         "qs_count": qs_count,
+        "qs_exists": qs_exists,
+        "qs_reduce": qs_reduce,
         "qs_project_nullfill": qs_project_nullfill,
         "q1_pricing": q1_pricing,
         "q3_shipping": q3_shipping,
@@ -826,6 +847,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "qs_count": """
             SELECT count(*) AS n FROM lineitem WHERE l_discount >= 0.05
+        """,
+        "qs_exists": """
+            SELECT count(*) > 0 AS found FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        """,
+        "qs_reduce": """
+            SELECT round(sum(o_totalprice), 2) AS total, count(*) AS n
+            FROM orders WHERE o_totalprice > 100000
         """,
         "qs_project_nullfill": """
             SELECT p_brand AS brand, p_name AS name,

@@ -17,6 +17,10 @@ def ensure_parallelism(df: DataFrame, min_rows_per_partition: int = 1) -> DataFr
     narrow input rows and buys a cluster-wide stage. Inputs that already
     arrive well-partitioned (any real corpus) pass through untouched.
     """
+    if df.isStreaming:
+        # .rdd is illegal on a streaming plan; micro-batch sizing is the
+        # trigger's job (maxFilesPerTrigger), not a static repartition
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

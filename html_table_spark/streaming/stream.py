@@ -55,6 +55,63 @@ def stream_extract(
     return writer.trigger(processingTime="10 seconds").start()
 
 
+def dedup_stream(
+    documents: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "30 minutes",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact-dedup: keep the first occurrence of each ``id_col``
+    seen within the watermark horizon (re-crawled/duplicated docs in a live
+    feed are dropped before the expensive extraction stage).
+
+    Built on ``dropDuplicatesWithinWatermark`` — RocksDB-backed keyed state
+    with watermark-driven eviction, so state stays bounded no matter how
+    long the stream runs (plain ``dropDuplicates`` would grow forever)."""
+    return documents.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
+# output/state schemas for the custom stateful operator below
+EVENT_TOTALS_SCHEMA = (
+    "event_type string, n_events bigint, value_sum double"
+)
+_EVENT_TOTALS_STATE_SCHEMA = "n bigint, s double"
+
+
+def _event_totals_fn(key, pdf_iter, state):
+    """Running totals per key, state carried across micro-batches (Arrow
+    batch iterator in, one updated row out — no per-row Python)."""
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    import pandas as pd
+
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "n_events": [n], "value_sum": [round(s, 4)]}
+    )
+
+
+def stateful_event_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    cumulative per-event-type counts and value sums that survive across
+    micro-batches — the pattern a sessionizer or incremental quality
+    monitor slots into. Batch-equivalent semantics: groupBy + count/sum
+    over everything seen so far."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        _event_totals_fn,
+        outputStructType=EVENT_TOTALS_SCHEMA,
+        stateStructType=_EVENT_TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_rates(
     events: DataFrame,
     window: str = "1 minute",

@@ -74,3 +74,78 @@ def test_windowed_event_rates_streaming(spark, sf_dir, tmp_path):
     # batch advances the watermark to max(ts)-10min, so all but the tail hour
     # of events are final. At minimum the query ran and emitted something.
     assert got is None or got <= 500
+
+
+def test_stateful_event_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: totals accumulate across micro-batches and
+    the final update per key equals the batch groupBy over all input."""
+    import pandas as pd
+
+    from html_table_spark.streaming.stream import stateful_event_totals
+
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    rows1 = [{"event_type": "click", "value": 1.5}, {"event_type": "view", "value": 2.0}]
+    rows2 = [{"event_type": "click", "value": 0.5}, {"event_type": "click", "value": 1.0}]
+    schema = pa.schema([("event_type", pa.string()), ("value", pa.float64())])
+    pq.write_table(pa.Table.from_pylist(rows1, schema=schema), str(in_dir / "b1.parquet"))
+    pq.write_table(pa.Table.from_pylist(rows2, schema=schema), str(in_dir / "b2.parquet"))
+
+    events = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+        .parquet(str(in_dir))
+    )
+    q = (
+        stateful_event_totals(events)
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per key = cumulative totals
+    df = spark.sql(
+        "SELECT event_type, n_events, value_sum FROM totals"
+    ).toPandas()
+    last = df.groupby("event_type").last()
+    assert int(last.loc["click", "n_events"]) == 3
+    assert abs(float(last.loc["click", "value_sum"]) - 3.0) < 1e-9
+    assert int(last.loc["view", "n_events"]) == 1
+
+
+def test_dedup_stream_drops_repeated_doc_ids(spark, tmp_path):
+    from html_table_spark.streaming.stream import dedup_stream
+
+    in_dir = tmp_path / "docs"
+    out_dir = tmp_path / "dout"
+    ckpt = tmp_path / "dckpt"
+    in_dir.mkdir()
+    schema = pa.schema([("doc_id", pa.string()), ("ingest_ts", pa.timestamp("us"))])
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        {"doc_id": "a", "ingest_ts": t0},
+        {"doc_id": "b", "ingest_ts": t0},
+        {"doc_id": "a", "ingest_ts": t0},  # duplicate within batch
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), str(in_dir / "b1.parquet"))
+
+    docs = spark.readStream.schema("doc_id string, ingest_ts timestamp").parquet(
+        str(in_dir)
+    )
+    q = (
+        dedup_stream(docs)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.schema("doc_id string, ingest_ts timestamp").parquet(str(out_dir))
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == ["a", "b"]
