@@ -83,3 +83,48 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
 
 def empty_extracted(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], EXTRACTED_SCHEMA)
+
+
+def read_html_files(spark: SparkSession, path: str, glob: str = "*.html") -> DataFrame:
+    """The reference's ``parseFile`` surface (Parser.php:333-357) at corpus
+    scale: a directory of raw HTML files becomes a ``documents`` DataFrame
+    (doc_id = file path, one text span holding the whole page).
+
+    Built on the ``binaryFile`` source so bytes arrive unmangled; decoding is
+    a JVM expression. Unreadable files simply don't appear in the listing —
+    the per-doc error channel (status='error') covers undecodable content.
+    """
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+    return files.select(
+        F.col("path").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.decode(F.col("content"), "UTF-8").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def documents_from_html(
+    spark: SparkSession, htmls: list[str], ids: list[str] | None = None
+) -> DataFrame:
+    """The reference's ``parseHtml(string)`` surface for ad-hoc use: a list
+    of HTML strings becomes a ``documents`` DataFrame."""
+    ids = ids or [str(i) for i in range(len(htmls))]
+    rows = [
+        {
+            "doc_id": doc_id,
+            "spans": [
+                {"kind": "text", "text": html, "media_ref": None, "offset": 0}
+            ],
+        }
+        for doc_id, html in zip(ids, htmls)
+    ]
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)

@@ -125,3 +125,38 @@ def test_split_falls_back_on_soup(spark):
     chunks = split_mega_docs(_docs_df(spark, rows), tables_per_chunk=1).collect()
     assert len(chunks) == 1
     assert chunks[0].table_idx_base == 0
+
+
+def test_read_html_files_parsefile_parity(spark, tmp_path):
+    """parseFile parity: raw .html files → documents schema → extraction."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.operators.extract import extract_tables
+    from html_table_spark.sources.documents import read_html_files
+
+    (tmp_path / "a.html").write_text(
+        "<table><caption>T</caption><tr><td>x</td><td>y</td></tr></table>"
+    )
+    (tmp_path / "b.html").write_text(
+        "<p>no table here</p>"
+    )
+    (tmp_path / "skip.txt").write_text("not html")
+
+    docs = read_html_files(spark, str(tmp_path))
+    assert docs.columns == ["doc_id", "spans"]
+    out = extract_tables(docs, ParserConfig()).collect()
+    by_id = {r.doc_id.rsplit("/", 1)[-1]: r for r in out}
+    assert set(by_id) == {"a.html", "b.html"}
+    a = by_id["a.html"]
+    assert a.status == "ok" and a.caption == "T" and a.n_cells == 2
+    # no table → reference error semantics, surfaced as a status row
+    assert by_id["b.html"].status == "error"
+
+
+def test_documents_from_html_strings(spark):
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.operators.extract import extract_tables
+    from html_table_spark.sources.documents import documents_from_html
+
+    docs = documents_from_html(spark, ["<table><tr><td>v</td></tr></table>"], ["d1"])
+    row = extract_tables(docs, ParserConfig()).first()
+    assert row.doc_id == "d1" and row.n_rows == 1
