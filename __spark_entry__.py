@@ -7,24 +7,27 @@ twin for each SQL-expressible query.  Column names and types are aligned on
 both sides (the driver hashes values after sorting columns by name).
 
 Query families:
-- x_*   : extraction pipeline itself, SQL-verified by constructing HTML
+Every query is value-checked against a DuckDB oracle (no rows-only checks):
+
+- x_*   : extraction pipeline itself — SQL-verified by constructing HTML
           deterministically from documents.text so DuckDB can predict the
-          exact cell/header spans (tokenizer → grid resolver → span stream
-          checked end-to-end: cells, colspan, rowspan carry, caption,
-          section filters, header inference); plus fixture/media paths
-          (rows-only).
+          exact cell/header spans (cells, colspan, rowspan carry, caption,
+          section filters, header inference), plus kernel-vs-cluster VALUES
+          oracles for the PHPUnit fixture corpus and media interleaving
+          (the pure-Python kernel, pinned by pytest goldens, predicts the
+          distributed Arrow path's output).
 - qs_*  : the reference's league/csv query-surface verbs (SURVEY.md §2.9).
 - q*    : relational/star-schema workloads (joins/aggs/windows/rollup/
           anti-join) plus the skew-proof plans — salted two-phase
           aggregation and replicated skew join, result-identical to the
           plain forms their oracles run (SURVEY.md §2.7).
 - dd_*  : dedup family — exact, MinHash signatures, LSH pairs, n-gram
-          Jaccard, embedding-cosine near-dup (SQL-verified); SimHash
-          (rows-only).
+          Jaccard, embedding-cosine near-dup, SimHash (the 64-bit
+          fingerprint re-derived bit-for-bit in SQL via md5_number_upper).
 - tx_*  : text analysis (tokens ws/BPE-ish/alpha, quality, lang-id,
           fingerprint).
-- ann_* : embedding similarity search (brute-force and IVF probe
-          SQL-verified; multi-table LSH rows-only).
+- ann_* : embedding similarity search — brute-force, multi-table LSH
+          (hyperplane literals shared with the SQL twin), and IVF probe.
 """
 
 from __future__ import annotations
@@ -677,6 +680,151 @@ def _mh_sql(seed: int) -> str:
     )
 
 
+def _sql_lit(s: str | None) -> str:
+    return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+
+def _fixtures_values_sql() -> str:
+    """VALUES oracle for x_fixtures, computed by the PURE-PYTHON kernel
+    (html_table_spark.semantics) over the same fixture docs. The kernel is
+    itself pinned by the hand-derived PHPUnit goldens in pytest, so this
+    check verifies the *distributed* path (Arrow encode/decode, batching,
+    partitioning) against the sequential kernel at driver level."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.corpus import fixture_documents
+    from html_table_spark.semantics import parse_document
+    from html_table_spark.spans import doc_spans_to_html
+
+    rows = []
+    for doc in fixture_documents():
+        html = doc_spans_to_html(doc["spans"])
+        for t in parse_document(html, ParserConfig()):
+            rows.append(
+                f"({_sql_lit(doc['doc_id'])}, {t.table_idx}, {_sql_lit(t.status)}, "
+                f"{_sql_lit(t.caption)}, {t.n_rows if t.status == 'ok' else 0}, "
+                f"{t.n_cells if t.status == 'ok' else 0})"
+            )
+    return (
+        "SELECT doc_id, CAST(table_idx AS INT) AS table_idx, status, caption, "
+        "CAST(n_rows AS BIGINT) AS n_rows, CAST(n_cells AS BIGINT) AS n_cells "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(doc_id, table_idx, status, caption, n_rows, n_cells)"
+    )
+
+
+def _media_interleave_values_sql() -> str:
+    """VALUES oracle for x_media_interleave — same kernel-vs-cluster idea as
+    x_fixtures, over the seeded media-heavy corpus."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.corpus import synthesize_documents
+    from html_table_spark.semantics import parse_document
+    from html_table_spark.spans import doc_spans_to_html, encode_table_spans
+
+    cfg = ParserConfig().all_tables()
+    rows = []
+    for doc in synthesize_documents(n_docs=64, seed=13, media_fraction=1.0):
+        html = doc_spans_to_html(doc["spans"])
+        for t in parse_document(html, cfg):
+            if t.status != "ok":
+                continue
+            for span in encode_table_spans(t):
+                if span["kind"] == "media":
+                    rows.append(
+                        f"({_sql_lit(doc['doc_id'])}, {t.table_idx}, "
+                        f"{_sql_lit(span['media_ref'])}, {span['offset']})"
+                    )
+    return (
+        "SELECT doc_id, CAST(table_idx AS INT) AS table_idx, media_ref, "
+        "CAST(pos AS INT) AS pos FROM (VALUES " + ", ".join(rows)
+        + ") AS t(doc_id, table_idx, media_ref, pos)"
+    )
+
+
+def _ann_lsh_sql(n_tables: int = 4, planes_per_table: int = 8, seed: int = 42,
+                 dim: int = 64, k: int = 10) -> str:
+    """DuckDB twin of ann_lsh: identical hyperplane literals, identical
+    multi-table probe (same bucket as the query in ANY table), exact rescore."""
+    from html_table_spark.operators.similarity import hyperplanes
+
+    def vec_lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def bucket_expr(col: str, planes) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {vec_lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ) + ")"
+
+    tables = [hyperplanes(dim, planes_per_table, seed + 1000 * t) for t in range(n_tables)]
+    e_buckets = ", ".join(f"{bucket_expr('e.v', p)} AS b_{t}" for t, p in enumerate(tables))
+    q_buckets = ", ".join(f"{bucket_expr('q.v', p)} AS qb_{t}" for t, p in enumerate(tables))
+    collide = " OR ".join(f"b.b_{t} = qb.qb_{t}" for t in range(n_tables))
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v FROM e WHERE vec_id = 0),
+        b AS (SELECT e.vec_id, e.v, {e_buckets} FROM e),
+        qb AS (SELECT {q_buckets} FROM q)
+        SELECT b.vec_id,
+               round(list_cosine_similarity(b.v, q.v), 4) AS cosine
+        FROM b, qb, q
+        WHERE {collide}
+        ORDER BY cosine DESC, b.vec_id
+        LIMIT {k}
+    """
+
+
+def _simhash_sql(max_hamming: int = 16, prefix_bits: int = 8) -> str:
+    """DuckDB twin of dd_simhash: rebuilds the 64-bit SimHash with
+    ``md5_number_upper`` (little-endian first 8 digest bytes; the kernel
+    packs the same bytes big-endian, so each signature bit maps to a
+    computable LE shift), then the same prefix-bucket join + hamming check."""
+    # kernel bit at big-endian position p came from digest byte k=(63-p)//8,
+    # MSB-first bit m=(63-p)%8 → little-endian shift 8k + 7 - m
+    vote_cols = []
+    sig_terms = []
+    for p in range(64):
+        i = 63 - p
+        le_shift = 8 * (i // 8) + 7 - (i % 8)
+        vote_cols.append(
+            f"sum(CAST((md5_number_upper(tok) >> {le_shift}) & 1 AS BIGINT)) AS o{p}"
+        )
+        sig_terms.append(
+            f"(CASE WHEN 2 * v.o{p} > v.n THEN CAST(1 AS HUGEINT) << {p} ELSE 0 END)"
+        )
+    votes = ",\n                   ".join(vote_cols)
+    sig_sum = " + ".join(sig_terms)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x != '')) AS tok
+            FROM documents
+        ),
+        v AS (
+            SELECT doc_id, count(*) AS n,
+                   {votes}
+            FROM toks GROUP BY doc_id
+        ),
+        sigs_h AS (
+            SELECT d.doc_id,
+                   coalesce(({sig_sum}), 0) AS sh
+            FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN sh >= CAST(1 AS HUGEINT) << 63
+                             THEN sh - (CAST(1 AS HUGEINT) << 64)
+                             ELSE sh END AS BIGINT) AS sig,
+                   CAST(sh >> {64 - prefix_bits} AS BIGINT) AS bucket
+            FROM sigs_h
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
 def _embed_near_dup_sql(threshold: float = 0.85, n_tables: int = 8,
                         planes_per_table: int = 4, seed: int = 7,
                         dim: int = 64) -> str:
@@ -1060,6 +1208,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, e.vec_id
             LIMIT 10
         """,
-        # rows-only checks (non-SQL-expressible / pinned by pytest goldens):
-        # x_fixtures, x_media_interleave, dd_simhash, ann_lsh
+        # kernel-vs-cluster oracles: the pure-Python kernel (itself pinned by
+        # the hand-derived PHPUnit goldens) predicts the distributed output
+        "x_fixtures": _fixtures_values_sql(),
+        "x_media_interleave": _media_interleave_values_sql(),
+        # full SQL re-derivations of the sketch-based operators
+        "ann_lsh": _ann_lsh_sql(),
+        "dd_simhash": _simhash_sql(),
     }
