@@ -491,6 +491,43 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest order at or before each event, per user) via the
+    union + running-last window plan — one key shuffle, no range-join
+    explosion. Oracle: DuckDB's native ASOF JOIN."""
+    from html_table_spark.operators.relational import as_of_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_order"))
+    )
+    out = as_of_join(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload=["last_order"],
+    )
+    return out.select("event_id", "user_id", "last_order")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity) + per-session rollup."""
+    from html_table_spark.operators.relational import sessionize
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    s = sessionize(ev, key="user_id", ts="ts", order_tiebreak="event_id",
+                   gap="30 minutes")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    ).select(
+        "user_id",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        "n_events", "t_start", "t_end",
+    )
+
+
 # ---------------------------------------------------------------------------
 # dd_* dedup family
 # ---------------------------------------------------------------------------
@@ -645,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_join": q_anti_join,
         "q_salted_agg": q_salted_agg,
         "q_skew_join": q_skew_join,
+        "q_asof_join": q_asof_join,
+        "q_sessionize": q_sessionize,
         "dd_exact": dd_exact,
         "dd_minhash_sig": dd_minhash_sig,
         "dd_lsh_pairs": dd_lsh_pairs,
@@ -1087,6 +1126,35 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value * len(event_type)), 2) AS weighted_sum,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "q_asof_join": """
+            WITH r AS (
+                SELECT o_custkey AS user_id, o_orderdate,
+                       max(o_orderkey) AS last_order
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, r.last_order
+            FROM events e
+            ASOF JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        """,
+        "q_sessionize": """
+            WITH s AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s2 AS (
+                SELECT user_id, ts,
+                       sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM s
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+            FROM s2 GROUP BY 1, 2
         """,
         "dd_embed_cosine": _embed_near_dup_sql(),
         "tx_tokens": """

@@ -80,3 +80,89 @@ def replicated_skew_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))
     return salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` on the same key (inner semantics — left rows
+    with no prior right row are dropped).
+
+    Implemented as the union + running ``last(ignorenulls)`` window trick:
+    ONE shuffle on the key, state bounded by the window frame — never the
+    range-join candidate explosion (left×right per key) a naive
+    ``ts >= ts`` join condition produces. Right rows must be unique per
+    (key, ts); pre-aggregate ties away first.
+    """
+    from pyspark.sql.window import Window
+
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload],
+    )
+    r = right.select(
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in lcols
+            if c != key
+        ],
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *payload,
+    )
+    u = l.unionByName(r)
+    # right rows sort before left rows at equal ts → inclusive (<=) semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *lcols,
+        "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    cond = None
+    for c in payload:
+        c_ok = F.col(c).isNotNull()
+        cond = c_ok if cond is None else (cond | c_ok)
+    return out.filter(cond)
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event on the same key exceeds ``gap``. Adds a per-key
+    ``session_idx`` (1-based) — one shuffle on the key, two window passes,
+    no state beyond the frame. The classic training-data/log-pipeline
+    operator; SQL-identical semantics keep it oracle-checkable.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
+    prev = F.lag(ts).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col(ts) - prev) > F.expr(f"INTERVAL {gap}")), 1
+    ).otherwise(0)
+    run = (
+        Window.partitionBy(key)
+        .orderBy(ts, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn("session_idx", F.sum(new_session).over(run))

@@ -350,3 +350,44 @@ def test_bpe_and_alpha_token_counts(spark):
     # bpe: Hello , world ! x2 - - ok → 8
     # alpha: Hello world x ok → 4
     assert (row.ws, row.bpe, row.alpha) == (5, 8, 4)
+
+
+def test_as_of_join_latest_prior_row(spark):
+    import datetime as dt
+
+    from html_table_spark.operators.relational import as_of_join
+
+    T = lambda h: dt.datetime(2026, 1, 1, h, 0, 0)
+    left = spark.createDataFrame(
+        [Row(eid=1, k="u", lts=T(5)), Row(eid=2, k="u", lts=T(9)),
+         Row(eid=3, k="v", lts=T(1))]
+    )
+    right = spark.createDataFrame(
+        [Row(k="u", rts=T(4), val="a"), Row(k="u", rts=T(9), val="b"),
+         Row(k="v", rts=T(2), val="c")]
+    )
+    out = {
+        r.eid: r.val
+        for r in as_of_join(left, right, "k", "lts", "rts", ["val"]).collect()
+    }
+    # eid=1: only rts=4 ≤ 5 → a; eid=2: rts=9 == lts → inclusive → b;
+    # eid=3: no right row ≤ 1am → dropped (inner semantics)
+    assert out == {1: "a", 2: "b"}
+
+
+def test_sessionize_gap_boundaries(spark):
+    import datetime as dt
+
+    from html_table_spark.operators.relational import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    ev = spark.createDataFrame(
+        [Row(event_id=i, user_id="u", ts=t)
+         for i, t in enumerate([mins(0), mins(29), mins(60), mins(90), mins(121)])]
+    )
+    out = {r.event_id: r.session_idx
+           for r in sessionize(ev, key="user_id", gap="30 minutes").collect()}
+    # gaps: 29 (same), 31 (new), 30 (same — strictly greater starts new),
+    # 31 (new)
+    assert out == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3}
