@@ -225,6 +225,62 @@ def x_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_table_html():
+    """<table id=first>(w0)</table><table id=second>(w1.. one per row)</table>"""
+    w0 = F.element_at(_W(), 1)
+    rest = F.regexp_replace("text", r"^[^ ]+ ", "")
+    return F.concat(
+        F.lit('<table id="first"><tr><td>'), w0,
+        F.lit('</td></tr></table><table id="second"><tr><td>'),
+        F.regexp_replace(rest, " ", "</td></tr><tr><td>"),
+        F.lit("</td></tr></table>"),
+    )
+
+
+def _second_table_cells(spark: SparkSession, sf_dir: str, config) -> DataFrame:
+    corpus = _docs_as_corpus(spark, sf_dir, _two_table_html())
+    cells = extracted_cells(extract_tables(corpus, config))
+    return cells.select(
+        "doc_id",
+        F.col("text").alias("cell_text"),
+        F.col("offset").cast("int").alias("pos"),
+    )
+
+
+def x_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tablePosition(int) selection ((//table)[n+1], Parser.php:97-107)
+    verified by SQL: position 1 picks the SECOND table on the page."""
+    return _second_table_cells(spark, sf_dir, ParserConfig().table_position(1))
+
+
+def x_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tablePosition(id) selection ((//table[@id="x"])[1]) verified by SQL."""
+    return _second_table_cells(
+        spark, sf_dir, ParserConfig().table_position("second")
+    )
+
+
+def x_user_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-supplied sparse header (pick + reorder + null-fill a missing
+    offset — combineArray, Parser.php:614-622) verified by SQL."""
+    w0, w1, w2 = (F.element_at(_W(), i) for i in (1, 2, 3))
+    html = F.concat(
+        F.lit("<table><tr><td>"), w0,
+        F.lit("</td><td>"), w1,
+        F.lit("</td><td>"), w2,
+        F.lit("</td></tr></table>"),
+    )
+    corpus = _docs_as_corpus(spark, sf_dir, html)
+    cfg = ParserConfig().with_table_header({2: "c2", 0: "c0", 5: "missing"})
+    cells = extracted_cells(extract_tables(corpus, cfg))
+    return cells.select(
+        "doc_id",
+        "kind",
+        F.col("text").alias("span_text"),
+        F.col("offset").cast("int").alias("pos"),
+    )
+
+
 def x_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference PHPUnit fixture corpus through the distributed path
     (rows-only check; exact values are pinned by pytest goldens)."""
@@ -659,6 +715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rowspan": x_rowspan,
         "x_caption": x_caption,
         "x_sections": x_sections,
+        "x_position": x_position,
+        "x_by_id": x_by_id,
+        "x_user_header": x_user_header,
         "x_header_rows": x_header_rows,
         "x_table_summary": x_table_summary,
         "x_fixtures": x_fixtures,
@@ -909,6 +968,15 @@ def _embed_near_dup_sql(threshold: float = 0.85, n_tables: int = 8,
     """
 
 
+# second table of the two-table page: the words after the first, one per row
+_SECOND_TABLE_SQL = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           unnest((string_split(text, ' '))[2:]) AS cell_text,
+           CAST(generate_subscripts((string_split(text, ' '))[2:], 1) - 1 AS INT) AS pos
+    FROM documents
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     mh8 = ",\n            ".join(f"{_mh_sql(i)} AS mh_{i}" for i in range(8))
     band_keys = "\n            UNION ALL\n            ".join(
@@ -996,6 +1064,23 @@ def oracle_sql() -> dict[str, str]:
                    unnest(words[2:len(words)-1]) AS span_text,
                    CAST(generate_subscripts(words[2:len(words)-1], 1) AS INT) AS pos
             FROM w
+        """,
+        "x_position": _SECOND_TABLE_SQL,
+        "x_by_id": _SECOND_TABLE_SQL,
+        "x_user_header": """
+            WITH w AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       string_split(text, ' ') AS words
+                FROM documents
+            )
+            SELECT doc_id, kind, span_text, CAST(pos AS INT) AS pos FROM (
+                SELECT doc_id, 'header' AS kind, 'c2' AS span_text, 0 AS pos FROM w
+                UNION ALL SELECT doc_id, 'header', 'c0', 1 FROM w
+                UNION ALL SELECT doc_id, 'header', 'missing', 2 FROM w
+                UNION ALL SELECT doc_id, 'cell', words[3], 3 FROM w
+                UNION ALL SELECT doc_id, 'cell', words[1], 4 FROM w
+                UNION ALL SELECT doc_id, 'cell', NULL, 5 FROM w
+            )
         """,
         "x_table_summary": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
