@@ -547,6 +547,17 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` — both linear interpolation)."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.95), 4).alias("p95"),
+        F.round(F.max("o_totalprice"), 2).alias("mx"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (latest order at or before each event, per user) via the
     union + running-last window plan — one key shuffle, no range-join
@@ -741,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_join": q_anti_join,
         "q_salted_agg": q_salted_agg,
         "q_skew_join": q_skew_join,
+        "q_percentiles": q_percentiles,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
         "dd_exact": dd_exact,
@@ -1211,6 +1223,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value * len(event_type)), 2) AS weighted_sum,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "q_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+                   round(max(o_totalprice), 2) AS mx
+            FROM orders GROUP BY o_orderpriority
         """,
         "q_asof_join": """
             WITH r AS (
