@@ -105,3 +105,44 @@ def test_php_int_cast():
     assert php_int_cast("1e3") == 1000
     assert php_int_cast("12.9") == 12
     assert php_int_cast("nope") == 0
+
+
+# --- randomized differential fuzz (fast scanner vs stdlib builder) ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_FUZZ_TAGS = [
+    "table", "tr", "td", "th", "thead", "tbody", "tfoot", "caption",
+    "p", "div", "span", "b", "li", "ul", "br", "img", "html", "body",
+]
+_text = st.text(alphabet="ab c&;topmN ", min_size=1, max_size=10)
+_attr_val = st.text(alphabet="xyz 123", min_size=0, max_size=6)
+
+
+@st.composite
+def _token(draw):
+    kind = draw(st.integers(0, 5))
+    tag = draw(st.sampled_from(_FUZZ_TAGS))
+    if kind == 0:
+        return f"<{tag}>"
+    if kind == 1:
+        val = draw(_attr_val)
+        return f'<{tag} class="{val}" data-k={draw(st.integers(0, 9))}>'
+    if kind == 2:
+        return f"</{tag}>"
+    if kind == 3:
+        return draw(_text)
+    if kind == 4:
+        body = draw(st.text(alphabet="abc ", max_size=8))
+        return f"<!-- {body} -->"
+    return f"<{tag}/>"
+
+
+@given(st.lists(_token(), min_size=0, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_differential_fuzz_tag_soup(tokens):
+    """Random tag soup (unbalanced opens/closes, implied closes, comments,
+    entities, void and self-closing elements, skipped structural wrappers):
+    the fast scanner and the stdlib builder must produce identical trees."""
+    assert_same_tree("".join(tokens))
