@@ -314,6 +314,43 @@ def x_media_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: extract → explode media spans →
+    mapInPandas feature extraction over the binary side table → enrich join.
+    The decode stub is deterministic, so the oracle predicts every value."""
+    from html_table_spark.corpus import synthesize_documents
+    from html_table_spark.operators.media import (
+        MEDIA_SCHEMA,
+        enrich_media_spans,
+        extract_media_features,
+        synthesize_media_table,
+    )
+    from html_table_spark.sources.documents import DOCUMENTS_SCHEMA
+
+    docs_rows = synthesize_documents(n_docs=64, seed=13, media_fraction=1.0)
+    docs = spark.createDataFrame(docs_rows, DOCUMENTS_SCHEMA)
+    extracted = extract_tables(docs, ParserConfig().all_tables())
+    refs = sorted(
+        {
+            s["media_ref"]
+            for d in docs_rows
+            for s in d["spans"]
+            if s["kind"] == "media" and s["media_ref"]
+        }
+    )
+    media = spark.createDataFrame(synthesize_media_table(refs), MEDIA_SCHEMA)
+    feats = extract_media_features(media)
+    return enrich_media_spans(extracted, feats).select(
+        "doc_id",
+        F.col("table_idx").cast("int").alias("table_idx"),
+        "media_ref",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # qs_* query-surface verbs (league/csv parity, SURVEY.md §2.9)
 # ---------------------------------------------------------------------------
@@ -733,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_table_summary": x_table_summary,
         "x_fixtures": x_fixtures,
         "x_media_interleave": x_media_interleave,
+        "x_media_features": x_media_features,
         "qs_filter": qs_filter,
         "qs_sorted_slice": qs_sorted_slice,
         "qs_nth": qs_nth,
@@ -847,6 +885,52 @@ def _media_interleave_values_sql() -> str:
         "SELECT doc_id, CAST(table_idx AS INT) AS table_idx, media_ref, "
         "CAST(pos AS INT) AS pos FROM (VALUES " + ", ".join(rows)
         + ") AS t(doc_id, table_idx, media_ref, pos)"
+    )
+
+
+def _media_features_values_sql() -> str:
+    """VALUES oracle for x_media_features: kernel media spans × the
+    deterministic fake decoder, computed driver-side."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.corpus import synthesize_documents
+    from html_table_spark.operators.media import _decode_fake, synthesize_media_table
+    from html_table_spark.semantics import parse_document
+    from html_table_spark.spans import doc_spans_to_html, encode_table_spans
+
+    docs_rows = synthesize_documents(n_docs=64, seed=13, media_fraction=1.0)
+    refs = sorted(
+        {
+            s["media_ref"]
+            for d in docs_rows
+            for s in d["spans"]
+            if s["kind"] == "media" and s["media_ref"]
+        }
+    )
+    feats = {}
+    for m in synthesize_media_table(refs):
+        w, h, n, _ = _decode_fake(m["payload"], m["mime"])
+        feats[m["media_ref"]] = (w, h, n)
+    cfg = ParserConfig().all_tables()
+    rows = []
+    for doc in docs_rows:
+        html = doc_spans_to_html(doc["spans"])
+        for t in parse_document(html, cfg):
+            if t.status != "ok":
+                continue
+            for span in encode_table_spans(t):
+                if span["kind"] == "media":
+                    w, h, n = feats.get(span["media_ref"], (None, None, None))
+                    rows.append(
+                        f"({_sql_lit(doc['doc_id'])}, {t.table_idx}, "
+                        f"{_sql_lit(span['media_ref'])}, {span['offset']}, "
+                        f"{w}, {h}, {n})"
+                    )
+    return (
+        "SELECT doc_id, CAST(table_idx AS INT) AS table_idx, media_ref, "
+        "CAST(pos AS INT) AS pos, CAST(width AS INT) AS width, "
+        "CAST(height AS INT) AS height, CAST(n_frames AS INT) AS n_frames "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(doc_id, table_idx, media_ref, pos, width, height, n_frames)"
     )
 
 
@@ -1384,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
         # the hand-derived PHPUnit goldens) predicts the distributed output
         "x_fixtures": _fixtures_values_sql(),
         "x_media_interleave": _media_interleave_values_sql(),
+        "x_media_features": _media_features_values_sql(),
         # full SQL re-derivations of the sketch-based operators
         "ann_lsh": _ann_lsh_sql(),
         "dd_simhash": _simhash_sql(),
