@@ -56,6 +56,11 @@ CHECKS = {
     "q_anti_join": (["LeftAnti"], ["Python"]),
     "q_salted_agg": (["HashAggregate"], ["Python", "Sort "]),
     "q_skew_join": (["Generate"], ["Python", "BroadcastNestedLoop"]),
+    # as-of join must be the union+window plan, never a range/cross join
+    "q_asof_join": (["Window", "Union"], ["Python", "CartesianProduct", "BroadcastNestedLoop"]),
+    "q_sessionize": (["Window", "HashAggregate"], ["Python", "CartesianProduct"]),
+    "q_percentiles": (["HashAggregate"], ["Python"]),
+    "dd_embed_cosine": (["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoop"]),
 }
 
 
