@@ -358,7 +358,8 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
             continue
         pos = m.end()
         g = m.group
-        name = g(_G_NAME)
+        # one C call fetches the whole start-tag branch (the common case)
+        name, attrs_src, selfclose = g(_G_NAME, _G_ATTRS, _G_SELFCLOSE)
         if name is not None:
             tag = name if name.islower() else name.lower()
             if tag in _STRUCTURAL:
@@ -367,7 +368,6 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
             if close_set:
                 while len(stack) > 1 and stack[-1].tag in close_set:
                     stack.pop()
-            attrs_src = g(_G_ATTRS)
             attrs = (
                 _parse_attrs(attrs_src)
                 if attrs_src and not attrs_src.isspace()
@@ -377,7 +377,7 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
             stack[-1].children.append(node)
             if tag in VOID_ELEMENTS:
                 continue
-            if g(_G_SELFCLOSE):
+            if selfclose:
                 continue  # empty element (XHTML-ish)
             stack.append(node)
             if tag in _RAWTEXT:
