@@ -249,12 +249,16 @@ not 8 task threads enjoying all 32 cores.
 
 Target ≥ 0.8 (BASELINE.json). Efficiency = docs/sec(4N) / (4 × docs/sec(N)).
 
-Caveat on the 8→32 pair: all parallelism levels share ONE memory bus in
-this sandbox. The extraction kernel is allocation-heavy, and a plain
-multiprocessing pool (no Spark at all) saturates the same way above ~16
-workers on this box — the plateau is host memory bandwidth, not engine
-overhead. Real 4N executors bring 4N memory buses, so the lower-count
-pair is the faithful N→4N proxy; both are reported for transparency.
+History note: an earlier revision measured 8→32 efficiency at 0.44 —
+host memory-bandwidth saturation, since all parallelism levels share ONE
+memory bus in this sandbox (a plain multiprocessing pool with no Spark
+saturated identically above ~16 workers). A kernel allocation diet
+(tokenizer rewrite: direct text-slice appends, positional regex groups,
+lazy XPath with early termination, inlined cell fast path — see commit
+history) cut per-doc memory traffic enough that both pairs now clear the
+0.8 target on the shared bus; real 4N executors bring 4N memory buses,
+so these numbers are the conservative end. Run-to-run spread on this
+shared box is a few percent.
 
 The measured job is the full plan: one corpus scan → Arrow extraction
 (mega docs skipped by a length check) → pruned second scan of the mega
@@ -265,9 +269,85 @@ pool warmed, best-of-2). Reproduce with `python bench.py --scaling`.
         )
 
 
+def main_skew() -> None:
+    """Evidence that the mega-doc split+salt plan matters: the same skewed
+    corpus (a few docs carrying thousands of tables) extracted (a) naively —
+    every doc parsed whole wherever it lands, so one task pins the stage —
+    and (b) with the two-pass split plan. Writes BENCH/SKEW.md."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.corpus import synthesize_documents, write_corpus_dir
+    from html_table_spark.operators.extract import extract_tables
+    from html_table_spark.plans.pipeline import plan_extraction
+
+    path = "/tmp/spark_graft_bench/skew_corpus_4k_1x32000"
+    if not os.path.exists(path):
+        rows = synthesize_documents(
+            n_docs=4000, seed=7, mega_docs=1, mega_tables=32000
+        )
+        write_corpus_dir(rows, path, n_shards=64)
+    spark = _get_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(path)
+    config = ParserConfig().all_tables()
+
+    def timed(df) -> tuple[float, int]:
+        df.filter("table_idx >= 0").count()  # warm workers
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.monotonic()
+            n = df.filter("table_idx >= 0").count()
+            best = min(best, time.monotonic() - t0)
+        return best, n
+
+    naive_wall, naive_n = timed(
+        extract_tables(docs, config, spread_small_inputs=False)
+    )
+    planned_wall, planned_n = timed(plan_extraction(docs, config))
+    assert naive_n == planned_n, (naive_n, planned_n)
+    speedup = round(naive_wall / planned_wall, 2)
+    report = {
+        "metric": "skew_split_speedup",
+        "value": speedup,
+        "unit": "x",
+        "queries": {
+            "naive_wall_sec": round(naive_wall, 3),
+            "split_salted_wall_sec": round(planned_wall, 3),
+            "tables": planned_n,
+        },
+        "sf": "skew-4k+1x32000",
+    }
+    print(json.dumps(report))
+    with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as fh:
+        fh.write(
+            f"""# BENCH — mega-document skew handling
+
+Corpus: 4000 normal docs + ONE mega-doc of 32000 tables (seed 7),
+local[{CPUS}]. The mega doc is ~32000 of {planned_n} tables but pins the naive stage:
+the one task that receives it parses it whole while the other
+{CPUS - 1} cores idle.
+
+| plan | wall (s) |
+|---|---|
+| naive (whole-doc everywhere, no split) | {naive_wall:.3f} |
+| two-pass split + salted chunk shuffle (plans/pipeline.py) | {planned_wall:.3f} |
+
+**Speedup {speedup}×** with identical output ({planned_n} tables both
+ways — asserted). This is the north rule's skew case: AQE cannot split a
+skewed *UDF* stage, so the plan does it explicitly — pass 1 skips docs
+over the cost threshold via a length check, a pruned second scan
+boundary-splits only the mega tail into chunk rows, and a salted
+repartition spreads one doc's chunks across the cluster.
+Reproduce with `python bench.py --skew`.
+"""
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
+    elif "--skew" in sys.argv:
+        main_skew()
     elif "--extract-only" in sys.argv:
         cores = 8
         for arg in sys.argv:
