@@ -106,11 +106,15 @@ def plan_extraction(
         return extract_tables(source, config, spread_small_inputs=False)
 
     # Pass 1 — the bulk: normal docs extracted on scan partitions; docs over
-    # the cost threshold are skipped with a length check (they never pin a
-    # pass-1 task). No cache, no materialization: pass 1 output flows
-    # straight to the consumer/sink.
+    # the cost threshold are filtered out JVM-SIDE (F.aggregate over span
+    # lengths), so mega-doc bytes never cross the Arrow boundary just to be
+    # skipped — they'd otherwise be reassembled in Python before the length
+    # check. No cache, no materialization: pass 1 output flows straight to
+    # the consumer/sink. The in-UDF skip policy remains as a belt-and-braces
+    # guard for docs whose cost the aggregate under-counts.
+    costed = with_doc_cost(source)
     normal_out = extract_tables(
-        source,
+        costed.filter(F.col("doc_cost") <= mega_cost_threshold).drop("doc_cost"),
         config,
         mega_cost_threshold=mega_cost_threshold,
         tables_per_chunk=tables_per_chunk,
@@ -123,11 +127,7 @@ def plan_extraction(
     # spread across the cluster, then extracted with global table ordinals.
     # The shuffle here moves mega-doc bytes only — there is NO full-corpus
     # shuffle anywhere in the plan.
-    mega = (
-        with_doc_cost(source)
-        .filter(F.col("doc_cost") > mega_cost_threshold)
-        .drop("doc_cost")
-    )
+    mega = costed.filter(F.col("doc_cost") > mega_cost_threshold).drop("doc_cost")
     chunks = extract_tables(
         mega,
         config,
