@@ -258,7 +258,9 @@ lazy XPath with early termination, inlined cell fast path — see commit
 history) cut per-doc memory traffic enough that both pairs now clear the
 0.8 target on the shared bus; real 4N executors bring 4N memory buses,
 so these numbers are the conservative end. Run-to-run spread on this
-shared box is a few percent.
+shared box is real: across repeated full runs the pairs measure in the
+0.85-1.1 range — values above 1.0 are background-load noise penalizing
+the slower low-core runs, not true superlinearity.
 
 The measured job is the full plan: one corpus scan → Arrow extraction
 (mega docs skipped by a length check) → pruned second scan of the mega
