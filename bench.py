@@ -262,10 +262,11 @@ shared box is real: across repeated full runs the pairs measure in the
 0.85-1.1 range — values above 1.0 are background-load noise penalizing
 the slower low-core runs, not true superlinearity.
 
-The measured job is the full plan: one corpus scan → Arrow extraction
-(mega docs skipped by a length check) → pruned second scan of the mega
-tail → boundary-scan chunking → salted chunk shuffle → second extraction
-pass with global table ordinals → union → count. Steady-state (worker
+The measured job is the full plan: one corpus scan → JVM-side cost
+filter (mega-doc bytes never cross Arrow in pass 1) → Arrow extraction →
+second scan pruned to the mega tail → boundary-scan chunking → salted
+chunk shuffle → second extraction pass with global table ordinals →
+union → count. Steady-state (worker
 pool warmed, best-of-2). Reproduce with `python bench.py --scaling`.
 """
         )
