@@ -298,6 +298,21 @@ _ATTR_RE = re.compile(
 
 _RAWTEXT = frozenset({"script", "style"})
 
+# one-lookup dispatch table for known tags: (close_set|None, skip, void,
+# rawtext). Unknown tags (custom elements) fall back to the default tuple.
+_TAG_INFO: dict[str, tuple[frozenset | None, bool, bool, bool]] = {}
+for _t in (
+    set(CLOSE_BEFORE) | VOID_ELEMENTS | _STRUCTURAL | _RAWTEXT
+    | {"a", "span", "b", "i", "u", "em", "strong", "td", "th", "tr", "table"}
+):
+    _TAG_INFO[_t] = (
+        CLOSE_BEFORE.get(_t),
+        _t in _STRUCTURAL,
+        _t in VOID_ELEMENTS,
+        _t in _RAWTEXT,
+    )
+_TAG_INFO_DEFAULT: tuple = (None, False, False, False)
+
 
 def _parse_attrs(attrs_src: str) -> dict[str, str]:
     out: dict[str, str] = {}
@@ -362,9 +377,9 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
         name, attrs_src, selfclose = g(_G_NAME, _G_ATTRS, _G_SELFCLOSE)
         if name is not None:
             tag = name if name.islower() else name.lower()
-            if tag in _STRUCTURAL:
+            close_set, skip, void, rawtext = _TAG_INFO.get(tag, _TAG_INFO_DEFAULT)
+            if skip:
                 continue
-            close_set = CLOSE_BEFORE.get(tag)
             if close_set:
                 while len(stack) > 1 and stack[-1].tag in close_set:
                     stack.pop()
@@ -375,12 +390,12 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
             )
             node = Node(ELEMENT, tag=tag, attrs=attrs)
             stack[-1].children.append(node)
-            if tag in VOID_ELEMENTS:
+            if void:
                 continue
             if selfclose:
                 continue  # empty element (XHTML-ish)
             stack.append(node)
-            if tag in _RAWTEXT:
+            if rawtext:
                 # raw-text content: scan for the literal end tag
                 end = html.lower().find(f"</{tag}", pos)
                 if end == -1:
