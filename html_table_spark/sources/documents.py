@@ -37,6 +37,10 @@ DOCUMENTS_SCHEMA = T.StructType(
     ]
 )
 
+SPAN_ARRAY_DDL = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
 EXTRACTED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), nullable=False),
@@ -72,13 +76,43 @@ LINEAGE_SCHEMA = T.StructType(
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
     """Scan the corpus. Parquet (or Iceberg via ``iceberg://table`` ref).
 
+    Adapts to either corpus shape without a forced schema (a strict schema
+    fails at executor read time on type mismatches):
+
+    - interleaved span streams ``(doc_id, spans)`` — the canonical input;
+    - plain text tables ``(doc_id, text)`` — wrapped as one text span per
+      doc, so any (id, html) table is directly extractable.
+
     Column pruning/predicate pushdown come free from Catalyst as long as
     callers select only what they need — the extraction pipeline reads
     exactly (doc_id, spans).
     """
+    from pyspark.sql import functions as F
+
     if path.startswith("iceberg://"):
-        return spark.read.format("iceberg").load(path[len("iceberg://"):])
-    return spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
+        df = spark.read.format("iceberg").load(path[len("iceberg://"):])
+    else:
+        df = spark.read.parquet(path)
+    if "spans" in df.columns:
+        return df.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("spans").cast(SPAN_ARRAY_DDL).alias("spans"),
+        )
+    if "text" in df.columns:
+        return df.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.col("text").cast("string").alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("spans"),
+        )
+    raise ValueError(
+        f"corpus at {path} has neither a 'spans' nor a 'text' column: {df.columns}"
+    )
 
 
 def empty_extracted(spark: SparkSession) -> DataFrame:
