@@ -314,6 +314,26 @@ def x_media_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference error semantics as data, not exceptions (SURVEY.md §2.1):
+    even docs get a table, odd docs only prose — the odd half must surface
+    status='error' with the reference's exact message (Parser.php:370-373),
+    SQL-predicted per doc."""
+    even = F.col("doc_id") % 2 == 0  # doc_id is integral in the testdata
+    w0 = F.element_at(_W(), 1)
+    html = F.when(
+        even, F.concat(F.lit("<table><tr><td>"), w0, F.lit("</td></tr></table>"))
+    ).otherwise(F.concat(F.lit("<p>"), w0, F.lit("</p>")))
+    corpus = _docs_as_corpus(spark, sf_dir, html)
+    out = extract_tables(corpus, ParserConfig())
+    return out.select(
+        "doc_id",
+        "status",
+        "error_msg",
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+    )
+
+
 def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: extract → explode media spans →
     mapInPandas feature extraction over the binary side table → enrich join.
@@ -768,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_user_header": x_user_header,
         "x_header_rows": x_header_rows,
         "x_table_summary": x_table_summary,
+        "x_errors": x_errors,
         "x_fixtures": x_fixtures,
         "x_media_interleave": x_media_interleave,
         "x_media_features": x_media_features,
@@ -1177,6 +1198,15 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT doc_id, 'cell', words[1], 4 FROM w
                 UNION ALL SELECT doc_id, 'cell', NULL, 5 FROM w
             )
+        """,
+        "x_errors": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN even THEN 'ok' ELSE 'error' END AS status,
+                   CASE WHEN even THEN NULL
+                        ELSE 'The HTML table could not be found in the submitted html.'
+                   END AS error_msg,
+                   CAST(CASE WHEN even THEN 1 ELSE 0 END AS BIGINT) AS n_cells
+            FROM (SELECT doc_id, doc_id % 2 = 0 AS even FROM documents)
         """,
         "x_table_summary": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
