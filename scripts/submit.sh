@@ -1,11 +1,25 @@
 #!/usr/bin/env bash
 # Package the engine and run the extraction job via spark-submit --py-files.
-# Usage: scripts/submit.sh <input> <output> [extra spark-submit args...]
+# Usage: scripts/submit.sh <input> <output> [spark-submit args...] [-- job args...]
+#   e.g. scripts/submit.sh in.parquet out/ --conf spark.ui.enabled=false -- --mode single --no-resume
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 INPUT="${1:?input corpus path}"
 OUTPUT="${2:?output sink root}"
 shift 2 || true
+
+SUBMIT_ARGS=()
+JOB_ARGS=()
+seen_sep=0
+for arg in "$@"; do
+    if [[ "$arg" == "--" && $seen_sep -eq 0 ]]; then
+        seen_sep=1
+    elif [[ $seen_sep -eq 0 ]]; then
+        SUBMIT_ARGS+=("$arg")
+    else
+        JOB_ARGS+=("$arg")
+    fi
+done
 
 ZIP="$(mktemp -d)/html_table_spark.zip"
 (cd "$REPO" && python3 - "$ZIP" <<'EOF'
@@ -26,6 +40,6 @@ EOF
 exec spark-submit \
     --master "${SPARK_MASTER:-local[${SPARK_GRAFT_CPUS:-32}]}" \
     --py-files "$ZIP" \
-    "$@" \
+    "${SUBMIT_ARGS[@]}" \
     "$REPO/html_table_spark/plans/job.py" \
-    --input "$INPUT" --output "$OUTPUT"
+    --input "$INPUT" --output "$OUTPUT" "${JOB_ARGS[@]}"
