@@ -282,8 +282,9 @@ def x_user_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference PHPUnit fixture corpus through the distributed path
-    (rows-only check; exact values are pinned by pytest goldens)."""
+    """The reference PHPUnit fixture corpus through the distributed path,
+    value-checked against a VALUES oracle computed by the pure-Python
+    kernel (which the pytest goldens pin) — see _fixtures_values_sql."""
     from html_table_spark.corpus import fixture_documents
     from html_table_spark.sources.documents import DOCUMENTS_SCHEMA
 
@@ -298,7 +299,8 @@ def x_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_media_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media spans interleaved after their containing cell (graft extension,
-    FIXTURES.md F13; rows-only — media semantics pinned by pytest)."""
+    FIXTURES.md F13), value-checked against a kernel-computed VALUES
+    oracle — see _media_interleave_values_sql."""
     from html_table_spark.corpus import synthesize_documents
     from html_table_spark.sources.documents import DOCUMENTS_SCHEMA
 
@@ -909,6 +911,19 @@ def _media_interleave_values_sql() -> str:
     )
 
 
+def _vec_lit(p: list[float]) -> str:
+    """DuckDB DOUBLE[] literal with full repr precision (matches F.lit)."""
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+
+def _bucket_expr_sql(col: str, planes: list[list[float]]) -> str:
+    """SQL twin of similarity.signature_bits for one hyperplane table."""
+    return "(" + " + ".join(
+        f"(CASE WHEN list_dot_product({col}, {_vec_lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ) + ")"
+
+
 def _media_features_values_sql() -> str:
     """VALUES oracle for x_media_features: kernel media spans × the
     deterministic fake decoder, computed driver-side."""
@@ -961,18 +976,9 @@ def _ann_lsh_sql(n_tables: int = 4, planes_per_table: int = 8, seed: int = 42,
     multi-table probe (same bucket as the query in ANY table), exact rescore."""
     from html_table_spark.operators.similarity import hyperplanes
 
-    def vec_lit(p):
-        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
-
-    def bucket_expr(col: str, planes) -> str:
-        return "(" + " + ".join(
-            f"(CASE WHEN list_dot_product({col}, {vec_lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        ) + ")"
-
     tables = [hyperplanes(dim, planes_per_table, seed + 1000 * t) for t in range(n_tables)]
-    e_buckets = ", ".join(f"{bucket_expr('e.v', p)} AS b_{t}" for t, p in enumerate(tables))
-    q_buckets = ", ".join(f"{bucket_expr('q.v', p)} AS qb_{t}" for t, p in enumerate(tables))
+    e_buckets = ", ".join(f"{_bucket_expr_sql('e.v', p)} AS b_{t}" for t, p in enumerate(tables))
+    q_buckets = ", ".join(f"{_bucket_expr_sql('q.v', p)} AS qb_{t}" for t, p in enumerate(tables))
     collide = " OR ".join(f"b.b_{t} = qb.qb_{t}" for t in range(n_tables))
     return f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1047,17 +1053,10 @@ def _embed_near_dup_sql(threshold: float = 0.85, n_tables: int = 8,
     the same hyperplane literals as the Spark LSH blocking."""
     from html_table_spark.operators.similarity import hyperplanes
 
-    def vec_lit(p: list[float]) -> str:
-        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
-
     bucket_exprs = []
     for t in range(n_tables):
         planes = hyperplanes(dim, planes_per_table, seed + 1000 * t)
-        bits = " + ".join(
-            f"(CASE WHEN list_dot_product(v, {vec_lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
-        bucket_exprs.append(f"({bits}) AS b_{t}")
+        bucket_exprs.append(f"{_bucket_expr_sql('v', planes)} AS b_{t}")
     same_bucket = " OR ".join(f"a.b_{t} = c.b_{t}" for t in range(n_tables))
     return f"""
         WITH base AS (

@@ -297,6 +297,7 @@ _ATTR_RE = re.compile(
 )
 
 _RAWTEXT = frozenset({"script", "style"})
+_RAWTEXT_END = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _RAWTEXT}
 
 # one-lookup dispatch table for known tags: (close_set|None, skip, void,
 # rawtext). Unknown tags (custom elements) fall back to the default tuple.
@@ -396,10 +397,11 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
                 continue  # empty element (XHTML-ish)
             stack.append(node)
             if rawtext:
-                # raw-text content: scan for the literal end tag
-                end = html.lower().find(f"</{tag}", pos)
-                if end == -1:
-                    end = n
+                # raw-text content: case-insensitive search for the end tag
+                # from pos (lowercasing the whole document per script/style
+                # element would be O(k·n) allocation)
+                m_end = _RAWTEXT_END[tag].search(html, pos)
+                end = m_end.start() if m_end else n
                 if end > pos:
                     node.children.append(Node(TEXT, data=html[pos:end]))
                 gt = find(">", end)

@@ -62,14 +62,8 @@ def distinct_by_content(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 # -- MinHash + LSH ----------------------------------------------------------
 
-def _mh(shingle_array: Column, seed: int) -> Column:
-    """One MinHash component: min over md5(shingle || '#seed'). String-min
-    over hex digests == min over the 128-bit integers (fixed width)."""
-    return F.array_min(
-        F.transform(shingle_array, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
-    )
-
-
+# MinHash component i = min over md5(shingle || '#i'). String-min over hex
+# digests == min over the 128-bit integers (fixed width).
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -79,27 +73,43 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) — all JVM-side array expressions.
 
-    Two materialization points, both load-bearing:
-
-    - the shingle ARRAY is cached before the k mh_i projections. Catalyst's
-      CollapseProject would otherwise inline the split/slice/concat shingle
-      construction into every mh_i — and higher-order array functions are
-      interpreted, not codegen'd, so that's a real k× recompute (measured
-      ~4× on the sf0.1 corpus). At 10^12-doc scale the equivalent is
-      writing the signature table out once and reading it back.
-    - the signatures are cached because the LSH self-join reads them twice.
+    The whole signature is ONE array column built in a single pass
+    (per-shingle digest arrays → element-wise running min via
+    aggregate/zip_with), then cached and split into k scalar columns.
+    One expression → the shingle construction appears once in the plan
+    (computing k separate mh_i columns would let Catalyst's CollapseProject
+    inline the split/slice/concat shingling into every one — higher-order
+    functions are interpreted, not codegen'd, so that's a real k×
+    recompute); one cache → the LSH self-join reads the tiny signatures
+    twice without recomputing, and nothing larger stays pinned in executor
+    storage. At 10^12-doc scale the cache becomes writing the signature
+    table out once and reading it back.
     """
     from .util import ensure_parallelism
 
-    sh = shingles(F.col(text_col), shingle_n).alias("_sh")
-    base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), sh
-    ).cache()
-    out = base.select(
-        id_col,
-        *[_mh(F.col("_sh"), i).alias(f"mh_{i}") for i in range(num_hashes)],
+    sh = shingles(F.col(text_col), shingle_n)
+    digests = F.transform(
+        sh,
+        lambda s: F.array(
+            *[F.md5(F.concat(s, F.lit(f"#{i}"))) for i in range(num_hashes)]
+        ),
     )
-    return out.cache()
+    # 'g' sorts after every hex digit — a safe identity for string-min
+    sig = F.aggregate(
+        digests,
+        F.array_repeat(F.lit("g" * 32), num_hashes),
+        lambda acc, d: F.zip_with(acc, d, lambda a, b: F.least(a, b)),
+    )
+    cached = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), sig.alias("_sig")
+    ).cache()
+    return cached.select(
+        id_col,
+        *[
+            F.element_at("_sig", i + 1).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def lsh_candidate_pairs(

@@ -102,12 +102,22 @@ def as_of_join(
     """
     from pyspark.sql.window import Window
 
+    # payload travels inside ONE struct that is non-null on every right row
+    # (even when all payload VALUES are null), so last(ignorenulls) tracks
+    # "was there a right row" — a genuine NULL payload value at the true
+    # as-of match is returned as NULL instead of falling back to an older
+    # non-null value.
+    rtypes = dict(right.dtypes)
+    payload_struct = F.struct(*[F.col(c) for c in payload])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in payload) + ">"
+    )
     lcols = [c for c in left.columns]
     l = left.select(
         *lcols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload],
+        null_struct.alias("_p"),
     )
     r = right.select(
         *[
@@ -118,7 +128,7 @@ def as_of_join(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *payload,
+        payload_struct.alias("_p"),
     )
     u = l.unionByName(r)
     # right rows sort before left rows at equal ts → inclusive (<=) semantics
@@ -130,14 +140,12 @@ def as_of_join(
     filled = u.select(
         *lcols,
         "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("_p", ignorenulls=True).over(w).alias("_p"),
     )
-    out = filled.filter(F.col("_side") == 1).drop("_side")
-    cond = None
-    for c in payload:
-        c_ok = F.col(c).isNotNull()
-        cond = c_ok if cond is None else (cond | c_ok)
-    return out.filter(cond)
+    return (
+        filled.filter((F.col("_side") == 1) & F.col("_p").isNotNull())
+        .select(*lcols, *[F.col(f"_p.{c}").alias(c) for c in payload])
+    )
 
 
 def sessionize(

@@ -94,9 +94,20 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     if "spans" in df.columns:
+        # rebuild the span struct BY FIELD NAME: a DDL cast matches struct
+        # fields positionally, so a corpus with the same fields in a
+        # different order would be silently mis-mapped
         return df.select(
             F.col("doc_id").cast("string").alias("doc_id"),
-            F.col("spans").cast(SPAN_ARRAY_DDL).alias("spans"),
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["kind"].cast("string").alias("kind"),
+                    s["text"].cast("string").alias("text"),
+                    s["media_ref"].cast("string").alias("media_ref"),
+                    s["offset"].cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
         )
     if "text" in df.columns:
         return df.select(

@@ -40,6 +40,6 @@ EOF
 exec spark-submit \
     --master "${SPARK_MASTER:-local[${SPARK_GRAFT_CPUS:-32}]}" \
     --py-files "$ZIP" \
-    "${SUBMIT_ARGS[@]}" \
+    ${SUBMIT_ARGS[@]+"${SUBMIT_ARGS[@]}"} \
     "$REPO/html_table_spark/plans/job.py" \
-    --input "$INPUT" --output "$OUTPUT" "${JOB_ARGS[@]}"
+    --input "$INPUT" --output "$OUTPUT" ${JOB_ARGS[@]+"${JOB_ARGS[@]}"}

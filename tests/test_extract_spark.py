@@ -160,3 +160,35 @@ def test_documents_from_html_strings(spark):
     docs = documents_from_html(spark, ["<table><tr><td>v</td></tr></table>"], ["d1"])
     row = extract_tables(docs, ParserConfig()).first()
     assert row.doc_id == "d1" and row.n_rows == 1
+
+
+def test_read_documents_reordered_span_fields(spark, tmp_path):
+    """A corpus whose span struct carries the same fields in a different
+    order must map by NAME, not position (a DDL cast would silently put
+    offsets into media_ref)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_table_spark.sources.documents import read_documents
+
+    schema = pa.schema([
+        ("doc_id", pa.int64()),
+        ("spans", pa.list_(pa.struct([
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("offset", pa.int32()),      # offset BEFORE media_ref
+            ("media_ref", pa.string()),
+        ]))),
+    ])
+    rows = [{"doc_id": 7, "spans": [
+        {"kind": "text", "text": "<table><tr><td>x</td></tr></table>",
+         "offset": 0, "media_ref": None},
+        {"kind": "media", "text": "", "offset": 1, "media_ref": "M9"},
+    ]}]
+    p = str(tmp_path / "reordered.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), p)
+    got = read_documents(spark, p).collect()
+    assert got[0].doc_id == "7"
+    spans = got[0].spans
+    assert spans[0].offset == 0 and spans[0].media_ref is None
+    assert spans[1].media_ref == "M9" and spans[1].offset == 1

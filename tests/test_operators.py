@@ -391,3 +391,19 @@ def test_sessionize_gap_boundaries(spark):
     # gaps: 29 (same), 31 (new), 30 (same — strictly greater starts new),
     # 31 (new)
     assert out == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3}
+
+
+def test_as_of_join_null_payload_at_true_match(spark):
+    """A genuine NULL payload value at the as-of match must be returned as
+    NULL, not replaced by an older non-null value."""
+    import datetime as dt
+
+    from html_table_spark.operators.relational import as_of_join
+
+    T = lambda h: dt.datetime(2026, 1, 1, h)
+    left = spark.createDataFrame([Row(eid=1, k="u", lts=T(10))])
+    right = spark.createDataFrame(
+        [Row(k="u", rts=T(1), val="old"), Row(k="u", rts=T(5), val=None)]
+    )
+    out = as_of_join(left, right, "k", "lts", "rts", ["val"]).collect()
+    assert len(out) == 1 and out[0].val is None
