@@ -735,6 +735,34 @@ def tx_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language ID: per-language character-trigram profile overlap,
+    argmax with deterministic tie-break — JVM array expressions only."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.lang_id_ngram("text").alias("lang"),
+        F.size(
+            F.array_intersect(
+                tx.char_trigrams("text"),
+                F.array(*[F.lit(g) for g in sorted(set(tx.LANG_TRIGRAMS["en"]))]),
+            )
+        ).cast("bigint").alias("en_hits"),
+    )
+
+
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction, most-
+    common-token fraction, duplicate word-trigram fraction."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(tx.dup_token_ratio("text"), 4).alias("dup_tok"),
+        F.round(tx.top_token_ratio("text"), 4).alias("top_tok"),
+        F.round(tx.dup_shingle_ratio("text", 3), 4).alias("dup_3gram"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # ann_* similarity search
 # ---------------------------------------------------------------------------
@@ -825,6 +853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_stats": tx_stats,
         "tx_quality": tx_quality,
         "tx_tokens": tx_tokens,
+        "tx_langid": tx_langid,
+        "tx_repetition": tx_repetition,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1091,6 +1121,46 @@ _SECOND_TABLE_SQL = """
            CAST(generate_subscripts((string_split(text, ' '))[2:], 1) - 1 AS INT) AS pos
     FROM documents
 """
+
+
+def _langid_sql() -> str:
+    """DuckDB twin of tx_langid: same trigram profiles, same fold-order
+    argmax with alphabetical-first tie-break."""
+    from html_table_spark.functions.text import LANG_TRIGRAMS
+
+    def profile_lit(lang: str) -> str:
+        grams = sorted(set(LANG_TRIGRAMS[lang]))
+        return "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in grams) + "]"
+
+    langs = sorted(LANG_TRIGRAMS)
+    scores = ", ".join(
+        f"len(list_intersect(grams, {profile_lit(lang)})) AS s_{lang}"
+        for lang in langs
+    )
+    # replicate the Spark fold: start at langs[0], keep strict improvements
+    best_s, best_l = f"s_{langs[0]}", f"'{langs[0]}'"
+    for lang in langs[1:]:
+        best_l = f"CASE WHEN s_{lang} > ({best_s}) THEN '{lang}' ELSE ({best_l}) END"
+        best_s = f"CASE WHEN s_{lang} > ({best_s}) THEN s_{lang} ELSE ({best_s}) END"
+    return f"""
+        WITH g AS (
+            SELECT doc_id,
+                   ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS t
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(length(t) - 2, 1)),
+                       i -> substr(t, i, 3))) AS grams
+            FROM g
+        ),
+        s AS (SELECT doc_id, grams, {scores} FROM tri)
+        SELECT doc_id,
+               CASE WHEN ({best_s}) > 0 THEN ({best_l}) ELSE 'unk' END AS lang,
+               CAST(s_en AS BIGINT) AS en_hits
+        FROM s
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1482,6 +1552,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sr, 4) AS stop_ratio,
                    round(pr, 4) AS punct_ratio
             FROM m
+        """,
+        "tx_langid": _langid_sql(),
+        "tx_repetition": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       {_SHINGLES_SQL} AS sh
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+                         END, 4) AS dup_tok,
+                   round(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE list_max(list_transform(list_distinct(toks),
+                                  x -> len(list_filter(toks, y -> y = x)))) * 1.0
+                              / len(toks)
+                         END, 4) AS top_tok,
+                   round(CASE WHEN len(sh) = 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(sh)) * 1.0 / len(sh)
+                         END, 4) AS dup_3gram
+            FROM t
         """,
         "ann_topk": """
             SELECT e.vec_id,

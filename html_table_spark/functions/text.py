@@ -90,6 +90,57 @@ def fingerprint(text) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), _WS, " ")))
 
 
+# Character-trigram profiles for the n-gram language-ID heuristic: the
+# highest-frequency trigrams (with word-boundary markers folded to spaces)
+# of each language, from public letter/trigram frequency tables. Small on
+# purpose — the operator pattern (profile overlap + argmax) is what a real
+# model slots into; profiles are plain data.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of",
+           "of ", " to", "to ", "ed ", " in", "ion", "on ", "ent", "er "),
+    "fr": (" de", "de ", " le", "le ", "es ", "ent", "nt ", " la", "la ",
+           "ion", "et ", " et", "que", " qu", "ue ", "les", " pa", "re "),
+    "de": ("er ", "en ", " de", "der", "ie ", " di", "die", "sch", "ein",
+           "che", "ich", "nde", "ter", "und", " un", "nd ", " ei", "ch "),
+    "es": (" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ent",
+           "es ", "ión", " en", "en ", "ado", "que", " qu", "ue ", "ar "),
+}
+
+
+def char_trigrams(text) -> Column:
+    """Distinct character trigrams of the lowercased, whitespace-folded
+    text (leading/trailing boundary spaces added)."""
+    t = F.concat(F.lit(" "), F.regexp_replace(F.lower(text), _WS, " "), F.lit(" "))
+    k = F.length(t) - 2
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.substring(t, i, 3),
+    )
+    return F.array_distinct(grams)
+
+
+def lang_id_ngram(text) -> Column:
+    """N-gram language ID: score = |doc trigrams ∩ language profile| per
+    language; argmax wins (ties → alphabetical; all-zero → 'unk'). Pure JVM
+    array expressions with an exact SQL twin."""
+    grams = char_trigrams(text)
+    entries = []
+    for lang in sorted(LANG_TRIGRAMS):
+        profile = F.array(*[F.lit(g) for g in sorted(set(LANG_TRIGRAMS[lang]))])
+        score = F.size(F.array_intersect(grams, profile))
+        # argmax by (score, reverse-alphabetical tiebreak): array_max picks
+        # the highest score; on ties the LAST struct field comparison picks
+        # the maximal negated name → alphabetically first language
+        entries.append(F.struct(score.alias("s"), F.lit(lang).alias("lang")))
+    # tie-break must be deterministic and SQL-replicable: compare (s, lang)
+    # and prefer the alphabetically FIRST language on equal scores by
+    # scanning in order and keeping strict improvements only
+    best = entries[0]
+    for e in entries[1:]:
+        best = F.when(e["s"] > best["s"], e).otherwise(best)
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("unk"))
+
+
 # BPE-ish pre-tokenization: alphanumeric runs or single non-space symbols —
 # the split a byte-pair encoder sees before merges. RE2 (DuckDB) and Java
 # regex (Spark) agree on this character-class-only pattern.
@@ -108,6 +159,40 @@ def bpe_token_count(text) -> Column:
 def alpha_token_count(text) -> Column:
     """Purely alphabetic tokens — the cheap signal for prose-vs-markup."""
     return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+"), 0))
+
+
+def dup_token_ratio(text) -> Column:
+    """Fraction of tokens that are repeats of an earlier token (Gopher-style
+    repetition signal): 1 - distinct/total."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(toks)).cast("double") / n
+    )
+
+
+def top_token_ratio(text) -> Column:
+    """Frequency of the most common token over total tokens — high values
+    flag degenerate/repetitive documents."""
+    toks = tokens(text)
+    n = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(top.cast("double") / n)
+
+
+def dup_shingle_ratio(text, n: int = 3) -> Column:
+    """Fraction of word n-grams that are duplicates — the classic duplicate
+    n-gram repetition filter."""
+    sh = shingles(text, n)
+    total = F.size(sh)
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(sh)).cast("double") / total
+    )
 
 
 def shingles(text, n: int = 3) -> Column:

@@ -407,3 +407,28 @@ def test_as_of_join_null_payload_at_true_match(spark):
     )
     out = as_of_join(left, right, "k", "lts", "rts", ["val"]).collect()
     assert len(out) == 1 and out[0].val is None
+
+
+def test_lang_id_ngram_and_repetition(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id="en", text="the cat and the dog went to the house of things"),
+            Row(doc_id="de", text="der hund und die katze sind schon in der schule"),
+            Row(doc_id="rep", text="spam spam spam spam ham"),
+            Row(doc_id="empty", text=""),
+        ]
+    )
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            tx.lang_id_ngram("text").alias("lang"),
+            tx.dup_token_ratio("text").alias("dup"),
+            tx.top_token_ratio("text").alias("top"),
+        ).collect()
+    }
+    assert got["en"].lang == "en"
+    assert got["de"].lang == "de"
+    assert got["rep"].dup == pytest.approx(3 / 5)   # 5 tokens, 2 distinct
+    assert got["rep"].top == pytest.approx(4 / 5)   # 'spam' ×4
+    assert got["empty"].dup == 0.0 and got["empty"].top == 0.0
