@@ -694,7 +694,7 @@ def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     twins = similarity.with_perturbed_twins(emb, id_offset=100000, delta=0.5)
     return similarity.embedding_near_dup_pairs(
-        twins, threshold=0.85, n_tables=8, planes_per_table=4, seed=7
+        twins, threshold=0.85, n_tables=8, planes_per_table=8, seed=7
     )
 
 
@@ -1077,7 +1077,7 @@ def _simhash_sql(max_hamming: int = 16, prefix_bits: int = 8) -> str:
 
 
 def _embed_near_dup_sql(threshold: float = 0.85, n_tables: int = 8,
-                        planes_per_table: int = 4, seed: int = 7,
+                        planes_per_table: int = 8, seed: int = 7,
                         dim: int = 64) -> str:
     """DuckDB twin of dd_embed_cosine: same perturbed-twin construction and
     the same hyperplane literals as the Spark LSH blocking."""

@@ -52,11 +52,15 @@ HEADLINE = [
     "q3_shipping",
     "q_top_customers_window",
     "q_events_hourly",
+    "q_asof_join",
+    "q_sessionize",
     "dd_lsh_pairs",
     "dd_jaccard",
     "dd_simhash",
+    "dd_embed_cosine",
     "tx_stats",
     "ann_topk",
+    "ann_ivf",
 ]
 
 
