@@ -194,6 +194,39 @@ def ivf_centroids(
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
+def ivf_train(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd refinement of the deterministic seed centroids:
+    assign → per-cluster mean (posexplode + groupBy, all JVM) → repeat.
+    Each iteration is one assignment pass + one aggregation shuffle of
+    (centroid_id, dim) partial sums — never vectors to the driver; only the
+    k refined centroids are collected per iteration (index-build constant).
+    Deterministic: seed = ivf_centroids, no randomness anywhere."""
+    cents = ivf_centroids(embeddings, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+        means = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+            )
+            .groupBy("centroid_id", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("dims"))
+            .collect()
+        )
+        new = {int(r.centroid_id): [d.m for d in r.dims] for r in means}
+        # empty clusters keep their previous centroid
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
