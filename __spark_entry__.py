@@ -763,6 +763,23 @@ def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data quality gate: keep documents that pass
+    quality, repetition, and language thresholds — the filter chain every
+    corpus pipeline runs before tokenization (one scan, pure codegen-able
+    predicates plus the array-expression scores)."""
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        tx.quality_score("text").alias("q"),
+        F.round(tx.dup_token_ratio("text"), 4).alias("dup"),
+        tx.lang_id_ngram("text").alias("lang"),
+    )
+    return scored.filter(
+        (F.col("q") >= 0.5) & (F.col("dup") <= 0.4) & (F.col("lang") == "en")
+    )
+
+
 # ---------------------------------------------------------------------------
 # ann_* similarity search
 # ---------------------------------------------------------------------------
@@ -855,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_tokens": tx_tokens,
         "tx_langid": tx_langid,
         "tx_repetition": tx_repetition,
+        "tx_filter": tx_filter,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1164,6 +1182,7 @@ def _langid_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # (built as a dict so composite oracles below can reference the parts)
     mh8 = ",\n            ".join(f"{_mh_sql(i)} AS mh_{i}" for i in range(8))
     band_keys = "\n            UNION ALL\n            ".join(
         f"SELECT doc_id, {b} AS band_idx, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sigs"
@@ -1184,7 +1203,7 @@ def oracle_sql() -> dict[str, str]:
              AND l.doc_id < r.doc_id
         )
     """
-    return {
+    oracles = {
         "x_cells": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    unnest(string_split(text, ' ')) AS cell_text,
@@ -1594,3 +1613,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(),
         "dd_simhash": _simhash_sql(),
     }
+    # the composed quality gate reuses the three sub-oracles verbatim, so
+    # the filter semantics can never drift from the individual checks
+    oracles["tx_filter"] = f"""
+        SELECT q.doc_id, q.quality AS q, r.dup_tok AS dup, l.lang
+        FROM ({oracles['tx_quality']}) q
+        JOIN ({oracles['tx_repetition']}) r ON r.doc_id = q.doc_id
+        JOIN ({oracles['tx_langid']}) l ON l.doc_id = q.doc_id
+        WHERE q.quality >= 0.5 AND r.dup_tok <= 0.4 AND l.lang = 'en'
+    """
+    return oracles

@@ -51,6 +51,9 @@ CHECKS = {
     "ann_ivf": (["TakeOrderedAndProject"], ["Python", "Exchange rangepartitioning"]),
     "tx_stats": ([], ["Python", "Exchange"]),  # pure map
     "tx_tokens": ([], ["Python", "Exchange"]),  # pure map
+    "tx_langid": ([], ["Python", "Exchange"]),  # pure map (trigram argmax)
+    "tx_repetition": ([], ["Python", "Exchange"]),  # pure map
+    "tx_filter": ([], ["Python", "Exchange"]),  # pure map + filter, one scan
     "q_top_customers_window": (["BroadcastHashJoin", "Window"], ["Python"]),
     "q_rollup": (["Expand", "HashAggregate"], ["Python"]),  # one shuffle, no union-of-aggs
     "q_anti_join": (["LeftAnti"], ["Python"]),
