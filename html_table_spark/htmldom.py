@@ -46,10 +46,13 @@ _EMPTY_CHILDREN: list = []
 
 
 class Node:
-    """One DOM node. ``kind`` ∈ {TEXT, ELEMENT, COMMENT}.
+    """One element or comment node (``kind`` ∈ {ELEMENT, COMMENT}).
 
-    Kept deliberately small (``__slots__``) — the extraction hot path builds
-    millions of these per Arrow batch.
+    TEXT content does NOT get Node objects: text children are plain ``str``
+    entries in ``children`` — the tokenizer's text slices are reused as-is,
+    which removes roughly half of all node allocations on text-heavy
+    markup. Kept deliberately small (``__slots__``); the extraction hot
+    path builds millions of nodes per Arrow batch.
     """
 
     __slots__ = ("kind", "tag", "attrs", "children", "data")
@@ -72,15 +75,15 @@ class Node:
 
     def text_content(self) -> str:
         """PHP ``DOMNode::$nodeValue`` for elements = textContent: the
-        concatenation of all descendant text nodes, comments excluded
-        (reference cell coercion, ``Parser.php:568``)."""
+        concatenation of all descendant text (str) children, comments
+        excluded (reference cell coercion, ``Parser.php:568``)."""
         out: list[str] = []
-        stack = [self]
+        stack: list = [self]
         # iterative DFS, document order
         while stack:
             node = stack.pop()
-            if node.kind == TEXT:
-                out.append(node.data)
+            if type(node) is str:
+                out.append(node)
             elif node.kind == ELEMENT:
                 stack.extend(reversed(node.children))
         return "".join(out)
@@ -94,13 +97,11 @@ class Node:
         stack = list(reversed(self.children))
         while stack:
             node = stack.pop()
-            if node.kind == ELEMENT:
+            if type(node) is Node and node.kind == ELEMENT:
                 yield node
                 stack.extend(reversed(node.children))
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
-        if self.kind == TEXT:
-            return f"Text({self.data!r})"
         if self.kind == COMMENT:
             return f"Comment({self.data!r})"
         return f"<{self.tag} {self.attrs} children={len(self.children)}>"
@@ -171,12 +172,12 @@ class _TreeBuilder(HTMLParser):
         if not data:
             return
         children = self._current().children
-        if children and children[-1].kind == TEXT:
+        if children and type(children[-1]) is str:
             # libxml keeps contiguous character data as ONE text node; child
             # indices (rowspan carry keys) depend on this merge.
-            children[-1].data += data
+            children[-1] += data
         else:
-            children.append(Node(TEXT, data=data))
+            children.append(data)
 
     # -- tokenizer callbacks --------------------------------------------
 
@@ -354,10 +355,10 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
         if "&" in data:
             data = unescape(data)
         children = stack[-1].children
-        if children and children[-1].kind == TEXT:
-            children[-1].data += data
+        if children and type(children[-1]) is str:
+            children[-1] += data
         else:
-            children.append(Node(TEXT, data=data))
+            children.append(data)
 
     while pos < n:
         lt = find("<", pos)
@@ -403,7 +404,7 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
                 m_end = _RAWTEXT_END[tag].search(html, pos)
                 end = m_end.start() if m_end else n
                 if end > pos:
-                    node.children.append(Node(TEXT, data=html[pos:end]))
+                    node.children.append(html[pos:end])
                 gt = find(">", end)
                 pos = n if gt == -1 else gt + 1
                 stack.pop()

@@ -117,15 +117,18 @@ def _cell_text(node: Node) -> str:
     children = node.children
     if not children:
         return ""
-    if len(children) == 1 and children[0].kind != ELEMENT:
+    if len(children) == 1:
         first = children[0]
-        return first.data if first.kind != COMMENT else ""
+        if type(first) is str:
+            return first
+        if first.kind == COMMENT:
+            return ""
     return node.text_content()
 
 
 def _has_element_child(node: Node) -> bool:
     for c in node.children:
-        if c.kind == ELEMENT:
+        if type(c) is Node and c.kind == ELEMENT:
             return True
     return False
 
@@ -149,11 +152,11 @@ def extract_record(
                 row.extend(pending.pop(0))
                 if not pending:
                     del row_span_indices[index]
-        if node.kind == ELEMENT and node.tag in CELL_TAGS:
+        if type(node) is Node and node.kind == ELEMENT and node.tag in CELL_TAGS:
             children = node.children
-            if len(children) == 1 and children[0].kind == TEXT:
+            if len(children) == 1 and type(children[0]) is str:
                 # dominant shape: <td>text</td> — no helper calls
-                text = children[0].data
+                text = children[0]
                 has_children_elements = False
             else:
                 has_children_elements = _has_element_child(node)
@@ -194,7 +197,7 @@ def _filter_record(node: Node, marked_id: int | None) -> Node | None:
     """Parser.php:519-527 — keep only <tr> elements that are not the marked
     header row (marking is by node identity here; the reference mutates the
     DOM with a marker attribute, same observable effect)."""
-    if node.kind != ELEMENT or node.tag != "tr":
+    if type(node) is not Node or node.kind != ELEMENT or node.tag != "tr":
         return None
     if marked_id is not None and id(node) == marked_id:
         return None
@@ -262,7 +265,7 @@ def _extract_table(
     rows: list[list[Cell | None]] = []
     row_span_shared: dict[int, list[list[Cell]]] = {}  # direct-tr state, shared
     for child in table_node.children:
-        if child.kind != ELEMENT:
+        if type(child) is not Node or child.kind != ELEMENT:
             continue
         section = child.tag if child.tag in ALL_SECTIONS else None
         if section is None or section not in included:
@@ -308,7 +311,7 @@ def _top_level_tables(root: Node) -> list[Node]:
     stack = list(reversed(root.children))
     while stack:
         node = stack.pop()
-        if node.kind != ELEMENT:
+        if type(node) is not Node or node.kind != ELEMENT:
             continue
         if node.tag == "table":
             found.append(node)

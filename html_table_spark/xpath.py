@@ -134,7 +134,7 @@ def compile_xpath(expression: str) -> XPathExpr:
 
 
 def _matches(node: Node, step: _Step) -> bool:
-    if node.kind != ELEMENT:
+    if node.kind != ELEMENT:  # candidates generators yield elements only
         return False
     if step.name != "*" and node.tag != step.name:
         return False
@@ -146,7 +146,7 @@ def _matches(node: Node, step: _Step) -> bool:
 
 def _children_elements(node: Node):
     for child in node.children:
-        if child.kind == ELEMENT:
+        if type(child) is Node and child.kind == ELEMENT:
             yield child
 
 
@@ -156,7 +156,7 @@ def _descendants(node: Node):
     stack = node.children[::-1]
     while stack:
         n = stack.pop()
-        if n.kind == ELEMENT:
+        if type(n) is Node and n.kind == ELEMENT:
             yield n
             if n.children:
                 stack.extend(n.children[::-1])

@@ -17,9 +17,9 @@ from html_table_spark.htmldom import (
 from html_table_spark.spans import doc_spans_to_html
 
 
-def tree_repr(node: Node):
-    if node.kind == TEXT:
-        return ("T", node.data)
+def tree_repr(node):
+    if isinstance(node, str):  # text children are plain strings
+        return ("T", node)
     if node.kind == COMMENT:
         return ("C", node.data)
     return ("E", node.tag, tuple(sorted(node.attrs.items())),
