@@ -178,11 +178,26 @@ def main_extract_only(cores: int) -> None:
 SCALING_PAIRS = ((4, 16), (8, 32))
 
 
+def _wait_for_quiet(max_wait_s: int = 600, threshold: float = 1.0) -> None:
+    """Scaling runs are worthless under background load (a loaded box
+    penalizes exactly the high-core configs and can swing the efficiency
+    ratio by 2×); wait for the 1-min loadavg to settle before each pinned
+    measurement."""
+    deadline = time.monotonic() + max_wait_s
+    while time.monotonic() < deadline:
+        with open("/proc/loadavg") as fh:
+            load = float(fh.read().split()[0])
+        if load < threshold:
+            return
+        time.sleep(15)
+
+
 def main_scaling() -> None:
     sf = _sf_of(SF_DIR)
     corpus_path(sf)  # pre-materialize so all runs share the cached corpus
     results = {}
     for cores in sorted({c for pair in SCALING_PAIRS for c in pair}):
+        _wait_for_quiet()
         # taskset pins the WHOLE process tree (JVM + Python workers) to
         # `cores` CPUs — otherwise "local[8]" still enjoys all 32 cores for
         # GC/shuffle/Arrow threads and the N-vs-4N comparison is dishonest
