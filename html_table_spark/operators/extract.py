@@ -161,6 +161,10 @@ def _doc_htmls_from_arrow(batch: pa.RecordBatch) -> list[str]:
 
 STATUS_CHUNK = "chunk"
 
+import re as _re
+
+_COMMENT_END_RE = _re.compile(r"--\s*>")
+
 
 def make_arrow_extractor(
     config: ParserConfig,
@@ -200,7 +204,17 @@ def make_arrow_extractor(
         )
         if gc_was_enabled:
             gc.disable()
+        try:
+            yield from _run(part_id, started, batches)
+        finally:
+            # reused Python workers (spark.python.worker.reuse) would keep
+            # GC off for every later task if the generator is closed early
+            # (downstream limit(), task kill, or any raise)
+            if gc_was_enabled:
+                gc.enable()
+                gc.collect()
 
+    def _run(part_id: int, started: float, batches):
         def new_buffers():
             return {
                 "doc_id": [], "table_idx": [], "caption": [], "header": [],
@@ -210,9 +224,13 @@ def make_arrow_extractor(
             }
 
         buf = new_buffers()
+        buf_bytes = 0  # approx bytes of span text buffered (Arrow string
+        # offsets are int32: one array must stay far below 2 GB)
+        FLUSH_BYTES = 256 * 1024 * 1024
 
         def flush() -> pa.RecordBatch:
-            nonlocal buf
+            nonlocal buf, buf_bytes
+            buf_bytes = 0
             n = len(buf["doc_id"])
             wall = (time.monotonic() - started) * 1000.0
             struct = pa.StructArray.from_arrays(
@@ -292,8 +310,12 @@ def make_arrow_extractor(
                         buf["sr"].append(None)
                         buf["so"].append(0)
                         buf["span_offsets"].append(len(buf["sk"]))
-                    if len(buf["doc_id"]) >= flush_rows:
-                        yield flush()
+                        buf_bytes += len(text)
+                        if (
+                            len(buf["doc_id"]) >= flush_rows
+                            or buf_bytes >= FLUSH_BYTES
+                        ):
+                            yield flush()
                     continue
                 results = parse_document(html, config)
                 if not results and config.select_all_tables:
@@ -318,13 +340,11 @@ def make_arrow_extractor(
                     buf["error_msg"].append(table.error_msg)
                     encode_table_flat(table, buf["sk"], buf["st"], buf["sr"], buf["so"])
                     buf["span_offsets"].append(len(buf["sk"]))
-                if len(buf["doc_id"]) >= flush_rows:
+                buf_bytes += len(html)  # upper bound on this doc's span text
+                if len(buf["doc_id"]) >= flush_rows or buf_bytes >= FLUSH_BYTES:
                     yield flush()
         if buf["doc_id"]:
             yield flush()
-        if gc_was_enabled:
-            gc.enable()
-            gc.collect()
 
     return extract_batches
 
@@ -387,7 +407,13 @@ def _top_level_table_cuts(html: str) -> list[tuple[int, int]] | None:
     """Byte ranges [start, end) of top-level <table>…</table> blocks via a
     single linear scan. Returns None when the scan finds unbalanced nesting
     (tag soup) — callers then fall back to whole-doc extraction, which is
-    always correct, just unsplit."""
+    always correct, just unsplit.
+
+    The scan mirrors the tokenizer's blind spots so chunk boundaries can
+    never disagree with a whole-doc parse: table tags inside comments and
+    inside <script>/<style> raw text are NOT boundaries, and close tags
+    require the same name-boundary character as open tags (``</tables>``
+    is not a close)."""
     lower = html.lower()
     cuts: list[tuple[int, int]] = []
     depth = 0
@@ -397,24 +423,59 @@ def _top_level_table_cuts(html: str) -> list[tuple[int, int]] | None:
     while pos < n:
         open_i = lower.find("<table", pos)
         close_i = lower.find("</table", pos)
-        if open_i == -1 and close_i == -1:
+        comment_i = lower.find("<!--", pos)
+        script_i = lower.find("<script", pos)
+        style_i = lower.find("<style", pos)
+        events = [
+            e
+            for e in (
+                (open_i, "open"), (close_i, "close"), (comment_i, "comment"),
+                (script_i, "script"), (style_i, "style"),
+            )
+            if e[0] != -1
+        ]
+        if not events:
             break
-        if close_i == -1 or (open_i != -1 and open_i < close_i):
-            # an opening tag; require a following boundary char to avoid
-            # matching e.g. <tablex>
-            after = open_i + 6
+        at, kind = min(events)
+        if kind == "comment":
+            # tokenizer comment terminator is the regex --\s*> (not the
+            # literal -->); an unterminated comment is ambiguous → fall
+            # back to whole-doc parsing rather than risk divergent cuts
+            m = _COMMENT_END_RE.search(lower, at + 4)
+            if m is None:
+                return None
+            pos = m.end()
+            continue
+        if kind in ("script", "style"):
+            after = at + (7 if kind == "script" else 6)
+            if after < n and lower[after] not in " >\t\n\r/":
+                pos = after  # <scriptx...> — not a raw-text element
+                continue
+            endtag = lower.find(f"</{kind}", after)
+            if endtag == -1:
+                break  # raw text runs to EOF — nothing after can be a table
+            gt = lower.find(">", endtag)
+            pos = n if gt == -1 else gt + 1
+            continue
+        if kind == "open":
+            # require a following boundary char to avoid matching <tablex>
+            after = at + 6
             if after < n and lower[after] not in " >\t\n\r/":
                 pos = after
                 continue
             if depth == 0:
-                start = open_i
+                start = at
             depth += 1
             pos = after
         else:
+            after = at + 7
+            if after < n and lower[after] not in " >\t\n\r":
+                pos = after  # </tables> — not a table close
+                continue
             if depth == 0:
                 return None  # stray close — soup; don't split
             depth -= 1
-            gt = lower.find(">", close_i)
+            gt = lower.find(">", at)
             end = (gt + 1) if gt != -1 else n
             if depth == 0:
                 cuts.append((start, end))
@@ -444,7 +505,9 @@ def split_mega_docs(
                 html = doc_spans_to_html(spans if spans is not None else [])
                 cuts = _top_level_table_cuts(html)
                 if not cuts or len(cuts) <= tables_per_chunk:
-                    out.append((doc_id, list(spans), 0))
+                    out.append(
+                        (doc_id, list(spans) if spans is not None else [], 0)
+                    )
                     continue
                 for chunk_no in range(0, len(cuts), tables_per_chunk):
                     group = cuts[chunk_no : chunk_no + tables_per_chunk]

@@ -71,10 +71,12 @@ class Tabular:
         # a bare primitive order key keeps the aggregate hash-based
         # (struct-typed min_by buffers fall back to SortAggregate)
         order_expr = keys[0] if len(keys) == 1 else F.struct(*keys)
-        return (
-            self.df.groupBy(key)
-            .agg(F.min_by(value, order_expr).alias("value"))
-            .withColumnRenamed(key if isinstance(key, str) else key._jc.toString(), "key")
+        key_col = F.col(key) if isinstance(key, str) else key
+        # alias at groupBy time: renaming afterwards would need the column's
+        # JVM name (absent under Spark Connect) and collides when the key
+        # column is itself named 'value'
+        return self.df.groupBy(key_col.alias("key")).agg(
+            F.min_by(value, order_expr).alias("value")
         )
 
     def reduce(self, *aggs: Column) -> DataFrame:

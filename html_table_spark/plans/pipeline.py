@@ -3,38 +3,32 @@
 Plan shape (SURVEY.md §3.4, §4.3) — all plan-shape decisions, no custom
 Catalyst rules:
 
-    scan(doc_id, spans)                      -- pruned to 2 columns,
-      │                                         parallel by file splits
-      ▼ pass 1 (mapInArrow, ONE full scan)
-    normal docs → extracted rows
-    mega docs   → chunk rows (status='chunk', ≤64 tables each, base ordinal)
-      │  persist (memory/disk — first pass is also the sink payload)
-      ├─ non-chunk rows ───────────────────────────────┐
-      └─ chunk rows → salted repartition → pass 2 ─────┴→ union
-      → per-partition lineage agg → snapshot-committed sink
+    scan #1 (doc_cost ≤ T)  → pass 1 (mapInArrow) → extracted rows ┐
+    scan #2 (doc_cost > T)  → boundary-scan chunking               │
+        → chunk rows (status='chunk', ≤64 tables, base ordinal)    │
+        → full-entropy repartition → pass 2 (mapInArrow) ──────────┴→ union
+    → per-partition lineage agg → snapshot-committed sink
 
 Why explicit: UDF-stage skew is invisible to AQE (it only splits skewed
 joins/aggregations), so a 2,000-table mega-document would otherwise pin one
-task for the whole stage.  Mega docs are detected inside pass 1 (HTML
-length check — free) and split by a linear boundary scan; they are never
-parsed in place.
+task for the whole stage.  Mega docs are filtered JVM-side by a span-length
+cost aggregate and split by a linear boundary scan.
 
-Why this scales: the corpus is scanned ONCE; the only shuffle moves the
-skewed tail (mega-doc chunks ≪ corpus), salted by
-``pmod(xxhash64(doc_id, chunk), P)``.  Normal docs ride the scan's
-byte-balanced file splits (``maxPartitionBytes``) — at 10^12 documents
-there is no full-corpus shuffle anywhere in the job.  A salted full
-repartition remains available (``repartition_normal='always'``) for
-pathological file layouts, and engages automatically when the scan exposes
-too little parallelism.
+Why TWO scans (a deliberate trade): scan #2 re-reads (doc_id, spans) to
+find the mega tail instead of persisting pass-1 output — persisting a
+corpus-sized intermediate at 10^12 docs costs more storage/IO than a second
+columnar scan, and the scans carry no shuffle.  The only shuffle in the job
+moves the skewed tail (mega-doc chunks ≪ corpus), repartitioned on
+``xxhash64(doc_id, chunk)``.  Normal docs ride the scan's byte-balanced
+file splits (``maxPartitionBytes``); a full repartition remains available
+(``repartition_normal='always'``) for pathological file layouts, and
+engages automatically when the scan exposes too little parallelism.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
 from ..config import ParserConfig
 from ..operators.extract import STATUS_CHUNK, extract_tables
 from ..sources.sinks import SnapshotSink
@@ -45,21 +39,27 @@ DEFAULT_MEGA_COST = 256 * 1024  # bytes of HTML
 
 def with_doc_cost(documents: DataFrame) -> DataFrame:
     """JVM-side cost proxy: total text length across spans (no Python)."""
-    return documents.withColumn(
-        "doc_cost",
-        F.aggregate(
-            "spans",
-            F.lit(0).cast("long"),
-            lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
-        ),
+    cost = F.aggregate(
+        "spans",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
     )
+    # NULL spans must cost 0, not NULL: a NULL cost would fail BOTH pass
+    # filters, silently dropping the doc — and with resume on, it would be
+    # re-scanned forever (it never gets its completion marker)
+    return documents.withColumn("doc_cost", F.coalesce(cost, F.lit(0)))
 
 
 def salted(documents: DataFrame, num_partitions: int) -> DataFrame:
-    """Deterministic salted repartition (north rule: explicit skew control)."""
+    """Deterministic salted repartition (north rule: explicit skew control).
+
+    Repartitions on the FULL-ENTROPY hash, not a pre-modded salt: feeding P
+    distinct salt values through the partitioner's own hash is balls-in-
+    bins — ~1/e of the P partitions would come out empty and others would
+    stack 2-3 salts."""
     return documents.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions))
-    ).repartition(num_partitions, "salt").drop("salt")
+        "_salt", F.xxhash64("doc_id")
+    ).repartition(num_partitions, "_salt").drop("_salt")
 
 
 def plan_extraction(
@@ -136,22 +136,27 @@ def plan_extraction(
         mega_policy="chunk",
         spread_small_inputs=False,
     )
-    chunk_rows = chunks.select(
+    # the chunk-mode extractor can also emit FINAL rows: a doc whose span
+    # COST crossed the threshold but whose reassembled HTML did not (e.g.
+    # cost dominated by media-span text) is parsed in place. Those rows must
+    # go straight to the output — feeding them back through extraction would
+    # reassemble their OUTPUT spans as (empty) HTML and lose the tables.
+    parsed_in_place = chunks.filter(F.col("status") != STATUS_CHUNK)
+    chunk_rows = chunks.filter(F.col("status") == STATUS_CHUNK).select(
         "doc_id", "spans", F.col("table_idx").alias("table_idx_base")
     )
     mega_out = extract_tables(
         salted_chunks(chunk_rows, num_partitions), config, spread_small_inputs=False
     )
-    return normal_out.unionByName(mega_out)
+    return normal_out.unionByName(parsed_in_place).unionByName(mega_out)
 
 
 def salted_chunks(chunks: DataFrame, num_partitions: int) -> DataFrame:
-    """Chunks of one mega-doc must NOT hash to one partition — salt by
-    (doc_id, table_idx_base)."""
+    """Chunks of one mega-doc must NOT hash to one partition — repartition
+    on the full-entropy hash of (doc_id, chunk ordinal); see salted()."""
     return chunks.withColumn(
-        "salt",
-        F.pmod(F.xxhash64("doc_id", "table_idx_base"), F.lit(num_partitions)),
-    ).repartition(num_partitions, "salt").drop("salt")
+        "_salt", F.xxhash64("doc_id", "table_idx_base")
+    ).repartition(num_partitions, "_salt").drop("_salt")
 
 
 def lineage_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:

@@ -77,9 +77,29 @@ class SnapshotSink:
         return manifest
 
     def _next_seq(self) -> int:
-        return len(self._manifest_files()) + 1
+        # highest seq across committed manifests AND outstanding claims, so
+        # a crashed-but-claimed seq is never reissued
+        highest = 0
+        for f in os.listdir(self.commits_dir):
+            if f.startswith("commit-") or f.startswith(".seq-"):
+                try:
+                    highest = max(highest, int(f.split("-")[1].split(".")[0]))
+                except (IndexError, ValueError):
+                    continue
+        return highest + 1
 
     def _commit(self, manifest: dict) -> None:
+        # two concurrent runs must not share a seq (time travel assumes seq
+        # is a unique snapshot id): claim the seq with O_CREAT|O_EXCL and
+        # move to the next on collision
+        while True:
+            seq = manifest["seq"]
+            claim = os.path.join(self.commits_dir, f".seq-{seq:06d}")
+            try:
+                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                manifest["seq"] = seq + 1
         name = f"commit-{manifest['seq']:06d}-{manifest['run_id']}.json"
         tmp = os.path.join(self.commits_dir, f".tmp-{manifest['run_id']}")
         with open(tmp, "w") as fh:

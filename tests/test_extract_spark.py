@@ -192,3 +192,23 @@ def test_read_documents_reordered_span_fields(spark, tmp_path):
     spans = got[0].spans
     assert spans[0].offset == 0 and spans[0].media_ref is None
     assert spans[1].media_ref == "M9" and spans[1].offset == 1
+
+
+def test_table_cuts_ignore_comments_rawtext_and_typos():
+    from html_table_spark.operators.extract import _top_level_table_cuts
+
+    # commented-out table is not a boundary
+    h = "<!-- <table><tr><td>x</td></tr></table> --><table><tr><td>y</td></tr></table>"
+    cuts = _top_level_table_cuts(h)
+    assert cuts is not None and len(cuts) == 1
+    assert h[cuts[0][0]:cuts[0][1]].startswith("<table><tr><td>y")
+    # script-embedded table markup is not a boundary
+    h2 = "<script>var s='<table>'</script><table><tr><td>z</td></tr></table>"
+    cuts2 = _top_level_table_cuts(h2)
+    assert cuts2 is not None and len(cuts2) == 1
+    # </tables> is not a close tag
+    h3 = "<table><tr><td>a</td></tr></tables></table>"
+    cuts3 = _top_level_table_cuts(h3)
+    assert cuts3 is not None and len(cuts3) == 1
+    # unterminated comment → ambiguous → whole-doc fallback
+    assert _top_level_table_cuts("<!-- oops <table></table>") is None

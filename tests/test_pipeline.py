@@ -95,3 +95,51 @@ def test_snapshot_time_travel(spark, tmp_path):
     all_docs = sink.read_committed(spark).select("doc_id").distinct().count()
     assert seq1_docs == 4
     assert all_docs == 12
+
+
+def test_null_spans_doc_gets_completion_marker(spark):
+    """A NULL-spans doc must flow through pass 1 (doc_cost coalesced to 0)
+    and emit its completion marker — otherwise resume reprocesses it
+    forever."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.plans.pipeline import plan_extraction
+    from html_table_spark.sources.documents import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "nullspans", "spans": None},
+         {"doc_id": "ok", "spans": [
+             {"kind": "text", "text": "<table><tr><td>x</td></tr></table>",
+              "media_ref": None, "offset": 0}]}],
+        DOCUMENTS_SCHEMA,
+    )
+    out = plan_extraction(docs, ParserConfig().all_tables()).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.doc_id, []).append(r)
+    assert "nullspans" in by_id  # completion marker row exists
+    assert by_id["nullspans"][0].table_idx == -1
+    assert by_id["ok"][0].n_cells == 1
+
+
+def test_cost_over_threshold_but_small_html_keeps_tables(spark):
+    """A doc whose span COST crosses the mega threshold while its HTML does
+    not (cost dominated by media-span text) is parsed in place by the chunk
+    pass — its tables must reach the output, not be re-fed as chunk HTML."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.plans.pipeline import plan_extraction
+    from html_table_spark.sources.documents import DOCUMENTS_SCHEMA
+
+    html = "<table><caption>c</caption><tr><td>v</td></tr></table>"
+    docs = spark.createDataFrame(
+        [{"doc_id": "tricky", "spans": [
+            {"kind": "text", "text": html, "media_ref": None, "offset": 0},
+            # media span whose text inflates doc_cost beyond the threshold
+            {"kind": "media", "text": "x" * 500, "media_ref": "M1", "offset": 1},
+        ]}],
+        DOCUMENTS_SCHEMA,
+    )
+    out = plan_extraction(
+        docs, ParserConfig().all_tables(), mega_cost_threshold=200
+    ).filter("table_idx >= 0").collect()
+    assert len(out) == 1
+    assert out[0].caption == "c" and out[0].n_cells == 1 and out[0].status == "ok"
