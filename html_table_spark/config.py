@@ -102,6 +102,7 @@ class ParserConfig:
         return replace(self, ignore_table_header=False)
 
     def table_header_position(self, section: str, offset: int = 0) -> "ParserConfig":
+        _check_section(section)
         return replace(self, table_header_expression=section_xpath_row(section, offset))
 
     def include_all_sections(self) -> "ParserConfig":
@@ -149,14 +150,17 @@ def _check_section(section: str) -> None:
 
 
 def _normalize_header(header_row) -> tuple[tuple[int, str], ...]:
+    """PHP array-key semantics (Parser.php:114-131 validates VALUES only):
+    any key is accepted — negative or non-int keys simply never match a
+    source offset, so combineArray null-fills them (``$record[$k] ?? null``).
+    Non-int keys normalize to -1 (an offset that cannot exist)."""
     if isinstance(header_row, dict):
         items = list(header_row.items())
     else:
         items = list(enumerate(header_row))
-    for offset, name in items:
-        if not isinstance(offset, int) or offset < 0:
-            raise ParserError(MSG_NON_STRING_HEADER)
-    return tuple((int(off), name) for off, name in items)
+    return tuple(
+        (off if isinstance(off, int) else -1, name) for off, name in items
+    )
 
 
 def validate_header(names: list) -> None:

@@ -83,8 +83,16 @@ def synthesize_documents(
     mega_docs: int = 0,
     mega_tables: int = 2000,
 ) -> list[dict]:
-    """Return corpus rows [{doc_id, spans}] — fully deterministic in seed."""
-    rng = random.Random(seed)
+    """Return corpus rows [{doc_id, spans}] — fully deterministic in seed.
+
+    Note on media spans: the input ``kind='media'`` spans enumerate every
+    media ref present in the HTML. Extraction output media spans are a
+    SUBSET of these by design — reference combineArray semantics truncate
+    grid rows to the header width (Parser.php:614-622), so a media cell
+    pushed past the header by a rowspan/colspan carry is dropped along
+    with its cell (~7% of media docs at defaults). Consumers must treat
+    input media refs as a superset, never a completeness gate.
+    """
     rows: list[dict] = []
     for d in range(n_docs):
         doc_id = f"doc{d:07d}"

@@ -83,7 +83,10 @@ def extract_media_features(media: DataFrame, use_real_codecs: bool = False) -> D
                 try:
                     w, h, n, feat = decode(payload, mime)
                     out.append((ref, mime, w, h, n, [float(x) for x in feat], "ok"))
-                except NotImplementedError as exc:
+                except Exception as exc:  # noqa: BLE001 — per-item error
+                    # channel: a real decoder raises codec errors on corrupt
+                    # payloads; a raising UDF would kill the stage (SURVEY
+                    # §2.1), so failures become status rows
                     out.append((ref, mime, None, None, None, None, f"error: {exc}"))
             yield pd.DataFrame(
                 out,

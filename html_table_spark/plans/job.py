@@ -60,7 +60,11 @@ def main(argv: list[str] | None = None) -> dict:
         config,
         resume=not args.no_resume,
         num_partitions=args.partitions,
-        mega_cost_threshold=args.mega_threshold or DEFAULT_MEGA_COST,
+        mega_cost_threshold=(
+            args.mega_threshold
+            if args.mega_threshold is not None
+            else DEFAULT_MEGA_COST
+        ),
     )
     print(json.dumps(manifest))
     return manifest

@@ -21,17 +21,23 @@ def get_spark(
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if master.startswith("local[") is False and cpus:
+    # SPARK_GRAFT_CPUS pins the LOCAL core count; it must never demote a
+    # real cluster master to local mode
+    if cpus and master == "local[*]":
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # match the core count in local mode; on a real cluster this is
-        # overridden by spark-submit conf
-        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
-        shuffle_partitions = 32 if inner == "*" else max(8, int(inner))
+        if master.startswith("local["):
+            # match the core count in local mode; 'local[N,maxFailures]' and
+            # 'local[*]' are both legal master strings
+            inner = master[master.find("[") + 1 : master.find("]")]
+            threads = inner.split(",")[0]
+            shuffle_partitions = 32 if threads == "*" else max(8, int(threads))
+        else:
+            # cluster masters: leave Spark's own default / spark-submit conf
+            shuffle_partitions = None
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -42,4 +48,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     return builder.getOrCreate()

@@ -37,6 +37,19 @@ from .documents import EXTRACTED_SCHEMA, LINEAGE_SCHEMA
 
 class SnapshotSink:
     def __init__(self, root: str):
+        # the manifest/commit layer uses driver-local filesystem calls; on a
+        # distributed output (s3://, hdfs://) the commit dir would silently
+        # land on the driver's local disk and resume would find nothing —
+        # refuse loudly and point at the Iceberg path instead
+        if "://" in root and not root.startswith("file://"):
+            raise ValueError(
+                f"SnapshotSink requires a local/file path, got {root!r}: on a "
+                "cluster, write to an Iceberg table (iceberg://...) whose "
+                "catalog provides the snapshot/commit semantics this sink "
+                "emulates locally"
+            )
+        if root.startswith("file://"):
+            root = root[len("file://"):]
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.lineage_dir = os.path.join(root, "lineage")

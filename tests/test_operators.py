@@ -432,3 +432,38 @@ def test_lang_id_ngram_and_repetition(spark):
     assert got["rep"].dup == pytest.approx(3 / 5)   # 5 tokens, 2 distinct
     assert got["rep"].top == pytest.approx(4 / 5)   # 'spam' ×4
     assert got["empty"].dup == 0.0 and got["empty"].top == 0.0
+
+
+def test_header_php_array_key_semantics(spark):
+    """Reference validates header VALUES only (Parser.php:118); negative and
+    string keys are legal and null-fill (combineArray `?? null`)."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.semantics import parse_document
+
+    html = "<table><tr><td>a</td><td>b</td></tr></table>"
+    cfg = ParserConfig().with_table_header({1: "second", -5: "neg", "x": "strkey"})
+    t = parse_document(html, cfg)[0]
+    assert t.header == ["second", "neg", "strkey"]
+    assert t.row_texts() == [["b", None, None]]
+
+
+def test_table_header_position_rejects_bad_section():
+    import pytest as _pytest
+
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.errors import ParserError
+
+    with _pytest.raises(ParserError):
+        ParserConfig().table_header_position("body")
+
+
+def test_media_decode_failure_becomes_error_row(spark):
+    from html_table_spark.operators.media import MEDIA_SCHEMA, extract_media_features
+
+    media = spark.createDataFrame(
+        [{"media_ref": "bad", "payload": b"\x00", "mime": "image/png"}], MEDIA_SCHEMA
+    )
+    # real-codec mode raises (stub NotImplementedError here; a swapped-in
+    # decoder raises codec errors) — either way it must become a status row
+    row = extract_media_features(media, use_real_codecs=True).first()
+    assert row.status.startswith("error:") and row.width is None
