@@ -420,20 +420,21 @@ def _top_level_table_cuts(html: str) -> list[tuple[int, int]] | None:
     pos = 0
     start = -1
     n = len(lower)
+    find = lower.find
+    # per-pattern next-occurrence cache, refreshed only once consumed — a
+    # fresh find() of every pattern at every event would rescan the rest of
+    # the doc k times per table (quadratic on mega docs, the one place this
+    # function runs)
+    pats = {
+        "open": "<table", "close": "</table", "comment": "<!--",
+        "script": "<script", "style": "<style",
+    }
+    nxt = {k: find(p) for k, p in pats.items()}
     while pos < n:
-        open_i = lower.find("<table", pos)
-        close_i = lower.find("</table", pos)
-        comment_i = lower.find("<!--", pos)
-        script_i = lower.find("<script", pos)
-        style_i = lower.find("<style", pos)
-        events = [
-            e
-            for e in (
-                (open_i, "open"), (close_i, "close"), (comment_i, "comment"),
-                (script_i, "script"), (style_i, "style"),
-            )
-            if e[0] != -1
-        ]
+        for k, p in pats.items():
+            if -1 < nxt[k] < pos:
+                nxt[k] = find(p, pos)
+        events = [(v, k) for k, v in nxt.items() if v != -1]
         if not events:
             break
         at, kind = min(events)

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
 from ..config import ParserConfig
 from ..operators.extract import STATUS_CHUNK, extract_tables
 from ..sources.sinks import SnapshotSink
@@ -141,6 +143,10 @@ def plan_extraction(
     # cost dominated by media-span text) is parsed in place. Those rows must
     # go straight to the output — feeding them back through extraction would
     # reassemble their OUTPUT spans as (empty) HTML and lose the tables.
+    # Both status branches read `chunks`; persist it so the mega scan +
+    # boundary chunking run once. The persisted set IS the skewed tail —
+    # mega-doc chunk text ≪ corpus by the threshold's definition.
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     parsed_in_place = chunks.filter(F.col("status") != STATUS_CHUNK)
     chunk_rows = chunks.filter(F.col("status") == STATUS_CHUNK).select(
         "doc_id", "spans", F.col("table_idx").alias("table_idx_base")

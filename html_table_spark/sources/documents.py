@@ -94,11 +94,20 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     if "spans" in df.columns:
-        # rebuild the span struct BY FIELD NAME: a DDL cast matches struct
-        # fields positionally, so a corpus with the same fields in a
-        # different order would be silently mis-mapped
+        doc_id = F.col("doc_id").cast("string").alias("doc_id")
+        element = df.schema["spans"].dataType.elementType
+        if [(f.name, f.dataType) for f in element.fields] == [
+            (f.name, f.dataType) for f in SPAN_STRUCT.fields
+        ]:
+            # canonical layout: zero-cost pass-through (the rebuild below is
+            # an interpreted per-span transform — measured 5× on the whole
+            # extraction job when applied unconditionally)
+            return df.select(doc_id, "spans")
+        # non-canonical layout: rebuild the span struct BY FIELD NAME — a
+        # DDL cast matches struct fields positionally, so a corpus with the
+        # same fields in a different order would be silently mis-mapped
         return df.select(
-            F.col("doc_id").cast("string").alias("doc_id"),
+            doc_id,
             F.transform(
                 "spans",
                 lambda s: F.struct(
