@@ -69,6 +69,13 @@ def _sf_of(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
+def _sf_num(sf: str):
+    try:
+        return float(sf)
+    except ValueError:
+        return sf  # non-numeric tier names stay strings in the JSON
+
+
 def corpus_path(sf: str) -> str:
     n_docs, mega, mega_tables = CORPUS_BY_SF.get(sf, CORPUS_BY_SF["0.01"])
     path = f"/tmp/spark_graft_bench/corpus_sf{sf}_{n_docs}_{mega}x{mega_tables}"
@@ -145,7 +152,10 @@ def main_bench() -> None:
             spark.catalog.clearCache()
             t0 = time.monotonic()
             df = fn(spark, SF_DIR)
-            df.count()
+            # noop sink materializes EVERY output column — a count() would
+            # let Catalyst prune deterministic projections and time a
+            # metadata-only scan for pure-map queries
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
@@ -156,7 +166,7 @@ def main_bench() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": _sf_num(sf),
                 "extraction": extraction,
                 "cores": CPUS,
             }
@@ -209,10 +219,15 @@ def main_scaling() -> None:
             capture_output=True,
             text=True,
             env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
-            check=True,
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling subprocess (cores={cores}) failed "
+                f"rc={out.returncode}; stderr above"
+            )
+        results[cores] = json.loads(lines[-1])
     effs = {}
     queries = {}
     for n_cores, n4_cores in SCALING_PAIRS:
@@ -231,7 +246,7 @@ def main_scaling() -> None:
         "value": headline,
         "unit": "ratio",
         "queries": queries,
-        "sf": float(sf),
+        "sf": _sf_num(sf),
     }
     print(json.dumps(report))
     _write_bench_md(sf, results, effs)

@@ -170,6 +170,13 @@ def decode_rows(spans) -> dict:
     caption = None
     header: list[str] = []
     cells: list[tuple[str | None, list[str]]] = []
+    # offsets are the order key (spans may arrive shuffled) — sort first so
+    # media refs attach to the right cell
+    def _off(span):
+        off = span.get("offset") if isinstance(span, dict) else span[3]
+        return (off is None, off)
+
+    spans = sorted(spans, key=_off)
     for span in spans:
         kind = span["kind"] if isinstance(span, dict) else span[0]
         text = span["text"] if isinstance(span, dict) else span[1]

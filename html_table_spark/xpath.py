@@ -111,17 +111,33 @@ def compile_xpath(expression: str) -> XPathExpr:
                 raise ParserError(msg_invalid_xpath(expression))
             consumed = pm.end()
             if pm.group("pos") is not None:
+                if position is not None:
+                    # [1][2] applies predicates successively in real XPath;
+                    # out of subset — reject rather than mis-evaluate
+                    raise ParserError(msg_invalid_xpath(expression))
                 position = int(pm.group("pos"))
             else:
+                if position is not None:
+                    # attr predicate AFTER a positional changes meaning in
+                    # real XPath ([2][@id=x] vs [@id=x][2]) — out of subset
+                    raise ParserError(msg_invalid_xpath(expression))
                 value = pm.group("dval")
                 if value is None:
                     value = pm.group("sval")
                 attr_preds.append((pm.group("attr").lower(), value))
         if consumed != len(preds_text):
             raise ParserError(msg_invalid_xpath(expression))
+        descendant = m.group("axis") == "//"
+        if descendant and position is not None:
+            # real XPath //x[n] counts per PARENT, not across the global
+            # descendant walk (our tree has no parent pointers to replicate
+            # that) — reject eagerly instead of selecting the wrong node.
+            # The reference's generated forms only use the outer (...)[N]
+            # wrapper, which IS global document order and stays supported.
+            raise ParserError(msg_invalid_xpath(expression))
         steps.append(
             _Step(
-                descendant=m.group("axis") == "//",
+                descendant=descendant,
                 name=m.group("name").lower(),
                 attr_preds=tuple(attr_preds),
                 position=position,
@@ -207,6 +223,3 @@ def _iter_steps(root: Node, steps: tuple[_Step, ...]):
             seen.add(key)
             yield node
 
-
-def _eval_steps(root: Node, steps: tuple[_Step, ...]) -> list[Node]:
-    return list(_iter_steps(root, steps))

@@ -28,6 +28,9 @@ def norm_cell(v):
             return "nan"
         return round(v, 6)
     if hasattr(v, "isoformat"):
+        # normalize tz-aware values consistently: drop the offset entirely
+        if getattr(v, "tzinfo", None) is not None:
+            v = v.replace(tzinfo=None)
         return v.isoformat()[:26]
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
@@ -57,6 +60,10 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
@@ -71,9 +78,11 @@ def main():
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"ok   {name}: rows-only ({len(spark_rows)} rows)")
             if len(spark_rows) == 0 and name != "dd_simhash":
                 failures.append((name, "rows-only query returned 0 rows"))
+                print(f"FAIL {name}: rows-only query returned 0 rows")
+            else:
+                print(f"ok   {name}: rows-only ({len(spark_rows)} rows)")
             continue
         try:
             res = con.execute(sql)

@@ -146,3 +146,22 @@ def test_differential_fuzz_tag_soup(tokens):
     entities, void and self-closing elements, skipped structural wrappers):
     the fast scanner and the stdlib builder must produce identical trees."""
     assert_same_tree("".join(tokens))
+
+
+def test_xpath_rejects_out_of_subset_positionals():
+    """In-step positionals on the descendant axis (per-parent in real XPath,
+    unreproducible without parent pointers), stacked positionals, and attr
+    predicates after a positional are rejected eagerly instead of silently
+    selecting a different node than DOMXPath would."""
+    import pytest
+
+    from html_table_spark.errors import ParserError
+    from html_table_spark.xpath import compile_xpath
+
+    for bad in ("//table[2]", "//table[1][2]", "//table[2][@id=\"x\"]"):
+        with pytest.raises(ParserError):
+            compile_xpath(bad)
+    # the reference's generated forms stay accepted
+    for ok in ("(//table)[2]", "(//table[@id=\"x\"])[1]",
+               "(//table/thead/tr)[1]", "/table[2]/tr"):
+        compile_xpath(ok)
