@@ -29,6 +29,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from ..config import ParserConfig
+from ..htmldom import _TAG_RE as _html_tag_re
 from ..semantics import parse_document
 from ..spans import doc_spans_to_html, encode_table_flat, encode_table_spans
 from ..sources.documents import EXTRACTED_SCHEMA
@@ -409,18 +410,28 @@ def _top_level_table_cuts(html: str) -> list[tuple[int, int]] | None:
     (tag soup) — callers then fall back to whole-doc extraction, which is
     always correct, just unsplit.
 
-    The scan mirrors the tokenizer's blind spots so chunk boundaries can
-    never disagree with a whole-doc parse: table tags inside comments and
-    inside <script>/<style> raw text are NOT boundaries, and close tags
-    require the same name-boundary character as open tags (``</tables>``
-    is not a close)."""
+    The scan mirrors the tokenizer exactly at every event it inspects: at a
+    candidate <table>/<script>/<style> start tag it runs the tokenizer's own
+    ``_TAG_RE`` (htmldom), so self-closed empty elements (``<script/>``,
+    ``<table/>``), quoted-attribute ``>`` and quoted ``</table>`` inside the
+    *inspected* tag, and ``<tablex``-style non-matches all resolve the same
+    way a whole-doc parse would. Table tags inside comments and inside
+    <script>/<style> raw text are NOT boundaries, and close tags require the
+    tokenizer's name-boundary (``</tables>`` is not a close). Residual blind
+    spot (documented, fail-safe): table markup inside a quoted attribute of
+    a tag the scan does not inspect (e.g. ``<td data-x="</table>">``) —
+    such docs unbalance the depth counter and fall back to a whole-doc
+    parse."""
     lower = html.lower()
+    n = len(lower)
+    if n != len(html):  # .lower() changed length (e.g. 'İ') → offsets shift
+        return None
     cuts: list[tuple[int, int]] = []
     depth = 0
     pos = 0
     start = -1
-    n = len(lower)
     find = lower.find
+    tag_match = _html_tag_re.match
     # per-pattern next-occurrence cache, refreshed only once consumed — a
     # fresh find() of every pattern at every event would rescan the rest of
     # the doc k times per table (quadratic on mega docs, the one place this
@@ -447,28 +458,7 @@ def _top_level_table_cuts(html: str) -> list[tuple[int, int]] | None:
                 return None
             pos = m.end()
             continue
-        if kind in ("script", "style"):
-            after = at + (7 if kind == "script" else 6)
-            if after < n and lower[after] not in " >\t\n\r/":
-                pos = after  # <scriptx...> — not a raw-text element
-                continue
-            endtag = lower.find(f"</{kind}", after)
-            if endtag == -1:
-                break  # raw text runs to EOF — nothing after can be a table
-            gt = lower.find(">", endtag)
-            pos = n if gt == -1 else gt + 1
-            continue
-        if kind == "open":
-            # require a following boundary char to avoid matching <tablex>
-            after = at + 6
-            if after < n and lower[after] not in " >\t\n\r/":
-                pos = after
-                continue
-            if depth == 0:
-                start = at
-            depth += 1
-            pos = after
-        else:
+        if kind == "close":
             after = at + 7
             if after < n and lower[after] not in " >\t\n\r":
                 pos = after  # </tables> — not a table close
@@ -476,11 +466,50 @@ def _top_level_table_cuts(html: str) -> list[tuple[int, int]] | None:
             if depth == 0:
                 return None  # stray close — soup; don't split
             depth -= 1
-            gt = lower.find(">", at)
+            gt = find(">", at)
             end = (gt + 1) if gt != -1 else n
             if depth == 0:
                 cuts.append((start, end))
             pos = end
+            continue
+        # open / script / style: run the tokenizer's start-tag regex so tag
+        # end and self-closing resolve identically to a whole-doc parse
+        m = tag_match(lower, at)
+        if m is None:
+            pos = at + 1  # tokenizer emits '<' as text and rescans from at+1
+            continue
+        name = m.group("name")
+        tag_end = m.end()
+        selfclose = bool(m.group("selfclose"))
+        if kind in ("script", "style"):
+            if name != kind:
+                pos = tag_end  # <scriptx ...> — ordinary unknown element
+                continue
+            if selfclose:
+                pos = tag_end  # <script/> is an EMPTY element — no raw text
+                continue
+            endtag = find(f"</{kind}", tag_end)
+            if endtag == -1:
+                break  # raw text runs to EOF — nothing after can be a table
+            gt = find(">", endtag)
+            pos = n if gt == -1 else gt + 1
+            continue
+        # kind == "open"
+        if name != "table":
+            pos = tag_end  # <tablex ...>
+            continue
+        if selfclose:
+            # empty table element: a complete zero-row table at this depth —
+            # it never pushes the tokenizer's stack, so it must not touch
+            # the depth counter either
+            if depth == 0:
+                cuts.append((at, tag_end))
+            pos = tag_end
+            continue
+        if depth == 0:
+            start = at
+        depth += 1
+        pos = tag_end
     if depth != 0:
         return None
     return cuts

@@ -212,3 +212,55 @@ def test_table_cuts_ignore_comments_rawtext_and_typos():
     assert cuts3 is not None and len(cuts3) == 1
     # unterminated comment → ambiguous → whole-doc fallback
     assert _top_level_table_cuts("<!-- oops <table></table>") is None
+
+def test_table_cuts_selfclosed_rawtext_and_empty_table():
+    """Self-closed <script/>/<style/>/<table/> are EMPTY elements to the
+    tokenizer (htmldom _TAG_RE selfclose group) — the boundary scan must not
+    raw-text-skip past them or unbalance its depth counter (round-2 ADVICE:
+    silent table loss when chunk-splitting engaged)."""
+    from html_table_spark.operators.extract import _top_level_table_cuts
+
+    t = "<table><tr><td>x</td></tr></table>"
+    # ADVICE repro: <script/> + 3 tables + stray </script> + 1 table.
+    # The stray </script> ends raw text nowhere (no raw text is open), the
+    # tokenizer sees 4 top-level tables... but the stray close is consumed
+    # as an end-tag token; all 4 tables are real.
+    h = "<script/>" + t * 3 + "</script>" + t
+    cuts = _top_level_table_cuts(h)
+    assert cuts is not None and len(cuts) == 4
+    # self-closed style
+    cuts = _top_level_table_cuts("<style/>" + t * 2 + "</style>" + t)
+    assert cuts is not None and len(cuts) == 3
+    # self-closed table: a complete zero-row table, must count as a cut and
+    # not increment depth
+    cuts = _top_level_table_cuts("<table/>" + t + "<table/>")
+    assert cuts is not None and len(cuts) == 3
+    # self-closed with attributes / unquoted value ending in '/'
+    cuts = _top_level_table_cuts('<script src="x.js"/>' + t)
+    assert cuts is not None and len(cuts) == 1
+    cuts = _top_level_table_cuts("<script src=foo/>" + t)
+    assert cuts is not None and len(cuts) == 1
+    # quoted '>' inside a raw-text opener's attribute
+    cuts = _top_level_table_cuts('<script src="a>b">var x</script>' + t)
+    assert cuts is not None and len(cuts) == 1
+    # quoted '>' inside the table tag itself
+    cuts = _top_level_table_cuts('<table class="a>b"><tr><td>y</td></tr></table>')
+    assert cuts is not None and len(cuts) == 1
+
+
+def test_mega_doc_split_parity_selfclosed_script(spark):
+    """End-to-end: chunk-split output == whole-doc output on a mega doc whose
+    preamble contains the ADVICE self-closed-script pattern."""
+    t = "<table><tr><td>c{}</td></tr></table>"
+    html = "<script/>" + "".join(t.format(i) for i in range(40)) + "</script>" + "".join(
+        t.format(i) for i in range(40, 50)
+    )
+    rows = [
+        {"doc_id": "sc", "spans": [{"kind": "text", "text": html, "media_ref": None, "offset": 0}]}
+    ]
+    config = ParserConfig().all_tables()
+    chunks = split_mega_docs(_docs_df(spark, rows), tables_per_chunk=8)
+    got = spark_signatures(extract_tables(chunks, config))
+    expected = kernel_signatures(rows, config)
+    assert len(got) == 50
+    assert got == expected
