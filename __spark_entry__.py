@@ -260,6 +260,52 @@ def x_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_xpath_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMXPath-parity selectors over a three-table page: contains(),
+    attribute existence, and/not, starts-with/or, and top-level union — the
+    selector shapes users paste from browser devtools (reference accepts
+    arbitrary XPath, Parser.php:67-92; round-1 supported only the generated
+    subset). Each selector picks a structurally-known table, so the
+    extracted cells are SQL-predictable."""
+    w0 = F.element_at(_W(), 1)
+    rest = F.regexp_replace("text", r"^[^ ]+ ", "")
+    html = F.concat(
+        F.lit(
+            '<table class="nav small"><tr><td>menu</td></tr></table>'
+            '<table class="data wide" id="t2"><tr><td>'
+        ),
+        w0,
+        F.lit('</td></tr></table><table class="data"><tr><td>'),
+        F.regexp_replace(rest, " ", "</td></tr><tr><td>"),
+        F.lit("</td></tr></table>"),
+    )
+    corpus = _docs_as_corpus(spark, sf_dir, html)
+    selectors = {
+        "contains": '//table[contains(@class,"wide")]',
+        "attr_exists": "//table[@id]",
+        "and_not": '//table[contains(@class,"data") and not(@id)]',
+        "or_starts": '//table[starts-with(@class,"nav") or @class="zz"]',
+        "union": '//table[@class="zz"] | //table[contains(@class,"nav")]',
+    }
+    parts = []
+    for name, expr in selectors.items():
+        cells = extracted_cells(
+            extract_tables(corpus, ParserConfig().table_xpath_position(expr))
+        )
+        parts.append(
+            cells.select(
+                "doc_id",
+                F.lit(name).alias("sel"),
+                F.col("text").alias("cell_text"),
+                F.col("offset").cast("int").alias("pos"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def x_user_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-supplied sparse header (pick + reorder + null-fill a missing
     offset — combineArray, Parser.php:614-622) verified by SQL."""
@@ -402,9 +448,16 @@ def qs_fetch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def qs_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tabular(_read(spark, sf_dir, "lineitem"), order_by=["l_orderkey", "l_linenumber"])
-    filtered = t.filter(F.col("l_discount") >= 0.05)
-    return filtered.reduce(F.count(F.lit(1)).alias("n"))
+    """count + exists verbs (TabularDataReader::count / league/csv exists)
+    as two single-row aggregates cross-joined — both pure aggregates, no
+    collect on either side."""
+    li = Tabular(_read(spark, sf_dir, "lineitem"), order_by=["l_orderkey", "l_linenumber"])
+    n = li.filter(F.col("l_discount") >= 0.05).reduce(F.count(F.lit(1)).alias("n"))
+    orders = Tabular(_read(spark, sf_dir, "orders"), order_by=["o_orderkey"])
+    found = orders.filter(F.col("o_orderpriority") == "1-URGENT").reduce(
+        (F.count(F.lit(1)) > 0).alias("found")
+    )
+    return n.crossJoin(found)
 
 
 def qs_fetch_column(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,15 +476,6 @@ def qs_map_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
-def qs_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exists(predicate) — league/csv TabularDataReader verb as one
-    aggregate (no collect)."""
-    t = Tabular(_read(spark, sf_dir, "orders"), order_by=["o_orderkey"])
-    return t.filter(F.col("o_orderpriority") == "1-URGENT").reduce(
-        (F.count(F.lit(1)) > 0).alias("found")
-    )
-
-
 def qs_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """reduce(fn, init) — the reference's client-side fold becomes a native
     aggregate (ParserTest.php:540-548 pattern)."""
@@ -440,6 +484,25 @@ def qs_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def qs_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonSerialize sink (Table.php:68-75): caption + header + rows as one
+    compact JSON document per extracted table — caption = first word, body =
+    remaining words as single-cell rows, header empty (no thead)."""
+    from html_table_spark.operators.tabular import table_to_json
+
+    w0 = F.element_at(_W(), 1)
+    rest = F.regexp_replace("text", r"^[^ ]+ ", "")
+    html = F.concat(
+        F.lit("<table><caption>"), w0,
+        F.lit("</caption><tr><td>"),
+        F.regexp_replace(rest, " ", "</td></tr><tr><td>"),
+        F.lit("</td></tr></table>"),
+    )
+    corpus = _docs_as_corpus(spark, sf_dir, html)
+    out = table_to_json(extract_tables(corpus, ParserConfig()))
+    return out.select("doc_id", "js")
 
 
 def qs_project_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,35 +766,18 @@ def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def tx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics + token counting three ways (whitespace,
+    BPE-ish regex pre-tokens, alphabetic-only) + language guess +
+    fingerprint — all JVM Column expressions, one scan."""
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         tx.token_count("text").cast("bigint").alias("n_tokens"),
+        tx.bpe_token_count("text").cast("bigint").alias("n_bpe"),
+        tx.alpha_token_count("text").cast("bigint").alias("n_alpha"),
         tx.char_count("text").cast("bigint").alias("n_chars2"),
         tx.lang_id("text").alias("lang_guess"),
         tx.fingerprint("text").alias("fp"),
-    )
-
-
-def tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        tx.quality_score("text").alias("quality"),
-        F.round(tx.stopword_ratio("text"), 4).alias("stop_ratio"),
-        F.round(tx.punct_ratio("text"), 4).alias("punct_ratio"),
-    )
-
-
-def tx_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting three ways: whitespace, BPE-ish regex pre-tokens,
-    alphabetic-only — all JVM regexp, oracle-checked."""
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        tx.token_count("text").cast("bigint").alias("n_ws"),
-        tx.bpe_token_count("text").cast("bigint").alias("n_bpe"),
-        tx.alpha_token_count("text").cast("bigint").alias("n_alpha"),
     )
 
 
@@ -767,11 +813,15 @@ def tx_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data quality gate: keep documents that pass
     quality, repetition, and language thresholds — the filter chain every
     corpus pipeline runs before tokenization (one scan, pure codegen-able
-    predicates plus the array-expression scores)."""
+    predicates plus the array-expression scores). Carries the full quality
+    breakdown (score + stopword/punctuation ratios) so the surviving rows
+    double as the quality-scoring surface."""
     docs = _read(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         tx.quality_score("text").alias("q"),
+        F.round(tx.stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(tx.punct_ratio("text"), 4).alias("punct_ratio"),
         F.round(tx.dup_token_ratio("text"), 4).alias("dup"),
         tx.lang_id_ngram("text").alias("lang"),
     )
@@ -832,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sections": x_sections,
         "x_position": x_position,
         "x_by_id": x_by_id,
+        "x_xpath_extended": x_xpath_extended,
         "x_user_header": x_user_header,
         "x_header_rows": x_header_rows,
         "x_table_summary": x_table_summary,
@@ -846,8 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_fetch_column": qs_fetch_column,
         "qs_map_value": qs_map_value,
         "qs_count": qs_count,
-        "qs_exists": qs_exists,
         "qs_reduce": qs_reduce,
+        "qs_json": qs_json,
         "qs_project_nullfill": qs_project_nullfill,
         "q1_pricing": q1_pricing,
         "q3_shipping": q3_shipping,
@@ -868,8 +919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": dd_simhash,
         "dd_embed_cosine": dd_embed_cosine,
         "tx_stats": tx_stats,
-        "tx_quality": tx_quality,
-        "tx_tokens": tx_tokens,
         "tx_langid": tx_langid,
         "tx_repetition": tx_repetition,
         "tx_filter": tx_filter,
@@ -880,6 +929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+# exact twin of functions/text.py tokens(): trim, \s+ split, empty → []
+_TOKS_SQL = (
+    "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim(text), '\\s+') END)"
+)
 _SHINGLES_SQL = """
         CASE WHEN len(string_split(text, ' ')) < 3
              THEN [text]
@@ -1272,6 +1326,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x_position": _SECOND_TABLE_SQL,
         "x_by_id": _SECOND_TABLE_SQL,
+        "x_xpath_extended": """
+            WITH w AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       split_part(text, ' ', 1) AS w0,
+                       (string_split(text, ' '))[2:] AS rest
+                FROM documents
+            )
+            SELECT doc_id, 'contains' AS sel, w0 AS cell_text,
+                   CAST(0 AS INT) AS pos FROM w
+            UNION ALL
+            SELECT doc_id, 'attr_exists', w0, CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'and_not', unnest(rest),
+                   CAST(generate_subscripts(rest, 1) - 1 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'or_starts', 'menu', CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'union', 'menu', CAST(0 AS INT) FROM w
+        """,
         "x_user_header": """
             WITH w AS (
                 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1332,11 +1405,9 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "qs_count": """
-            SELECT count(*) AS n FROM lineitem WHERE l_discount >= 0.05
-        """,
-        "qs_exists": """
-            SELECT count(*) > 0 AS found FROM orders
-            WHERE o_orderpriority = '1-URGENT'
+            SELECT (SELECT count(*) FROM lineitem WHERE l_discount >= 0.05) AS n,
+                   (SELECT count(*) > 0 FROM orders
+                    WHERE o_orderpriority = '1-URGENT') AS found
         """,
         "qs_reduce": """
             SELECT round(sum(o_totalprice), 2) AS total, count(*) AS n
@@ -1346,6 +1417,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand AS brand, p_name AS name,
                    CAST(NULL AS VARCHAR) AS missing, p_partkey
             FROM part
+        """,
+        "qs_json": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(json_object(
+                       'caption', split_part(text, ' ', 1),
+                       'header', CAST([] AS VARCHAR[]),
+                       'rows', list_transform((string_split(text, ' '))[2:],
+                                              x -> [x])
+                   ) AS VARCHAR) AS js
+            FROM documents
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
@@ -1463,14 +1544,6 @@ def oracle_sql() -> dict[str, str]:
             FROM s2 GROUP BY 1, 2
         """,
         "dd_embed_cosine": _embed_near_dup_sql(),
-        "tx_tokens": """
-            SELECT doc_id,
-                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws,
-                   CAST(len(regexp_extract_all(text,
-                        '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha
-            FROM documents
-        """,
         "ann_ivf": """
             WITH cent AS (
                 SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
@@ -1538,45 +1611,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = p.id_a
             JOIN sizes sb ON sb.doc_id = p.id_b
         """,
+        # _TOKS_SQL mirrors tokens() exactly: trim, \s+ regex split, empty
+        # text → zero tokens (round-2 ADVICE: the old single-space
+        # string_split diverged on multi-whitespace / empty documents)
         "tx_stats": f"""
             SELECT doc_id,
-                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
                    CAST(length(text) AS BIGINT) AS n_chars2,
-                   CASE WHEN len(list_filter(string_split(trim(text), ' '),
+                   CASE WHEN len(list_filter({_TOKS_SQL},
                           x -> lower(x) IN ('the','a','of','and','to'))) > 0
                         THEN 'en' ELSE 'unk' END AS lang_guess,
                    {_FP_SQL} AS fp
             FROM documents
         """,
-        "tx_quality": """
-            WITH t AS (
-                SELECT doc_id,
-                       string_split(trim(text), ' ') AS toks,
-                       text
-                FROM documents
-            ),
-            m AS (
-                SELECT doc_id,
-                       len(toks) AS n,
-                       list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0 / len(toks) AS avg_len,
-                       len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to'))) * 1.0 / len(toks) AS sr,
-                       (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g'))) * 1.0 /
-                           length(text) AS pr
-                FROM t
-            )
-            SELECT doc_id,
-                   round(0.4 * least(n / 50.0, 1.0)
-                       + 0.3 * (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 1.0 ELSE 0.5 END)
-                       + 0.3 * least(sr * 5.0, 1.0) + 1e-9, 4) AS quality,
-                   round(sr, 4) AS stop_ratio,
-                   round(pr, 4) AS punct_ratio
-            FROM m
-        """,
         "tx_langid": _langid_sql(),
         "tx_repetition": f"""
             WITH t AS (
                 SELECT doc_id,
-                       string_split_regex(trim(text), '\\s+') AS toks,
+                       {_TOKS_SQL} AS toks,
                        {_SHINGLES_SQL} AS sh
                 FROM documents
             )
@@ -1613,11 +1668,43 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(),
         "dd_simhash": _simhash_sql(),
     }
-    # the composed quality gate reuses the three sub-oracles verbatim, so
-    # the filter semantics can never drift from the individual checks
+    # quality-score sub-oracle (mirrors quality_score/stopword_ratio/
+    # punct_ratio with zero-token and zero-length guards exactly as the
+    # Column expressions define them)
+    quality_sql = f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS_SQL} AS toks, text
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0 / len(toks)
+                   END AS avg_len,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to'))) * 1.0 / len(toks)
+                   END AS sr,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'))) * 1.0 /
+                             length(text)
+                   END AS pr
+            FROM t
+        )
+        SELECT doc_id,
+               round(0.4 * least(n / 50.0, 1.0)
+                   + 0.3 * (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 1.0 ELSE 0.5 END)
+                   + 0.3 * least(sr * 5.0, 1.0) + 1e-9, 4) AS quality,
+               round(sr, 4) AS stop_ratio,
+               round(pr, 4) AS punct_ratio
+        FROM m
+    """
+    # the composed quality gate reuses the sub-oracles verbatim, so the
+    # filter semantics can never drift from the individual checks
     oracles["tx_filter"] = f"""
-        SELECT q.doc_id, q.quality AS q, r.dup_tok AS dup, l.lang
-        FROM ({oracles['tx_quality']}) q
+        SELECT q.doc_id, q.quality AS q, q.stop_ratio, q.punct_ratio,
+               r.dup_tok AS dup, l.lang
+        FROM ({quality_sql}) q
         JOIN ({oracles['tx_repetition']}) r ON r.doc_id = q.doc_id
         JOIN ({oracles['tx_langid']}) l ON l.doc_id = q.doc_id
         WHERE q.quality >= 0.5 AND r.dup_tok <= 0.4 AND l.lang = 'en'

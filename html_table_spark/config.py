@@ -149,18 +149,38 @@ def _check_section(section: str) -> None:
         raise ParserError(f"Unknown table section `{section}`.")
 
 
+_PHP_INT_KEY_RE = re.compile(r"-?[1-9][0-9]*|0")
+
+
+def _php_array_key(off) -> int:
+    """PHP auto-casts array keys before user code ever sees them: canonical
+    decimal integer strings ("2", "-5" — not "02", " 2", "+2", "-0") become
+    int, floats truncate toward zero, bools become 0/1. Anything else stays
+    a string key, which can never equal a source offset → normalize to -1
+    (combineArray null-fills it, ``$record[$k] ?? null``)."""
+    if isinstance(off, bool):
+        return int(off)
+    if isinstance(off, int):
+        return off
+    if isinstance(off, float) and off == off and abs(off) != float("inf"):
+        return int(off)
+    if isinstance(off, str) and _PHP_INT_KEY_RE.fullmatch(off):
+        return int(off)
+    return -1
+
+
 def _normalize_header(header_row) -> tuple[tuple[int, str], ...]:
     """PHP array-key semantics (Parser.php:114-131 validates VALUES only):
-    any key is accepted — negative or non-int keys simply never match a
+    any key is accepted — negative or non-matching keys simply never match a
     source offset, so combineArray null-fills them (``$record[$k] ?? null``).
-    Non-int keys normalize to -1 (an offset that cannot exist)."""
+    Keys are first coerced by the PHP array-key cast rule
+    (:func:`_php_array_key`), so ``{'2': 'x'}`` selects source offset 2
+    exactly as the reference does."""
     if isinstance(header_row, dict):
         items = list(header_row.items())
     else:
         items = list(enumerate(header_row))
-    return tuple(
-        (off if isinstance(off, int) else -1, name) for off, name in items
-    )
+    return tuple((_php_array_key(off), name) for off, name in items)
 
 
 def validate_header(names: list) -> None:

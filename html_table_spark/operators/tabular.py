@@ -124,6 +124,42 @@ class Tabular:
         return self._ordered().toLocalIterator()
 
 
+def table_to_json(extracted: DataFrame) -> DataFrame:
+    """``Table::jsonSerialize`` twin (reference ``src/Table.php:68-75``):
+    one compact JSON document per extracted table with the same shape —
+    ``{"caption": ..., "header": [...], "rows": [[...], ...]}``. Rows are
+    rebuilt from the span stream JVM-side (filter + transform on the array
+    column, no explode/re-group shuffle); each cell span becomes a
+    single-cell row in span order, matching the reference's iteration
+    order. Parity note: PHP's json_encode keeps null-valued keys while
+    Spark's ``to_json`` drops them — callers needing the explicit
+    ``"caption": null`` key must coalesce the caption to a sentinel."""
+    cells = F.filter(F.col("spans"), lambda s: s["kind"] == "cell")
+    rows = F.transform(cells, lambda s: F.array(s["text"]))
+    return extracted.select(
+        "doc_id",
+        "table_idx",
+        F.to_json(
+            F.struct(
+                F.col("caption").alias("caption"),
+                F.col("header").alias("header"),
+                rows.alias("rows"),
+            )
+        ).alias("js"),
+    )
+
+
+def golden_diff(actual: DataFrame, expected: DataFrame) -> DataFrame:
+    """Multiset diff for golden-expectation comparison (SURVEY §2.7 set
+    ops): rows present in ``actual`` but not ``expected`` tagged
+    ``unexpected``, the reverse tagged ``missing`` — ``exceptAll`` keeps
+    duplicate multiplicity, so doubled rows are caught where ``except``
+    would hide them. An empty result == exact multiset equality."""
+    a = actual.exceptAll(expected).withColumn("golden_side", F.lit("unexpected"))
+    b = expected.exceptAll(actual).withColumn("golden_side", F.lit("missing"))
+    return a.unionAll(b)
+
+
 def extracted_cells(extracted: DataFrame) -> DataFrame:
     """Explode extraction output spans to one row per span — the relational
     view used by downstream queries and the DuckDB oracles:

@@ -1,74 +1,693 @@
-"""Minimal XPath subset used by the extraction engine.
+"""XPath evaluator for the extraction engine.
 
 The reference accepts arbitrary XPath through ``tableXPathPosition``
-(``src/Parser.php:67-92``) but *generates* only four shapes internally
-(``Parser.php:56,60,102,105``; ``Section.php:25-27``)::
+(``src/Parser.php:67-92``, validated eagerly at ``:73-80``) and *generates*
+four shapes internally (``Parser.php:56,60,102,105``; ``Section.php:25-27``).
+Round 1 supported only the generated family; this round implements a
+recursive-descent parser + evaluator for the DOMXPath subset real users
+paste from browser devtools:
 
-    (//table)[1]                  -- default table selection
-    (//table[@id="x"])[1]         -- selection by id
-    (//table)[N]                  -- selection by position
-    (//table/thead/tr)[N]         -- header-row location (also //table/tr)
+- absolute, relative, and ``.//``-anchored paths; ``/`` and ``//`` steps
+  (``//`` desugars to ``descendant-or-self::node()`` + child step, so
+  ``//table[2]`` counts per parent exactly as DOMXPath does)
+- explicit axes: ``child::``, ``descendant::``, ``descendant-or-self::``,
+  ``self::``, ``parent::`` (and ``.``/``..`` abbreviations)
+- predicates: positional (``[2]``), attribute equality (``[@id="x"]``),
+  attribute existence (``[@id]``), relative-path existence (``[thead]``,
+  ``[.//th]``), ``and`` / ``or`` / ``not()``, comparisons
+  (``= != < <= > >=``), ``contains()``, ``starts-with()``,
+  ``normalize-space()``, ``string-length()``, ``position()``, ``last()``,
+  ``text()`` and ``.`` string values, numeric literals
+- top-level union ``|`` and the ``(path)[N]`` document-order wrapper
 
-plus the test-suite's ``//p``.  This module evaluates exactly that family —
-absolute descendant paths with child steps, ``[@attr="value"]`` /
-positional predicates, a wildcard step, and an optional outer ``(...)[N]``
-index — over :class:`html_table_spark.htmldom.Node` trees, returning nodes
-in document order (deduplicated), as ``DOMXPath::query`` does.
+Everything outside the grammar (e.g. ``following-sibling::``, attribute
+*location* steps, ``text()`` as a final step — our tree stores text runs as
+plain strings, not nodes) raises :class:`ParserError` with the reference's
+eager-validation message, so misconfigurations surface on the driver, never
+inside a Spark task.
 
-Anything outside the subset raises :class:`ParserError` with the reference's
-eager-validation message (``Parser.php:73-80`` validates the expression at
-*config* time against an empty document; we validate by parsing the grammar —
-same effect: misconfigurations surface on the driver, never inside a Spark
-task).
+Results are element nodes in document order, deduplicated, matching
+``DOMXPath::query``. Known divergence vs libxml2: adjacent text runs are
+merged at parse time, so ``text()`` predicates see one merged run where DOM
+might see several — observable only with CDATA-ish splits the tolerant
+tokenizer never produces.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from .errors import ParserError, msg_invalid_xpath
 from .htmldom import ELEMENT, Node
 
-_STEP_RE = re.compile(
-    r"""^
-    (?P<axis>//|/)
-    (?P<name>\*|[a-zA-Z][a-zA-Z0-9_-]*)
-    (?P<preds>(\[[^\]]*\])*)
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<dslash>//)
+  | (?P<slash>/)
+  | (?P<ddot>\.\.)
+  | (?P<dot>\.)
+  | (?P<lbrak>\[) | (?P<rbrak>\]) | (?P<lpar>\() | (?P<rpar>\))
+  | (?P<union>\|)
+  | (?P<comma>,)
+  | (?P<at>@)
+  | (?P<axis>[a-zA-Z][a-zA-Z-]*::)
+  | (?P<name>\*|[a-zA-Z_][a-zA-Z0-9_.-]*)
+  | (?P<str>"[^"]*"|'[^']*')
+  | (?P<ne>!=) | (?P<le><=) | (?P<ge>>=) | (?P<lt><) | (?P<gt>>) | (?P<eq>=)
     """,
     re.VERBOSE,
 )
-_PRED_RE = re.compile(
-    r"""\[
-        (?:
-            @(?P<attr>[a-zA-Z][a-zA-Z0-9_:-]*)\s*=\s*
-            (?:"(?P<dval>[^"]*)"|'(?P<sval>[^']*)')
-          | (?P<pos>\d+)
-        )
-    \]""",
-    re.VERBOSE,
-)
-_OUTER_RE = re.compile(r"^\((?P<path>.+)\)\[(?P<idx>\d+)\]$", re.DOTALL)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise _SyntaxError()
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append((kind, m.group()))
+    return out
+
+
+class _SyntaxError(Exception):
+    """Internal parse failure; converted to ParserError with the reference
+    message at the compile_xpath boundary."""
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+_AXES = {"child", "descendant", "descendant-or-self", "self", "parent"}
 
 
 @dataclass(frozen=True)
 class _Step:
-    descendant: bool  # '//' vs '/'
-    name: str  # tag name or '*'
-    attr_preds: tuple[tuple[str, str], ...]
-    position: int | None  # 1-based positional predicate
+    axis: str  # member of _AXES
+    test: str  # tag name, '*', or 'node()'
+    preds: tuple = ()  # predicate expression ASTs, applied in sequence
+
+
+@dataclass(frozen=True)
+class _Path:
+    steps: tuple[_Step, ...]
+    absolute: bool  # True → evaluate from the document root
+
+
+# Expr AST: nested tuples
+#   ('or', a, b) ('and', a, b) ('not', x)
+#   ('cmp', op, a, b)            op in = != < <= > >=
+#   ('num', float) ('str', s)
+#   ('attr', name)               node-set of the attribute's value
+#   ('text',)                    node-set of direct text children
+#   ('dotval',)                  string value of the context node
+#   ('pos',) ('last',)
+#   ('contains', a, b) ('starts-with', a, b)
+#   ('normalize-space', x|None) ('string-length', x|None)
+#   ('path', _Path)              node-set (existence / string value)
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind: str):
+        k, v = self.next()
+        if k != kind:
+            raise _SyntaxError()
+        return v
+
+    def at_end(self) -> bool:
+        return self.i >= len(self.toks)
+
+    # -- paths --------------------------------------------------------------
+
+    def parse_union(self) -> list[_Path]:
+        paths = [self.parse_path()]
+        while self.peek()[0] == "union":
+            self.next()
+            paths.append(self.parse_path())
+        return paths
+
+    def parse_path(self) -> _Path:
+        steps: list[_Step] = []
+        absolute = False
+        need_step = True
+        kind = self.peek()[0]
+        if kind == "slash":
+            self.next()
+            absolute = True
+            if self.at_end():  # bare '/' selects the document root
+                return _Path(steps=(_Step("self", "node()"),), absolute=True)
+        elif kind == "dslash":
+            self.next()
+            absolute = True
+            steps.append(_Step("descendant-or-self", "node()"))
+        elif kind == "dot":
+            self.next()
+            steps.append(_Step("self", "node()"))
+            need_step = False
+        elif kind == "ddot":
+            self.next()
+            steps.append(_Step("parent", "node()"))
+            need_step = False
+        if need_step:
+            steps.append(self.parse_step())
+        while not self._at_path_end():
+            self._path_sep(steps)
+            steps.append(self.parse_step())
+        return _Path(steps=_fuse_steps(steps), absolute=absolute)
+
+    def _at_path_end(self) -> bool:
+        return self.peek()[0] not in ("slash", "dslash")
+
+    def _path_sep(self, steps: list[_Step]) -> None:
+        kind, _ = self.next()
+        if kind == "dslash":
+            steps.append(_Step("descendant-or-self", "node()"))
+        elif kind != "slash":
+            raise _SyntaxError()
+
+    def parse_step(self) -> _Step:
+        kind, value = self.peek()
+        axis = "child"
+        if kind == "axis":
+            axis = value[:-2]
+            if axis not in _AXES:
+                raise _SyntaxError()  # following-sibling:: etc. unsupported
+            self.next()
+            kind, value = self.peek()
+        if kind == "ddot":
+            self.next()
+            return _Step("parent", "node()", self._parse_preds())
+        if kind == "dot":
+            self.next()
+            return _Step("self", "node()", self._parse_preds())
+        if kind == "at":
+            raise _SyntaxError()  # attribute location steps unsupported
+        if kind != "name":
+            raise _SyntaxError()
+        self.next()
+        test = value.lower()
+        if self.peek()[0] == "lpar":
+            # node-test function: node() supported; text()/comment() are not
+            # representable as result nodes in this tree
+            self.next()
+            self.expect("rpar")
+            if test != "node":
+                raise _SyntaxError()
+            test = "node()"
+        return _Step(axis, test, self._parse_preds())
+
+    def _parse_preds(self) -> tuple:
+        preds = []
+        while self.peek()[0] == "lbrak":
+            self.next()
+            preds.append(self.parse_expr())
+            self.expect("rbrak")
+        return tuple(preds)
+
+    # -- predicate expressions ----------------------------------------------
+
+    def parse_expr(self):
+        node = self.parse_and()
+        while self.peek() == ("name", "or"):
+            self.next()
+            node = ("or", node, self.parse_and())
+        return node
+
+    def parse_and(self):
+        node = self.parse_cmp()
+        while self.peek() == ("name", "and"):
+            self.next()
+            node = ("and", node, self.parse_cmp())
+        return node
+
+    _CMP = {"eq": "=", "ne": "!=", "lt": "<", "le": "<=", "gt": ">", "ge": ">="}
+
+    def parse_cmp(self):
+        node = self.parse_value()
+        kind = self.peek()[0]
+        if kind in self._CMP:
+            self.next()
+            return ("cmp", self._CMP[kind], node, self.parse_value())
+        return node
+
+    def parse_value(self):
+        kind, value = self.peek()
+        if kind == "num":
+            self.next()
+            return ("num", float(value))
+        if kind == "str":
+            self.next()
+            return ("str", value[1:-1])
+        if kind == "at":
+            self.next()
+            return ("attr", self.expect("name").lower())
+        if kind == "lpar":
+            self.next()
+            node = self.parse_expr()
+            self.expect("rpar")
+            return node
+        if kind == "name" and self.peek(1)[0] == "lpar":
+            return self._parse_function(value.lower())
+        if kind in ("name", "slash", "dslash", "dot", "ddot", "axis"):
+            # relative (or absolute) path → node-set
+            return ("path", self.parse_path())
+        raise _SyntaxError()
+
+    def _parse_function(self, name: str):
+        self.next()  # name
+        self.expect("lpar")
+        if name == "not":
+            arg = self.parse_expr()
+            self.expect("rpar")
+            return ("not", arg)
+        if name in ("contains", "starts-with"):
+            a = self.parse_expr()
+            self.expect("comma")
+            b = self.parse_expr()
+            self.expect("rpar")
+            return (name, a, b)
+        if name in ("position", "last"):
+            self.expect("rpar")
+            return ("pos",) if name == "position" else ("last",)
+        if name == "text":
+            self.expect("rpar")
+            return ("text",)
+        if name in ("normalize-space", "string-length", "string"):
+            arg = None
+            if self.peek()[0] != "rpar":
+                arg = self.parse_expr()
+            self.expect("rpar")
+            return ("stringfn", arg) if name == "string" else (name, arg)
+        raise _SyntaxError()
+
+
+def _fuse_steps(steps: list[_Step]) -> tuple[_Step, ...]:
+    """Collapse ``descendant-or-self::node()`` + ``child::X`` pairs (the
+    ``//X`` desugaring) into a single ``descendant::X`` step when X carries
+    no positional logic — one DFS instead of a generator per tree node, the
+    shape every hot-path expression uses. Positional predicates keep the
+    two-step form because ``//X[n]`` counts per parent, while
+    ``descendant::X[n]`` counts per context."""
+    fused: list[_Step] = []
+    i = 0
+    while i < len(steps):
+        s = steps[i]
+        if (
+            s.axis == "descendant-or-self"
+            and s.test == "node()"
+            and not s.preds
+            and i + 1 < len(steps)
+            and steps[i + 1].axis == "child"
+            and not any(
+                p[0] == "num" or _uses_position(p) for p in steps[i + 1].preds
+            )
+        ):
+            nxt = steps[i + 1]
+            fused.append(_Step("descendant", nxt.test, nxt.preds))
+            i += 2
+            continue
+        fused.append(s)
+        i += 1
+    return tuple(fused)
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+
+def _children_elements(node: Node):
+    for child in node.children:
+        if type(child) is Node and child.kind == ELEMENT:
+            yield child
+
+
+def _descendants(node: Node):
+    stack = node.children[::-1]
+    while stack:
+        n = stack.pop()
+        if type(n) is Node and n.kind == ELEMENT:
+            yield n
+            if n.children:
+                stack.extend(n.children[::-1])
+
+
+def _string_value(node: Node) -> str:
+    """XPath string() of an element: concatenated descendant text."""
+    parts: list[str] = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        for c in reversed(n.children):
+            if type(c) is str:
+                parts.append(c)
+            elif c.kind == ELEMENT:
+                stack.append(c)
+    return "".join(reversed(parts))
+
+
+def _build_parent_map(root: Node) -> dict[int, Node]:
+    parents: dict[int, Node] = {}
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        for c in n.children:
+            if type(c) is Node and c.kind == ELEMENT:
+                parents[id(c)] = n
+                stack.append(c)
+    return parents
+
+
+def _doc_order_map(root: Node) -> dict[int, int]:
+    order: dict[int, int] = {id(root): 0}
+    i = 1
+    for n in _descendants(root):
+        order[id(n)] = i
+        i += 1
+    return order
+
+
+class _EvalCtx:
+    """Per-query evaluation state: the document root plus lazily-built
+    parent and document-order maps (only paid for when an expression
+    actually uses ``..``/``parent::`` or needs an order fix-up)."""
+
+    __slots__ = ("root", "_parents", "_order")
+
+    def __init__(self, root: Node):
+        self.root = root
+        self._parents = None
+        self._order = None
+
+    def parent(self, node: Node) -> Node | None:
+        if self._parents is None:
+            self._parents = _build_parent_map(self.root)
+        return self._parents.get(id(node))
+
+    def ordinal(self, node: Node) -> int:
+        if self._order is None:
+            self._order = _doc_order_map(self.root)
+        return self._order.get(id(node), 1 << 60)
+
+
+def _uses_position(expr) -> bool:
+    if expr[0] in ("pos", "last"):
+        return True
+    return any(
+        isinstance(part, tuple) and _uses_position(part) for part in expr[1:]
+    )
+
+
+def _axis_candidates(ctx: Node, step: _Step, ev: _EvalCtx):
+    axis = step.axis
+    if axis == "child":
+        nodes = _children_elements(ctx)
+    elif axis == "descendant":
+        nodes = _descendants(ctx)
+    elif axis == "descendant-or-self":
+        def chain():
+            yield ctx
+            yield from _descendants(ctx)
+        nodes = chain()
+    elif axis == "self":
+        nodes = iter((ctx,))
+    else:  # parent
+        p = ev.parent(ctx) if ctx is not ev.root else None
+        nodes = iter(()) if p is None else iter((p,))
+    test = step.test
+    if test == "node()":
+        yield from nodes
+    elif test == "*":
+        for n in nodes:
+            if n.kind == ELEMENT:
+                yield n
+    else:
+        for n in nodes:
+            if n.kind == ELEMENT and n.tag == test:
+                yield n
+
+
+def _step_matches(ctx: Node, step: _Step, ev: _EvalCtx):
+    candidates = _axis_candidates(ctx, step, ev)
+    if not step.preds:
+        yield from candidates
+        return
+    positional = any(
+        p[0] == "num" or _uses_position(p) for p in step.preds
+    )
+    if not positional:
+        for n in candidates:
+            if all(_truth(p, n, None, None, ev) for p in step.preds):
+                yield n
+        return
+    # positional predicates need the per-context node-set: filter the list
+    # predicate by predicate, recomputing position()/last() each round
+    current = list(candidates)
+    for p in step.preds:
+        size = len(current)
+        if p[0] == "num":
+            idx = int(p[1])
+            current = [current[idx - 1]] if 1 <= idx <= size and p[1] == idx else []
+        else:
+            current = [
+                n
+                for i, n in enumerate(current)
+                if _truth(p, n, i + 1, size, ev)
+            ]
+    yield from current
+
+
+def _iter_path(ctx_nodes, path: _Path, ev: _EvalCtx):
+    """Lazily yield the path's matches in document order, deduplicated."""
+    steps = path.steps
+    last = len(steps) - 1
+
+    def walk(level: int, ctx: Node):
+        step = steps[level]
+        if level == last:
+            yield from _step_matches(ctx, step, ev)
+        else:
+            for node in _step_matches(ctx, step, ev):
+                yield from walk(level + 1, node)
+
+    seen: set[int] = set()
+    for ctx in ctx_nodes:
+        for node in walk(0, ctx):
+            key = id(node)
+            if key not in seen:
+                seen.add(key)
+                yield node
+
+
+# -- predicate value model ---------------------------------------------------
+# values: ('set', [str values of matched attr/text/nodes], n_nodes)
+#         ('num', float) ('str', s) ('bool', b)
+
+
+def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
+    op = expr[0]
+    if op == "num":
+        return ("num", expr[1])
+    if op == "str":
+        return ("str", expr[1])
+    if op == "attr":
+        attrs = node.attrs or {}
+        if expr[1] in attrs:
+            return ("set", [attrs[expr[1]]])
+        return ("set", [])
+    if op == "text":
+        return ("set", [c for c in node.children if type(c) is str])
+    if op == "dotval":
+        return ("set", [_string_value(node)])
+    if op == "pos":
+        if pos is None:
+            raise _SyntaxError()
+        return ("num", float(pos))
+    if op == "last":
+        if size is None:
+            raise _SyntaxError()
+        return ("num", float(size))
+    if op == "path":
+        path = expr[1]
+        ctx = [ev.root] if path.absolute else [node]
+        return ("set", [_string_value(n) for n in _iter_path(ctx, path, ev)])
+    if op == "contains":
+        a = _to_string(_eval_value(expr[1], node, pos, size, ev))
+        b = _to_string(_eval_value(expr[2], node, pos, size, ev))
+        return ("bool", b in a)
+    if op == "starts-with":
+        a = _to_string(_eval_value(expr[1], node, pos, size, ev))
+        b = _to_string(_eval_value(expr[2], node, pos, size, ev))
+        return ("bool", a.startswith(b))
+    if op == "normalize-space":
+        arg = expr[1]
+        s = (
+            _string_value(node)
+            if arg is None
+            else _to_string(_eval_value(arg, node, pos, size, ev))
+        )
+        return ("str", " ".join(s.split()))
+    if op == "string-length":
+        arg = expr[1]
+        s = (
+            _string_value(node)
+            if arg is None
+            else _to_string(_eval_value(arg, node, pos, size, ev))
+        )
+        return ("num", float(len(s)))
+    if op == "stringfn":
+        arg = expr[1]
+        s = (
+            _string_value(node)
+            if arg is None
+            else _to_string(_eval_value(arg, node, pos, size, ev))
+        )
+        return ("str", s)
+    if op == "not":
+        return ("bool", not _truth(expr[1], node, pos, size, ev))
+    if op in ("and", "or"):
+        a = _truth(expr[1], node, pos, size, ev)
+        if op == "and":
+            return ("bool", a and _truth(expr[2], node, pos, size, ev))
+        return ("bool", a or _truth(expr[2], node, pos, size, ev))
+    if op == "cmp":
+        return ("bool", _compare(expr[1], expr[2], expr[3], node, pos, size, ev))
+    raise _SyntaxError()
+
+
+def _to_string(value) -> str:
+    kind, v = value
+    if kind == "set":
+        return v[0] if v else ""
+    if kind == "num":
+        return _num_str(v)
+    if kind == "bool":
+        return "true" if v else "false"
+    return v
+
+
+def _num_str(x: float) -> str:
+    return str(int(x)) if x == int(x) else str(x)
+
+
+def _to_number(value) -> float:
+    kind, v = value
+    try:
+        if kind == "set":
+            return float(v[0]) if v else float("nan")
+        if kind == "str":
+            return float(v)
+        if kind == "bool":
+            return 1.0 if v else 0.0
+        return v
+    except ValueError:
+        return float("nan")
+
+
+def _compare(op: str, left, right, node, pos, size, ev) -> bool:
+    a = _eval_value(left, node, pos, size, ev)
+    b = _eval_value(right, node, pos, size, ev)
+    # node-set comparison: true iff ANY member satisfies (XPath 1.0 §3.4)
+    if a[0] == "set" or b[0] == "set":
+        avs = a[1] if a[0] == "set" else [a]
+        bvs = b[1] if b[0] == "set" else [b]
+        for av in avs:
+            av_val = ("str", av) if isinstance(av, str) else av
+            for bv in bvs:
+                bv_val = ("str", bv) if isinstance(bv, str) else bv
+                if _cmp_scalar(op, av_val, bv_val):
+                    return True
+        return False
+    return _cmp_scalar(op, a, b)
+
+
+def _cmp_scalar(op: str, a, b) -> bool:
+    if op in ("=", "!="):
+        if a[0] == "num" or b[0] == "num":
+            eq = _to_number(a) == _to_number(b)
+        elif a[0] == "bool" or b[0] == "bool":
+            eq = _truth_value(a) == _truth_value(b)
+        else:
+            eq = _to_string(a) == _to_string(b)
+        return eq if op == "=" else not eq
+    x, y = _to_number(a), _to_number(b)
+    if x != x or y != y:  # NaN never compares
+        return False
+    return {"<": x < y, "<=": x <= y, ">": x > y, ">=": x >= y}[op]
+
+
+def _truth_value(value) -> bool:
+    kind, v = value
+    if kind == "set":
+        return bool(v)
+    if kind == "num":
+        return v != 0 and v == v
+    if kind == "str":
+        return bool(v)
+    return v
+
+
+def _truth(expr, node, pos, size, ev) -> bool:
+    return _truth_value(_eval_value(expr, node, pos, size, ev))
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
 
 
 @dataclass(frozen=True)
 class XPathExpr:
-    steps: tuple[_Step, ...]
+    paths: tuple[_Path, ...]
     outer_index: int | None  # 1-based, from the (...)[N] wrapper
     source: str
+    needs_order_fix: bool = field(default=False)
+
+    def _iter(self, root: Node):
+        ev = _EvalCtx(root)
+        if len(self.paths) == 1 and not self.needs_order_fix:
+            yield from _iter_path([root], self.paths[0], ev)
+            return
+        # union / parent-axis results: collect, dedup, re-sort in document
+        # order (one extra DFS; only paid on the exotic shapes)
+        seen: set[int] = set()
+        nodes: list[Node] = []
+        for path in self.paths:
+            for n in _iter_path([root], path, ev):
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    nodes.append(n)
+        nodes.sort(key=ev.ordinal)
+        yield from nodes
 
     def query(self, root: Node) -> list[Node]:
-        it = _iter_steps(root, self.steps)
+        it = self._iter(root)
         if self.outer_index is not None:
-            # lazy: stop traversing the tree at the N-th match
             i = self.outer_index - 1
             if i < 0:
                 return []
@@ -82,7 +701,31 @@ class XPathExpr:
         if self.outer_index is not None and self.outer_index != 1:
             result = self.query(root)
             return result[0] if result else None
-        return next(_iter_steps(root, self.steps), None)
+        return next(self._iter(root), None)
+
+
+_OUTER_RE = re.compile(r"^\((?P<path>.+)\)\s*\[(?P<idx>\d+)\]$", re.DOTALL)
+
+
+def _path_needs_order_fix(path: _Path) -> bool:
+    """Paths whose lazy walk can emit out of document order: parent-axis
+    steps (a parent precedes its descendants) and in-step positionals on a
+    step fed by ``descendant-or-self`` contexts (the root context emits its
+    Nth child before deeper, earlier-in-document contexts emit theirs)."""
+    def expr_uses(expr) -> bool:
+        if expr[0] == "path" and _path_needs_order_fix(expr[1]):
+            return True
+        return any(
+            isinstance(p, tuple) and expr_uses(p) for p in expr[1:]
+        )
+
+    for step in path.steps:
+        if step.axis == "parent":
+            return True
+        for p in step.preds:
+            if p[0] == "num" or _uses_position(p) or expr_uses(p):
+                return True
+    return False
 
 
 def compile_xpath(expression: str) -> XPathExpr:
@@ -94,132 +737,19 @@ def compile_xpath(expression: str) -> XPathExpr:
     if match:
         outer_index = int(match.group("idx"))
         text = match.group("path").strip()
-    if not text.startswith("/"):
-        raise ParserError(msg_invalid_xpath(expression))
-    steps: list[_Step] = []
-    pos = 0
-    while pos < len(text):
-        m = _STEP_RE.match(text[pos:])
-        if not m:
-            raise ParserError(msg_invalid_xpath(expression))
-        preds_text = m.group("preds") or ""
-        attr_preds: list[tuple[str, str]] = []
-        position: int | None = None
-        consumed = 0
-        for pm in _PRED_RE.finditer(preds_text):
-            if pm.start() != consumed:
-                raise ParserError(msg_invalid_xpath(expression))
-            consumed = pm.end()
-            if pm.group("pos") is not None:
-                if position is not None:
-                    # [1][2] applies predicates successively in real XPath;
-                    # out of subset — reject rather than mis-evaluate
-                    raise ParserError(msg_invalid_xpath(expression))
-                position = int(pm.group("pos"))
-            else:
-                if position is not None:
-                    # attr predicate AFTER a positional changes meaning in
-                    # real XPath ([2][@id=x] vs [@id=x][2]) — out of subset
-                    raise ParserError(msg_invalid_xpath(expression))
-                value = pm.group("dval")
-                if value is None:
-                    value = pm.group("sval")
-                attr_preds.append((pm.group("attr").lower(), value))
-        if consumed != len(preds_text):
-            raise ParserError(msg_invalid_xpath(expression))
-        descendant = m.group("axis") == "//"
-        if descendant and position is not None:
-            # real XPath //x[n] counts per PARENT, not across the global
-            # descendant walk (our tree has no parent pointers to replicate
-            # that) — reject eagerly instead of selecting the wrong node.
-            # The reference's generated forms only use the outer (...)[N]
-            # wrapper, which IS global document order and stays supported.
-            raise ParserError(msg_invalid_xpath(expression))
-        steps.append(
-            _Step(
-                descendant=descendant,
-                name=m.group("name").lower(),
-                attr_preds=tuple(attr_preds),
-                position=position,
-            )
-        )
-        pos += m.end()
-    if not steps:
-        raise ParserError(msg_invalid_xpath(expression))
-    return XPathExpr(steps=tuple(steps), outer_index=outer_index, source=expression)
-
-
-def _matches(node: Node, step: _Step) -> bool:
-    if node.kind != ELEMENT:  # candidates generators yield elements only
-        return False
-    if step.name != "*" and node.tag != step.name:
-        return False
-    for attr, value in step.attr_preds:
-        if node.attrs.get(attr) != value:
-            return False
-    return True
-
-
-def _children_elements(node: Node):
-    for child in node.children:
-        if type(child) is Node and child.kind == ELEMENT:
-            yield child
-
-
-def _descendants(node: Node):
-    # filter on pop instead of building per-node element listcomps: one
-    # slice-reverse per expanded node, no throwaway lists on leaf-heavy trees
-    stack = node.children[::-1]
-    while stack:
-        n = stack.pop()
-        if type(n) is Node and n.kind == ELEMENT:
-            yield n
-            if n.children:
-                stack.extend(n.children[::-1])
-
-
-def _step_matches(ctx: Node, step: _Step):
-    candidates = _descendants(ctx) if step.descendant else _children_elements(ctx)
-    if step.position is not None:
-        # positional predicate applies per context node; stop the
-        # (possibly deep) traversal at the wanted match
-        want = step.position
-        for n in candidates:
-            if _matches(n, step):
-                want -= 1
-                if want == 0:
-                    yield n
-                    return
-    else:
-        for n in candidates:
-            if _matches(n, step):
-                yield n
-
-
-def _iter_steps(root: Node, steps: tuple[_Step, ...]):
-    """Lazily yield the path's matches in document order, deduplicated —
-    depth-first chaining of the per-step generators, so an outer
-    ``(...)[1]`` consumer stops the whole traversal at the first match.
-
-    Order note: contexts are processed in document order and each context's
-    matches are generated in document order; for overlapping descendant
-    contexts the first-occurrence dedup coincides with document order for
-    this XPath subset (same argument as the eager evaluator it replaced).
-    """
-    last = len(steps) - 1
-
-    def walk(level: int, ctx: Node):
-        step = steps[level]
-        if level == last:
-            yield from _step_matches(ctx, step)
-        else:
-            for node in _step_matches(ctx, step):
-                yield from walk(level + 1, node)
-
-    seen: set[int] = set()
-    for node in walk(0, root):
-        key = id(node)
-        if key not in seen:
-            seen.add(key)
-            yield node
-
+    try:
+        parser = _Parser(_tokenize(text))
+        paths = parser.parse_union()
+        if not parser.at_end():
+            raise _SyntaxError()
+    except _SyntaxError:
+        raise ParserError(msg_invalid_xpath(expression)) from None
+    except (IndexError, ValueError):
+        raise ParserError(msg_invalid_xpath(expression)) from None
+    needs_fix = len(paths) > 1 or any(_path_needs_order_fix(p) for p in paths)
+    return XPathExpr(
+        paths=tuple(paths),
+        outer_index=outer_index,
+        source=expression,
+        needs_order_fix=needs_fix,
+    )

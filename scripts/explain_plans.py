@@ -50,7 +50,6 @@ CHECKS = {
     "ann_topk": (["TakeOrderedAndProject"], ["Python", "Exchange rangepartitioning"]),
     "ann_ivf": (["TakeOrderedAndProject"], ["Python", "Exchange rangepartitioning"]),
     "tx_stats": ([], ["Python", "Exchange"]),  # pure map
-    "tx_tokens": ([], ["Python", "Exchange"]),  # pure map
     "tx_langid": ([], ["Python", "Exchange"]),  # pure map (trigram argmax)
     "tx_repetition": ([], ["Python", "Exchange"]),  # pure map
     "tx_filter": ([], ["Python", "Exchange"]),  # pure map + filter, one scan

@@ -148,19 +148,35 @@ def test_differential_fuzz_tag_soup(tokens):
     assert_same_tree("".join(tokens))
 
 
-def test_xpath_rejects_out_of_subset_positionals():
-    """In-step positionals on the descendant axis (per-parent in real XPath,
-    unreproducible without parent pointers), stacked positionals, and attr
-    predicates after a positional are rejected eagerly instead of silently
-    selecting a different node than DOMXPath would."""
-    import pytest
-
-    from html_table_spark.errors import ParserError
+def test_xpath_descendant_positionals_count_per_parent():
+    """``//table[2]`` desugars to descendant-or-self::node()/child::table[2]
+    — DOMXPath counts per PARENT, not across the document. Stacked
+    positionals re-filter the already-filtered set; attr predicates after a
+    positional filter the positional survivor."""
+    from html_table_spark.htmldom import parse_html_fast
     from html_table_spark.xpath import compile_xpath
 
-    for bad in ("//table[2]", "//table[1][2]", "//table[2][@id=\"x\"]"):
-        with pytest.raises(ParserError):
-            compile_xpath(bad)
+    html = (
+        '<div><table id="a"></table><table id="b"></table></div>'
+        '<div><table id="c"></table></div>'
+        '<table id="d"></table><table id="e"></table>'
+    )
+    root, _ = parse_html_fast(html)
+
+    def ids(expr):
+        return [(n.attrs or {}).get("id") for n in compile_xpath(expr).query(root)]
+
+    # 2nd table per parent: 'b' (div1), 'e' (document) — NOT global 2nd
+    assert ids("//table[2]") == ["b", "e"]
+    # global document-order 2nd via the wrapper
+    assert ids("(//table)[2]") == ["b"]
+    # [1][2]: first-per-parent, then 2nd of that singleton set → empty
+    assert ids("//table[1][2]") == []
+    # positional then attribute filter
+    assert ids('//table[2][@id="e"]') == ["e"]
+    assert ids('//table[@id="e"][1]') == ["e"]
+    # descendant:: counts per CONTEXT (whole subtree), unlike //
+    assert ids("descendant::table[2]") == ["b"]
     # the reference's generated forms stay accepted
     for ok in ("(//table)[2]", "(//table[@id=\"x\"])[1]",
                "(//table/thead/tr)[1]", "/table[2]/tr"):

@@ -447,6 +447,23 @@ def test_header_php_array_key_semantics(spark):
     assert t.row_texts() == [["b", None, None]]
 
 
+def test_user_header_php_numeric_string_keys():
+    """PHP auto-casts canonical integer-string array keys to int BEFORE
+    tableHeader sees them, so ['1' => 'x'] selects source offset 1; '01'
+    and '+1' stay string keys and null-fill (round-2 ADVICE parity fix)."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.semantics import parse_document
+
+    html = "<table><tr><td>a</td><td>b</td><td>c</td></tr></table>"
+    cfg = ParserConfig().with_table_header(
+        {"1": "cast_int", "02": "padded", "+2": "plus", "-0": "negzero", 0: "real"}
+    )
+    t = parse_document(html, cfg)[0]
+    assert t.header == ["cast_int", "padded", "plus", "negzero", "real"]
+    # '1' → offset 1 ('b'); '02'/'+2'/'-0' are not canonical → null-fill
+    assert t.row_texts() == [["b", None, None, None, "a"]]
+
+
 def test_table_header_position_rejects_bad_section():
     import pytest as _pytest
 
@@ -467,3 +484,46 @@ def test_media_decode_failure_becomes_error_row(spark):
     # decoder raises codec errors) — either way it must become a status row
     row = extract_media_features(media, use_real_codecs=True).first()
     assert row.status.startswith("error:") and row.width is None
+
+
+def test_golden_diff_multiset_semantics(spark):
+    """exceptAll-based golden diff: empty on equality, catches missing AND
+    duplicated rows (where a set-based except would hide multiplicity)."""
+    from html_table_spark.operators.tabular import golden_diff
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (2, "y")], "k int, v string")
+    b = spark.createDataFrame([(1, "x"), (2, "y"), (2, "y")], "k int, v string")
+    assert golden_diff(a, b).count() == 0
+    # a duplicate beyond the golden multiplicity is 'unexpected'
+    c = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "y"), (2, "y")], "k int, v string"
+    )
+    d = golden_diff(c, b).collect()
+    assert [(r.k, r.v, r.golden_side) for r in d] == [(2, "y", "unexpected")]
+    # a missing row is 'missing'
+    e = spark.createDataFrame([(1, "x")], "k int, v string")
+    d2 = {(r.k, r.golden_side) for r in golden_diff(e, b).collect()}
+    assert d2 == {(2, "missing")}
+
+
+def test_table_to_json_reference_shape(spark):
+    """jsonSerialize parity (Table.php:68-75): {caption, header, rows} with
+    rows in span order; null caption drops the key (documented to_json
+    divergence from PHP json_encode)."""
+    import json as _json
+
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.operators.extract import extract_tables
+    from html_table_spark.operators.tabular import table_to_json
+    from html_table_spark.sources.documents import documents_from_html
+
+    html = (
+        "<table><caption>Cap</caption><thead><tr><th>H</th></tr></thead>"
+        "<tr><td>a</td></tr><tr><td>b</td></tr></table>"
+    )
+    docs = documents_from_html(spark, [html], ["d1"])
+    out = table_to_json(
+        extract_tables(docs, ParserConfig().table_header_position("thead"))
+    ).collect()
+    parsed = _json.loads(out[0].js)
+    assert parsed == {"caption": "Cap", "header": ["H"], "rows": [["a"], ["b"]]}
