@@ -745,8 +745,11 @@ def dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups, banded on all four disjoint 16-bit segments —
+    pigeonhole gives 100% recall for hamming ≤ 3 (the round-1 prefix-only
+    banding missed ~58% of hamming-3 pairs)."""
     docs = _read(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, max_hamming=16, prefix_bits=8)
+    return dedup.simhash_near_dups(docs, max_hamming=16, bands=4)
 
 
 def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,13 +855,18 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic coarse quantizer (16 lowest-id vectors as
-    centroids), nearest-centroid assignment JVM-side, probe the 4 nearest
-    inverted lists — the partition-pruned scale path for 10^9 vectors."""
+    """IVF ANN: deterministic coarse quantizer (16 lowest-id vectors by
+    rank as centroids), nearest-centroid assignment JVM-side, probe the 4
+    nearest inverted lists — the partition-pruned scale path for 10^9
+    vectors. One driver collect builds the index constants; the query
+    vector (vec_id=0, the rank-lowest id here) is reused from it instead
+    of a second job."""
     emb = _read(spark, sf_dir, "embeddings")
     cents = similarity.ivf_centroids(emb, k=16)
+    q = next((vec for cid, vec in cents if cid == 0), None)
+    if q is None:
+        q = _query_vector(spark, sf_dir)
     assigned = similarity.ivf_assign(emb, cents)
-    q = _query_vector(spark, sf_dir)
     return similarity.ivf_topk(assigned, cents, q, k=10, nprobe=4)
 
 
@@ -1096,11 +1104,12 @@ def _ann_lsh_sql(n_tables: int = 4, planes_per_table: int = 8, seed: int = 42,
     """
 
 
-def _simhash_sql(max_hamming: int = 16, prefix_bits: int = 8) -> str:
+def _simhash_sql(max_hamming: int = 16, bands: int = 4) -> str:
     """DuckDB twin of dd_simhash: rebuilds the 64-bit SimHash with
     ``md5_number_upper`` (little-endian first 8 digest bytes; the kernel
     packs the same bytes big-endian, so each signature bit maps to a
-    computable LE shift), then the same prefix-bucket join + hamming check."""
+    computable LE shift), then the same 4-disjoint-band join + hamming
+    verification as simhash_banded_pairs."""
     # kernel bit at big-endian position p came from digest byte k=(63-p)//8,
     # MSB-first bit m=(63-p)%8 → little-endian shift 8k + 7 - m
     vote_cols = []
@@ -1116,6 +1125,14 @@ def _simhash_sql(max_hamming: int = 16, prefix_bits: int = 8) -> str:
         )
     votes = ",\n                   ".join(vote_cols)
     sig_sum = " + ".join(sig_terms)
+    seg = 64 // bands
+    mask = (1 << seg) - 1
+    band_union = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, sig, {i} AS band_idx, "
+        f"CAST((sh >> {64 - seg * (i + 1)}) & {mask} AS BIGINT) AS band_key "
+        f"FROM sigs"
+        for i in range(bands)
+    )
     return f"""
         WITH toks AS (
             SELECT doc_id, unnest(list_filter(
@@ -1137,14 +1154,23 @@ def _simhash_sql(max_hamming: int = 16, prefix_bits: int = 8) -> str:
                    CAST(CASE WHEN sh >= CAST(1 AS HUGEINT) << 63
                              THEN sh - (CAST(1 AS HUGEINT) << 64)
                              ELSE sh END AS BIGINT) AS sig,
-                   CAST(sh >> {64 - prefix_bits} AS BIGINT) AS bucket
+                   sh
             FROM sigs_h
+        ),
+        banded AS (
+            {band_union}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-        FROM sigs a JOIN sigs b
-          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
     """
 
 
@@ -1547,7 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": """
             WITH cent AS (
                 SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
-                FROM embeddings WHERE vec_id < 16
+                FROM embeddings ORDER BY vec_id LIMIT 16
             ),
             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             sims AS (

@@ -166,6 +166,7 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    max_shingles: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles for the given candidate pairs:
     (id_a, id_b, jaccard).
@@ -175,33 +176,49 @@ def ngram_jaccard(
     one ``array_intersect`` per candidate pair — no explode, no per-shingle
     shuffle rows, no count aggregations. Candidate pairs are a vanishing
     fraction of N² after LSH banding, so the joined set is small by
-    construction even at corpus scale."""
+    construction even at corpus scale.
+
+    ``max_shingles`` bounds the worst case at scale: one mega-document's
+    distinct-shingle array otherwise travels once per candidate pair it
+    appears in. With a cap, each doc ships at most ``max_shingles`` sorted
+    shingles (a deterministic prefix sample) plus a ``capped`` marker;
+    pairs touching a capped doc carry ``approx = true`` so callers can
+    route them to an exact recompute (the two-doc fallback is trivially
+    cheap — the cap exists to protect the *join*, not to avoid the math).
+    With the default ``None`` the result is exact and the ``approx``
+    column is omitted."""
     ids = pairs.select(F.col("id_a").alias(id_col)).union(
         pairs.select(F.col("id_b").alias(id_col))
     ).distinct()
-    sets = (
-        df.join(ids, id_col, "left_semi")
-        .select(
+    sh = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    pruned = df.join(ids, id_col, "left_semi")
+    if max_shingles is None:
+        sets = pruned.select(F.col(id_col), sh.alias("sh_set"))
+    else:
+        sets = pruned.select(
             F.col(id_col),
-            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh_set"),
+            F.slice(F.array_sort(sh), 1, max_shingles).alias("sh_set"),
+            (F.size(sh) > max_shingles).alias("capped"),
         )
-    )
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
+    a_cols = [F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a")]
+    b_cols = [F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b")]
+    if max_shingles is not None:
+        a_cols.append(F.col("capped").alias("capped_a"))
+        b_cols.append(F.col("capped").alias("capped_b"))
+    a = sets.select(*a_cols)
+    b = sets.select(*b_cols)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                inter.cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - inter),
-                4,
-            ).alias("jaccard"),
-        )
-    )
+    out_cols = [
+        F.col("id_a"),
+        F.col("id_b"),
+        F.round(
+            inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
+            4,
+        ).alias("jaccard"),
+    ]
+    if max_shingles is not None:
+        out_cols.append((F.col("capped_a") | F.col("capped_b")).alias("approx"))
+    return pairs.join(a, "id_a").join(b, "id_b").select(*out_cols)
 
 
 # -- SimHash (vectorized Arrow path; non-SQL-expressible) --------------------
@@ -241,33 +258,86 @@ def simhash64(col) -> Column:
     return pandas_udf(_simhash64_batch, "long")(col)
 
 
+def simhash_banded_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Candidate generation + verification over precomputed 64-bit SimHash
+    signatures, banded on ``bands`` disjoint 64/bands-bit segments.
+
+    Pigeonhole guarantee: a pair at hamming distance ≤ bands-1 leaves at
+    least one segment untouched, so recall is 100% for
+    ``max_hamming ≤ bands-1`` (the round-1 prefix-only banding missed ~58%
+    of hamming-3 pairs: C(48,3)/C(64,3) of the differing-bit placements
+    avoid a fixed 16-bit window). Candidates collide on ANY band; the
+    verification is JVM-side ``bit_count(a XOR b)``. Only
+    (id, 8-byte signature, band key) rows ever shuffle — ``bands``× the
+    row count of the prefix scheme, same join shape."""
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    seg = 64 // bands
+    mask = (1 << seg) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.col(sig_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(sig_col, 64 - seg * (i + 1))
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "sig", "band.band_idx", "band.band_key")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+        "band_idx", "band_key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+        "band_idx", "band_key",
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])  # multi-band collisions
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band on the top ``prefix_bits`` bits (an
-    LSH on the fingerprint) then verify hamming distance JVM-side via
-    bit_count(a XOR b) — the join shuffles only (id, 8-byte signature)."""
+    """Near-dup pairs by SimHash over document text: Arrow-batched
+    signature computation, then :func:`simhash_banded_pairs` (100% recall
+    for hamming ≤ bands-1)."""
     from .util import ensure_parallelism
 
     sigs = (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
-        .withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
         # both sides of the self-join read this — without materialization the
         # pandas UDF runs twice (locally a cache; at corpus scale write the
         # signature table out and bucket it)
         .cache()
     )
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "bucket")
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "bucket")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return simhash_banded_pairs(
+        sigs, bands=bands, max_hamming=max_hamming, id_col=id_col
     )

@@ -181,14 +181,18 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic IVF coarse quantizer: the ``k`` lowest-id vectors act as
-    centroids (a reproducible k-means seeding; swap in Lloyd iterations for
-    production — the index layout below is identical). Collecting k vectors
-    is a driver-side index-build constant, not a data-path collect."""
+    """Deterministic IVF coarse quantizer: the ``k`` lowest-id vectors BY
+    RANK act as centroids (a reproducible k-means seeding; swap in Lloyd
+    iterations via :func:`ivf_train` for production — the index layout is
+    identical). Rank-based selection (orderBy + limit → TakeOrdered, no
+    full sort) works on corpora whose ids are sparse or don't start at 0,
+    where the round-1 ``id < k`` value filter silently yielded fewer than
+    ``k`` centroids. Collecting k vectors is a driver-side index-build
+    constant, not a data-path collect."""
     rows = (
-        embeddings.filter(F.col(id_col) < k)
-        .select(id_col, vec_col)
+        embeddings.select(id_col, vec_col)
         .orderBy(id_col)
+        .limit(k)
         .collect()
     )
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]

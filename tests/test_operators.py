@@ -527,3 +527,103 @@ def test_table_to_json_reference_shape(spark):
     ).collect()
     parsed = _json.loads(out[0].js)
     assert parsed == {"caption": "Cap", "header": ["H"], "rows": [["a"], ["b"]]}
+
+
+def test_simhash_four_band_recall_guarantee(spark):
+    """Pigeonhole: 4 disjoint 16-bit bands find EVERY hamming<=3 pair —
+    including pairs whose differing bits all fall inside the top 16 bits,
+    which the round-1 prefix-only banding provably missed."""
+    import itertools
+    import random
+
+    from html_table_spark.operators.dedup import simhash_banded_pairs
+
+    rng = random.Random(42)
+    base = rng.getrandbits(64)
+    # d0-d1: all 3 differing bits inside the top-16 window → prefix-banding
+    # buckets them apart; 4-band must still pair them
+    sigs = [("d00", base), ("d01", base ^ (1 << 63) ^ (1 << 55) ^ (1 << 49))]
+    for i in range(2, 30):
+        sigs.append((f"d{i:02d}", rng.getrandbits(64)))
+    for i in range(30, 40):  # seeded near pairs with random flip positions
+        b = rng.getrandbits(64)
+        c = b
+        for f in rng.sample(range(64), 3):
+            c ^= 1 << f
+        sigs.append((f"d{i}a", b))
+        sigs.append((f"d{i}b", c))
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    df = spark.createDataFrame(
+        [(d, signed(s)) for d, s in sigs], "doc_id string, sig long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_banded_pairs(df, bands=4, max_hamming=3).collect()
+    }
+    expect = set()
+    for (da, sa), (db, sb) in itertools.combinations(sigs, 2):
+        if bin(sa ^ sb).count("1") <= 3:
+            expect.add((da, db) if da < db else (db, da))
+    assert ("d00", "d01") in expect
+    assert got == expect  # 100% recall, no false survivors
+    # sanity: the old prefix scheme would have missed d00-d01
+    assert (sigs[0][1] >> 48) != (sigs[1][1] >> 48)
+
+
+def test_ivf_centroids_sparse_offset_ids(spark):
+    """Rank-based seeding: a corpus whose ids start at 1000 with gaps must
+    still yield exactly k centroids (the round-1 `id < k` value filter
+    returned zero here), and assignment must label every vector."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(5)
+    rows = [
+        Row(vec_id=1000 + 7 * i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    cents = similarity.ivf_centroids(df, k=4)
+    assert [cid for cid, _ in cents] == [1000, 1007, 1014, 1021]
+    assert all(len(vec) == 8 for _, vec in cents)
+    assigned = similarity.ivf_assign(df, cents)
+    got = assigned.select("vec_id", "centroid_id").collect()
+    assert len(got) == 20
+    assert {r.centroid_id for r in got} <= {1000, 1007, 1014, 1021}
+    # Lloyd refinement keeps k centroids and determinism on sparse ids
+    refined = similarity.ivf_train(df, k=4, iters=1)
+    assert [cid for cid, _ in refined] == [1000, 1007, 1014, 1021]
+
+
+def test_ngram_jaccard_shingle_cap_bounds_row_size(spark):
+    """max_shingles bounds the per-doc shingle payload (deterministic sorted
+    prefix) and marks affected pairs approx=true; uncapped docs keep exact
+    jaccard with approx=false; default (None) output schema is unchanged."""
+    from pyspark.sql import Row
+
+    mega = " ".join(f"tok{i}" for i in range(500))
+    rows = [
+        Row(doc_id="m1", text=mega),
+        Row(doc_id="m2", text=mega),
+        Row(doc_id="s1", text="small doc one two three"),
+        Row(doc_id="s2", text="small doc one two three"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = spark.createDataFrame(
+        [("m1", "m2"), ("s1", "s2")], "id_a string, id_b string"
+    )
+    capped = dedup.ngram_jaccard(df, pairs, max_shingles=50)
+    got = {(r.id_a, r.id_b): r for r in capped.collect()}
+    assert set(capped.columns) == {"id_a", "id_b", "jaccard", "approx"}
+    assert got[("m1", "m2")].approx is True
+    # identical capped prefixes → estimate still 1.0, and exact via fallback
+    assert got[("m1", "m2")].jaccard == 1.0
+    assert got[("s1", "s2")].approx is False
+    assert got[("s1", "s2")].jaccard == 1.0
+    # default path: exact, no approx column (oracle-checked schema)
+    exact = dedup.ngram_jaccard(df, pairs)
+    assert set(exact.columns) == {"id_a", "id_b", "jaccard"}
