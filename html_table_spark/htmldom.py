@@ -40,6 +40,9 @@ from html.parser import HTMLParser
 TEXT = 0
 ELEMENT = 1
 COMMENT = 2
+PI = 3  # processing instruction (<?php ... ?>) — a real childNode in PHP
+# DOM (shifts the reference's rowspan-carry child index, Parser.php:559),
+# with no textContent contribution
 
 _EMPTY_ATTRS: dict = {}
 _EMPTY_CHILDREN: list = []
@@ -236,14 +239,24 @@ class _TreeBuilder(HTMLParser):
         # to nodeValue — keep them as real nodes.
         self._append(Node(COMMENT, data=data))
 
-    def handle_decl(self, decl: str) -> None:
-        pass
-
     def handle_pi(self, data: str) -> None:
-        pass
+        # libxml2's HTML parser keeps <?...> as a PI childNode (PHP DOM
+        # shows them); they count for child indices, contribute no text
+        self._append(Node(PI, data=data))
 
-    def unknown_decl(self, data: str) -> None:
-        self.errors.append(f"unknown declaration: {data[:40]}")
+    def parse_html_declaration(self, i: int) -> int:
+        # align with the fast tokenizer and libxml2's htmlSkipBogusComment:
+        # real comments parse normally; DOCTYPE, <![CDATA[ and bogus <!x
+        # declarations skip to the FIRST '>' and produce no node (stdlib's
+        # default would scan marked sections to ']]>' and emit bogus
+        # comments — a different, SGML-ish recovery)
+        rawdata = self.rawdata
+        if rawdata[i : i + 4] == "<!--":
+            return self.parse_comment(i)
+        gt = rawdata.find(">", i)
+        if gt == -1:
+            return -1  # incomplete at buffer end
+        return gt + 1
 
 
 def parse_html_stdlib(html: str) -> tuple[Node, list[str]]:
@@ -254,6 +267,11 @@ def parse_html_stdlib(html: str) -> tuple[Node, list[str]]:
     try:
         builder.feed(html)
         builder.close()
+        if builder.cdata_elem and builder.rawdata:
+            # unclosed <script>/<style> raw text runs to EOF (libxml2
+            # htmlParseScript; the stdlib goahead loop just buffers it)
+            builder.handle_data(builder.rawdata)
+            builder.rawdata = ""
     except Exception as exc:  # pragma: no cover - extreme tag soup
         builder.errors.append(f"tokenizer error: {exc}")
     if len(builder.stack) > 1:
@@ -290,6 +308,7 @@ _G_ATTRS = _TAG_RE.groupindex["attrs"]
 _G_SELFCLOSE = _TAG_RE.groupindex["selfclose"]
 _G_ENAME = _TAG_RE.groupindex["ename"]
 _G_COMMENT = _TAG_RE.groupindex["comment"]
+_G_PI = _TAG_RE.groupindex["pi"]
 
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)
@@ -425,7 +444,13 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
         if comment is not None:
             stack[-1].children.append(Node(COMMENT, data=comment))
             continue
-        # doctype / declarations / processing instructions: dropped
+        pi = g(_G_PI)
+        if pi is not None:
+            # PHP DOM keeps <?...> as a PI childNode — index parity
+            stack[-1].children.append(Node(PI, data=pi))
+            continue
+        # doctype / bogus declarations: skipped to '>' with no node
+        # (libxml2 htmlSkipBogusComment)
     if len(stack) > 1:
         errors.append(
             "unclosed elements at EOF: " + ",".join(n.tag for n in stack[1:])

@@ -121,8 +121,8 @@ def _cell_text(node: Node) -> str:
         first = children[0]
         if type(first) is str:
             return first
-        if first.kind == COMMENT:
-            return ""
+        if first.kind != ELEMENT:
+            return ""  # comment or PI only → nodeValue ''
     return node.text_content()
 
 
