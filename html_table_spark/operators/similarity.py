@@ -128,6 +128,7 @@ def lsh_multitable(
     planes_per_table: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """Standard multi-table hyperplane LSH: L independent tables of m planes.
 
@@ -136,12 +137,16 @@ def lsh_multitable(
     come from one Arrow-vectorized matmul (see _bucket_batch_fn); the
     output has one bucket column per table (bucket_0..bucket_{L-1}) — at
     scale, write L bucket-partitioned projections (or one exploded
-    (table, bucket, id) index) so a probe scans only L buckets."""
+    (table, bucket, id) index) so a probe scans only L buckets.
+
+    Pass ``dim`` explicitly to skip the one-row discovery job (an
+    index-build convenience, not a data-path collect)."""
     from pyspark.sql.functions import pandas_udf
 
     from .util import ensure_parallelism
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     tables = [
         hyperplanes(dim, planes_per_table, seed + 1000 * t) for t in range(n_tables)
     ]

@@ -661,14 +661,95 @@ def _truth(expr, node, pos, size, ev) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _attr_eq_preds(preds) -> list[tuple[str, str]] | None:
+    """Return [(attr, value), ...] if every predicate is a plain
+    ``[@attr="value"]`` equality, else None."""
+    out = []
+    for p in preds:
+        if (
+            p[0] == "cmp"
+            and p[1] == "="
+            and p[2][0] == "attr"
+            and p[3][0] == "str"
+        ):
+            out.append((p[2][1], p[3][1]))
+        else:
+            return None
+    return out
+
+
+def _compile_fast(path: _Path):
+    """Specialized evaluator for the shapes the extraction kernel compiles
+    per table — ``descendant::tag`` (from the ``//tag`` fusion) followed by
+    child::tag steps, with at most attr-equality predicates. These run once
+    or more per table on the hot path; the generic walk's
+    generator-per-context layering costs ~10% of kernel throughput, so the
+    common chains get a flat-loop evaluator (identical results and
+    identical yield order to the generic walk). Returns None when the path
+    needs the generic machinery."""
+    steps = path.steps
+    if not steps or steps[0].axis != "descendant" or steps[0].test in ("*", "node()"):
+        return None
+    plan = []
+    for i, s in enumerate(steps):
+        if s.axis != ("descendant" if i == 0 else "child"):
+            return None
+        if s.test in ("*", "node()"):
+            return None
+        attrs = _attr_eq_preds(s.preds)
+        if attrs is None:
+            return None
+        plan.append((s.test, attrs))
+    tag0, attrs0 = plan[0]
+    chain = plan[1:]
+
+    def match_attrs(node, attrs):
+        nd = node.attrs
+        for a, v in attrs:
+            if nd.get(a) != v:
+                return False
+        return True
+
+    def emit_chain(node, j):
+        tag, attrs = chain[j]
+        last = j == len(chain) - 1
+        for c in node.children:
+            if type(c) is Node and c.kind == ELEMENT and c.tag == tag and (
+                not attrs or match_attrs(c, attrs)
+            ):
+                if last:
+                    yield c
+                else:
+                    yield from emit_chain(c, j + 1)
+
+    def run(root: Node):
+        stack = root.children[::-1]
+        while stack:
+            n = stack.pop()
+            if type(n) is Node and n.kind == ELEMENT:
+                if n.tag == tag0 and (not attrs0 or match_attrs(n, attrs0)):
+                    if chain:
+                        yield from emit_chain(n, 0)
+                    else:
+                        yield n
+                if n.children:
+                    stack.extend(n.children[::-1])
+
+    return run
+
+
 @dataclass(frozen=True)
 class XPathExpr:
     paths: tuple[_Path, ...]
     outer_index: int | None  # 1-based, from the (...)[N] wrapper
     source: str
     needs_order_fix: bool = field(default=False)
+    fast: object = field(default=None, compare=False)
 
     def _iter(self, root: Node):
+        if self.fast is not None:
+            yield from self.fast(root)
+            return
         ev = _EvalCtx(root)
         if len(self.paths) == 1 and not self.needs_order_fix:
             yield from _iter_path([root], self.paths[0], ev)
@@ -747,9 +828,11 @@ def compile_xpath(expression: str) -> XPathExpr:
     except (IndexError, ValueError):
         raise ParserError(msg_invalid_xpath(expression)) from None
     needs_fix = len(paths) > 1 or any(_path_needs_order_fix(p) for p in paths)
+    fast = _compile_fast(paths[0]) if len(paths) == 1 and not needs_fix else None
     return XPathExpr(
         paths=tuple(paths),
         outer_index=outer_index,
         source=expression,
         needs_order_fix=needs_fix,
+        fast=fast,
     )

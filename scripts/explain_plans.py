@@ -63,6 +63,14 @@ CHECKS = {
     "q_sessionize": (["Window", "HashAggregate"], ["Python", "CartesianProduct"]),
     "q_percentiles": (["HashAggregate"], ["Python"]),
     "dd_embed_cosine": (["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoop"]),
+    # extraction is the one legitimate Arrow stage (MapInArrow); the union
+    # of the five selector passes must stay shuffle-free (map-only branches)
+    "x_xpath_extended": (["Union", "MapInArrow"], ["Exchange hashpartitioning"]),
+    "qs_json": (["MapInArrow"], ["Exchange hashpartitioning"]),
+    # banded self-join: one hash shuffle on (band_idx, band_key), hamming
+    # verify JVM-side after a distinct — never a cross join
+    "dd_simhash": (["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoop"]),
+    "qs_count": ([], ["CartesianProduct"]),  # 1x1 crossJoin → BNLJ is fine
 }
 
 

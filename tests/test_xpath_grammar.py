@@ -1,0 +1,114 @@
+"""DOMXPath-parity grammar tests for the round-2 xpath.py rewrite.
+
+Pure-Python (no Spark session): parse + evaluate against a fixed tree and
+check node sets, document order, eager validation, and the laziness
+contract the extraction hot path relies on.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from html_table_spark.errors import ParserError
+from html_table_spark.htmldom import parse_html_fast
+from html_table_spark.xpath import compile_xpath
+
+HTML = """
+<div id="top">
+ <table id="a" class="data wide"><caption>A</caption><tr><td>1</td></tr></table>
+ <p>x</p>
+ <table class="plain"><thead><tr><th>H</th></tr></thead><tr><td>2</td></tr></table>
+ <div><table id="c" class="data"><tr><td>3</td></tr><tr><td>4</td></tr></table></div>
+</div>"""
+
+
+@pytest.fixture(scope="module")
+def root():
+    return parse_html_fast(HTML)[0]
+
+
+def q(root, expr):
+    return compile_xpath(expr).query(root)
+
+
+def ids(root, expr):
+    return [(n.attrs or {}).get("id") or (n.attrs or {}).get("class")
+            for n in q(root, expr)]
+
+
+@pytest.mark.parametrize(
+    "expr,count",
+    [
+        ("//table", 3),
+        ("(//table)[1]", 1),
+        ('//table[@id="a"]', 1),
+        ('//table[contains(@class,"data")]', 2),
+        ("//table[@id]", 2),                       # attribute existence
+        ('//table[@class="data wide" or @id="c"]', 2),
+        ('//table[contains(@class,"data") and @id="c"]', 1),
+        ("//table[thead]", 1),                     # relative-path existence
+        ("//table[not(@id)]", 1),
+        ("//div//table", 3),
+        (".//table", 3),
+        ("descendant::table", 3),
+        ('//table[starts-with(@class,"da")]', 2),
+        ("//table[.//th]", 1),
+        ("//td/..", 4),                            # parent axis
+        ("//table/tr/td", 4),
+        ('//*[@id="c"]', 1),
+        ("//table | //p", 4),                      # union
+        ("//table[last()]", 3),                    # last-per-parent
+        ('//tr[td="3"]', 1),                       # text-value comparison
+        ('//table[string-length(@id)=1]', 2),
+        ("//table[position()=1]", 2),  # first table-child per PARENT
+        ('//caption[normalize-space(.)="A"]', 1),
+        ("/div/table", 2),                         # absolute child path
+        ("div/div/table", 1),                      # relative path
+    ],
+)
+def test_node_counts(root, expr, count):
+    assert len(q(root, expr)) == count, expr
+
+
+def test_document_order_and_union_order(root):
+    # union across paths must come back in document order, not path order
+    got = [n.tag for n in q(root, "//p | //table")]
+    assert got == ["table", "p", "table", "table"]
+
+
+def test_outer_wrapper_is_global_document_order(root):
+    assert (q(root, "(//table)[2]")[0].attrs or {}).get("class") == "plain"
+    assert q(root, "(//table)[9]") == []
+
+
+def test_first_is_lazy_prefix_of_query(root):
+    expr = compile_xpath("//td")
+    assert expr.first(root) is expr.query(root)[0]
+    assert compile_xpath("//video").first(root) is None
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "//table[",                      # unterminated predicate
+        "table[@",                       # dangling attr
+        '//table[@id=]',                 # missing comparand
+        "///x",                          # empty step
+        "//table[following-sibling::p]", # unsupported axis
+        "1+2",                           # not a path
+        "//table/text()",                # text() location step (no text nodes)
+        "//table/@id",                   # attribute location step
+        "",                              # empty expression
+    ],
+)
+def test_eager_validation_rejects(bad):
+    with pytest.raises(ParserError):
+        compile_xpath(bad)
+
+
+def test_reference_generated_shapes_still_work(root):
+    # the four shapes Parser.php generates internally (SURVEY §2.2)
+    assert len(q(root, "(//table)[1]")) == 1
+    assert (q(root, '(//table[@id="c"])[1]')[0].attrs or {}).get("id") == "c"
+    assert q(root, "(//table/thead/tr)[1]")[0].tag == "tr"
+    assert len(q(root, "//table/tr")) == 4  # direct-child trs only
