@@ -424,6 +424,13 @@ def parse_html_fast(html: str) -> tuple[Node, list[str]]:
                 end = m_end.start() if m_end else n
                 if end > pos:
                     node.children.append(html[pos:end])
+                if m_end is None:
+                    # raw text ran to EOF: keep the element on the stack so
+                    # the unclosed-at-EOF error fires, matching the stdlib
+                    # engine (failOnXmlErrors parity must not depend on the
+                    # tokenizer choice)
+                    pos = n
+                    continue
                 gt = find(">", end)
                 pos = n if gt == -1 else gt + 1
                 stack.pop()

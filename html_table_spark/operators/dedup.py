@@ -195,10 +195,14 @@ def ngram_jaccard(
     if max_shingles is None:
         sets = pruned.select(F.col(id_col), sh.alias("sh_set"))
     else:
-        sets = pruned.select(
+        # materialize the shingle set once per row — shingling (regexp +
+        # interpreted higher-order funcs over the full text) dominates this
+        # stage, and codegen subexpression elimination is not guaranteed
+        # across two select expressions
+        sets = pruned.select(F.col(id_col), sh.alias("_sh")).select(
             F.col(id_col),
-            F.slice(F.array_sort(sh), 1, max_shingles).alias("sh_set"),
-            (F.size(sh) > max_shingles).alias("capped"),
+            F.slice(F.array_sort("_sh"), 1, max_shingles).alias("sh_set"),
+            (F.size("_sh") > max_shingles).alias("capped"),
         )
     a_cols = [F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a")]
     b_cols = [F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b")]
@@ -268,14 +272,20 @@ def simhash_banded_pairs(
     """Candidate generation + verification over precomputed 64-bit SimHash
     signatures, banded on ``bands`` disjoint 64/bands-bit segments.
 
+    Output contract: pairs that COLLIDE IN ≥1 BAND and verify at hamming
+    ≤ ``max_hamming`` — banding is the candidate policy, not a filter.
     Pigeonhole guarantee: a pair at hamming distance ≤ bands-1 leaves at
-    least one segment untouched, so recall is 100% for
+    least one segment untouched, so recall is 100% only for
     ``max_hamming ≤ bands-1`` (the round-1 prefix-only banding missed ~58%
     of hamming-3 pairs: C(48,3)/C(64,3) of the differing-bit placements
-    avoid a fixed 16-bit window). Candidates collide on ANY band; the
-    verification is JVM-side ``bit_count(a XOR b)``. Only
-    (id, 8-byte signature, band key) rows ever shuffle — ``bands``× the
-    row count of the prefix scheme, same join shape."""
+    avoid a fixed 16-bit window). With ``max_hamming > bands-1`` the
+    result is blocking-defined: a pair whose differing bits touch every
+    band is never generated as a candidate (the dd_simhash driver query
+    runs 16/4 deliberately — its DuckDB oracle replicates the identical
+    banding, so the semantics are pinned, not accidental). Verification is
+    JVM-side ``bit_count(a XOR b)``; only (id, 8-byte signature, band key)
+    rows ever shuffle — ``bands``× the row count of the prefix scheme,
+    same join shape."""
     if 64 % bands != 0:
         raise ValueError("bands must divide 64")
     seg = 64 // bands

@@ -51,6 +51,7 @@ _ARROW_OUT = pa.schema(
         pa.field("caption", pa.string()),
         pa.field("header", pa.list_(pa.string())),
         pa.field("spans", pa.list_(_ARROW_SPAN)),
+        pa.field("row_lens", pa.list_(pa.int32())),
         pa.field("n_rows", pa.int32()),
         pa.field("n_cells", pa.int32()),
         pa.field("status", pa.string()),
@@ -69,6 +70,7 @@ def _result_row(doc_id: str, table, part_id: int) -> tuple:
         table.caption,
         table.header,
         spans,
+        [len(r) for r in table.rows],
         table.n_rows,
         table.n_cells,
         table.status,
@@ -114,7 +116,7 @@ def make_extractor(config: ParserConfig, flush_rows: int = 2048):
                     # recorded, or snapshot-resume would reprocess it forever
                     # (filter table_idx >= 0 for real tables)
                     rows.append(
-                        (doc_id, -1, None, [], [], 0, 0, "ok", None, part_id)
+                        (doc_id, -1, None, [], [], [], 0, 0, "ok", None, part_id)
                     )
                 for table in results:
                     if base:
@@ -219,7 +221,8 @@ def make_arrow_extractor(
         def new_buffers():
             return {
                 "doc_id": [], "table_idx": [], "caption": [], "header": [],
-                "n_rows": [], "n_cells": [], "status": [], "error_msg": [],
+                "row_lens": [], "n_rows": [], "n_cells": [], "status": [],
+                "error_msg": [],
                 "span_offsets": [0],
                 "sk": [], "st": [], "sr": [], "so": [],
             }
@@ -253,6 +256,7 @@ def make_arrow_extractor(
                     pa.array(buf["caption"], pa.string()),
                     pa.array(buf["header"], pa.list_(pa.string())),
                     spans_arr,
+                    pa.array(buf["row_lens"], pa.list_(pa.int32())),
                     pa.array(buf["n_rows"], pa.int32()),
                     pa.array(buf["n_cells"], pa.int32()),
                     pa.array(buf["status"], pa.string()),
@@ -302,6 +306,7 @@ def make_arrow_extractor(
                         buf["table_idx"].append(base_ordinal)
                         buf["caption"].append(None)
                         buf["header"].append([])
+                        buf["row_lens"].append([])
                         buf["n_rows"].append(0)
                         buf["n_cells"].append(0)
                         buf["status"].append(STATUS_CHUNK)
@@ -325,6 +330,7 @@ def make_arrow_extractor(
                     buf["table_idx"].append(-1)
                     buf["caption"].append(None)
                     buf["header"].append([])
+                    buf["row_lens"].append([])
                     buf["n_rows"].append(0)
                     buf["n_cells"].append(0)
                     buf["status"].append("ok")
@@ -335,6 +341,7 @@ def make_arrow_extractor(
                     buf["table_idx"].append(table.table_idx + base)
                     buf["caption"].append(table.caption)
                     buf["header"].append(table.header)
+                    buf["row_lens"].append([len(r) for r in table.rows])
                     buf["n_rows"].append(table.n_rows)
                     buf["n_cells"].append(table.n_cells)
                     buf["status"].append(table.status)
@@ -415,11 +422,13 @@ def _top_level_table_cuts(html: str) -> list[tuple[int, int]] | None:
     ``_TAG_RE`` (htmldom), so self-closed empty elements (``<script/>``,
     ``<table/>``), quoted-attribute ``>`` and quoted ``</table>`` inside the
     *inspected* tag, and ``<tablex``-style non-matches all resolve the same
-    way a whole-doc parse would. Table tags inside comments and inside
-    <script>/<style> raw text are NOT boundaries, and close tags require the
-    tokenizer's name-boundary (``</tables>`` is not a close). Residual blind
-    spot (documented, fail-safe): table markup inside a quoted attribute of
-    a tag the scan does not inspect (e.g. ``<td data-x="</table>">``) —
+    way a whole-doc parse would. Table tags inside comments, inside
+    <script>/<style> raw text, and inside ``<?...?>`` PIs / ``<!...>``
+    bogus declarations (which the tokenizer swallows to their first '>')
+    are NOT boundaries, and close tags require the tokenizer's
+    name-boundary (``</tables>`` is not a close). Residual blind spot
+    (documented, fail-safe): table markup inside a quoted attribute of a
+    tag the scan does not inspect (e.g. ``<td data-x="</table>">``) —
     such docs unbalance the depth counter and fall back to a whole-doc
     parse."""
     lower = html.lower()
@@ -437,8 +446,8 @@ def _top_level_table_cuts(html: str) -> list[tuple[int, int]] | None:
     # the doc k times per table (quadratic on mega docs, the one place this
     # function runs)
     pats = {
-        "open": "<table", "close": "</table", "comment": "<!--",
-        "script": "<script", "style": "<style",
+        "open": "<table", "close": "</table", "bang": "<!",
+        "pi": "<?", "script": "<script", "style": "<style",
     }
     nxt = {k: find(p) for k, p in pats.items()}
     while pos < n:
@@ -449,14 +458,27 @@ def _top_level_table_cuts(html: str) -> list[tuple[int, int]] | None:
         if not events:
             break
         at, kind = min(events)
-        if kind == "comment":
-            # tokenizer comment terminator is the regex --\s*> (not the
-            # literal -->); an unterminated comment is ambiguous → fall
-            # back to whole-doc parsing rather than risk divergent cuts
-            m = _COMMENT_END_RE.search(lower, at + 4)
-            if m is None:
-                return None
-            pos = m.end()
+        if kind == "bang":
+            if lower.startswith("<!--", at):
+                # tokenizer comment terminator is the regex --\s*> (not
+                # the literal -->); an unterminated comment is ambiguous →
+                # fall back to whole-doc parsing rather than risk
+                # divergent cuts
+                m = _COMMENT_END_RE.search(lower, at + 4)
+                if m is None:
+                    return None
+                pos = m.end()
+            else:
+                # bogus declaration / DOCTYPE: tokenizer swallows to the
+                # first '>' (no node); with no '>' it emits '<' as text
+                # and rescans from at+1 — mirror both
+                gt = find(">", at)
+                pos = (gt + 1) if gt != -1 else at + 1
+            continue
+        if kind == "pi":
+            # <?...> processing instruction: swallowed to the first '>'
+            gt = find(">", at)
+            pos = (gt + 1) if gt != -1 else at + 1
             continue
         if kind == "close":
             after = at + 7

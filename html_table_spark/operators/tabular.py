@@ -128,14 +128,32 @@ def table_to_json(extracted: DataFrame) -> DataFrame:
     """``Table::jsonSerialize`` twin (reference ``src/Table.php:68-75``):
     one compact JSON document per extracted table with the same shape —
     ``{"caption": ..., "header": [...], "rows": [[...], ...]}``. Rows are
-    rebuilt from the span stream JVM-side (filter + transform on the array
-    column, no explode/re-group shuffle); each cell span becomes a
-    single-cell row in span order, matching the reference's iteration
-    order. Parity note: PHP's json_encode keeps null-valued keys while
-    Spark's ``to_json`` drops them — callers needing the explicit
+    rebuilt JVM-side from the flat cell-span stream using the table's
+    ``row_lens`` column (cells per grid-expanded row — the span stream
+    itself has no row boundaries): prefix-sum the lengths, slice the cell
+    texts per row. No explode/re-group shuffle. Legacy rows with a null
+    ``row_lens`` (pre-round-2 parquet) fall back to one-cell rows. Parity
+    note: PHP's json_encode keeps null-valued keys while Spark's
+    ``to_json`` drops them — callers needing the explicit
     ``"caption": null`` key must coalesce the caption to a sentinel."""
     cells = F.filter(F.col("spans"), lambda s: s["kind"] == "cell")
-    rows = F.transform(cells, lambda s: F.array(s["text"]))
+    texts = F.transform(cells, lambda s: s["text"])
+    lens = F.col("row_lens")
+    # 1-based slice starts: [1, 1+l0, 1+l0+l1, ...]
+    starts = F.aggregate(
+        lens,
+        F.array(F.lit(1)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
+    )
+    grouped = F.when(F.size(lens) == 0, F.array().cast("array<array<string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(lens), F.lit(1))),
+            lambda i: F.slice(texts, F.element_at(starts, i), F.element_at(lens, i)),
+        )
+    )
+    rows = F.when(lens.isNull(), F.transform(cells, lambda s: F.array(s["text"]))).otherwise(
+        grouped
+    )
     return extracted.select(
         "doc_id",
         "table_idx",

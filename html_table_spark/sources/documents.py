@@ -48,6 +48,11 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("caption", T.StringType()),
         T.StructField("header", T.ArrayType(T.StringType())),
         T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+        # grid-expanded cell count per body row, in row order — the span
+        # stream deliberately has no row boundaries (the golden gate is
+        # flat sequence equality), so row-aware consumers (jsonSerialize)
+        # reconstruct rows from this instead of guessing rectangularity
+        T.StructField("row_lens", T.ArrayType(T.IntegerType())),
         T.StructField("n_rows", T.IntegerType()),
         T.StructField("n_cells", T.IntegerType()),
         T.StructField("status", T.StringType()),

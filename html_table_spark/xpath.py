@@ -323,9 +323,7 @@ def _fuse_steps(steps: list[_Step]) -> tuple[_Step, ...]:
             and not s.preds
             and i + 1 < len(steps)
             and steps[i + 1].axis == "child"
-            and not any(
-                p[0] == "num" or _uses_position(p) for p in steps[i + 1].preds
-            )
+            and not any(_positional_pred(p) for p in steps[i + 1].preds)
         ):
             nxt = steps[i + 1]
             fused.append(_Step("descendant", nxt.test, nxt.preds))
@@ -452,33 +450,44 @@ def _axis_candidates(ctx: Node, step: _Step, ev: _EvalCtx):
                 yield n
 
 
+# top-level ops whose VALUE is a number — per XPath 1.0 §2.4 a
+# number-valued predicate means position() = number, so these force the
+# positional (per-context node-set) evaluation path
+_NUMERIC_OPS = frozenset({"num", "pos", "last", "string-length"})
+
+
+def _positional_pred(p) -> bool:
+    return p[0] in _NUMERIC_OPS or _uses_position(p)
+
+
 def _step_matches(ctx: Node, step: _Step, ev: _EvalCtx):
     candidates = _axis_candidates(ctx, step, ev)
     if not step.preds:
         yield from candidates
         return
-    positional = any(
-        p[0] == "num" or _uses_position(p) for p in step.preds
-    )
+    positional = any(_positional_pred(p) for p in step.preds)
     if not positional:
         for n in candidates:
             if all(_truth(p, n, None, None, ev) for p in step.preds):
                 yield n
         return
     # positional predicates need the per-context node-set: filter the list
-    # predicate by predicate, recomputing position()/last() each round
+    # predicate by predicate, recomputing position()/last() each round.
+    # XPath 1.0 §2.4: a predicate whose VALUE is a number means
+    # position() = number — so [last()] keeps the last node per context,
+    # not "last() is nonzero therefore everything"
     current = list(candidates)
     for p in step.preds:
         size = len(current)
-        if p[0] == "num":
-            idx = int(p[1])
-            current = [current[idx - 1]] if 1 <= idx <= size and p[1] == idx else []
-        else:
-            current = [
-                n
-                for i, n in enumerate(current)
-                if _truth(p, n, i + 1, size, ev)
-            ]
+        kept = []
+        for i, n in enumerate(current):
+            v = _eval_value(p, n, i + 1, size, ev)
+            if v[0] == "num":
+                if v[1] == i + 1:
+                    kept.append(n)
+            elif _truth_value(v):
+                kept.append(n)
+        current = kept
     yield from current
 
 
@@ -653,6 +662,13 @@ def _truth_value(value) -> bool:
 
 
 def _truth(expr, node, pos, size, ev) -> bool:
+    if expr[0] == "path":
+        # existence test: stop at the first matching node — materializing
+        # the string value of every match (O(subtree text) each) is only
+        # needed when the node-set is actually compared or stringified
+        path = expr[1]
+        ctx = [ev.root] if path.absolute else [node]
+        return next(_iter_path(ctx, path, ev), None) is not None
     return _truth_value(_eval_value(expr, node, pos, size, ev))
 
 
@@ -701,7 +717,6 @@ def _compile_fast(path: _Path):
             return None
         plan.append((s.test, attrs))
     tag0, attrs0 = plan[0]
-    chain = plan[1:]
 
     def match_attrs(node, attrs):
         nd = node.attrs
@@ -710,30 +725,58 @@ def _compile_fast(path: _Path):
                 return False
         return True
 
-    def emit_chain(node, j):
-        tag, attrs = chain[j]
-        last = j == len(chain) - 1
-        for c in node.children:
-            if type(c) is Node and c.kind == ELEMENT and c.tag == tag and (
-                not attrs or match_attrs(c, attrs)
-            ):
-                if last:
-                    yield c
-                else:
-                    yield from emit_chain(c, j + 1)
+    if len(plan) == 1:
+
+        def run(root: Node):
+            stack = root.children[::-1]
+            while stack:
+                n = stack.pop()
+                if type(n) is Node and n.kind == ELEMENT:
+                    if n.tag == tag0 and (not attrs0 or match_attrs(n, attrs0)):
+                        yield n
+                    if n.children:
+                        stack.extend(n.children[::-1])
+
+        return run
+
+    # multi-step chain: ONE DFS carrying a chain-state bitmask per node
+    # (bit j = "this node matches plan[0..j] along its ancestor path").
+    # This yields strict DOCUMENT order even when matching elements nest
+    # (e.g. //table/tr with a table inside a td: the inner table's rows
+    # surface at their document position, exactly as DOMXPath orders them
+    # — the generic two-phase walk emits per-context and needs a sort)
+    final_bit = 1 << (len(plan) - 1)
 
     def run(root: Node):
-        stack = root.children[::-1]
+        # masks ride the stack only where nonzero: most nodes sit outside
+        # any matched chain, so they push bare (one type check per node
+        # instead of a 2-tuple allocation per node — measurable on the
+        # per-table hot path)
+        stack = list(reversed(root.children))
         while stack:
-            n = stack.pop()
-            if type(n) is Node and n.kind == ELEMENT:
-                if n.tag == tag0 and (not attrs0 or match_attrs(n, attrs0)):
-                    if chain:
-                        yield from emit_chain(n, 0)
-                    else:
-                        yield n
-                if n.children:
-                    stack.extend(n.children[::-1])
+            item = stack.pop()
+            if type(item) is tuple:
+                n, pmask = item
+            else:
+                n, pmask = item, 0
+            if type(n) is not Node or n.kind != ELEMENT:
+                continue
+            mask = 0
+            if n.tag == tag0 and (not attrs0 or match_attrs(n, attrs0)):
+                mask = 1
+            if pmask:
+                for j in range(1, len(plan)):
+                    if pmask & (1 << (j - 1)):
+                        tj, aj = plan[j]
+                        if n.tag == tj and (not aj or match_attrs(n, aj)):
+                            mask |= 1 << j
+            if mask & final_bit:
+                yield n
+            if n.children:
+                if mask:
+                    stack.extend((c, mask) for c in reversed(n.children))
+                else:
+                    stack.extend(reversed(n.children))
 
     return run
 
@@ -789,10 +832,16 @@ _OUTER_RE = re.compile(r"^\((?P<path>.+)\)\s*\[(?P<idx>\d+)\]$", re.DOTALL)
 
 
 def _path_needs_order_fix(path: _Path) -> bool:
-    """Paths whose lazy walk can emit out of document order: parent-axis
-    steps (a parent precedes its descendants) and in-step positionals on a
-    step fed by ``descendant-or-self`` contexts (the root context emits its
-    Nth child before deeper, earlier-in-document contexts emit theirs)."""
+    """Paths whose lazy two-phase walk can emit out of document order:
+    parent-axis steps (a parent precedes its descendants), in-step
+    positionals on a step fed by ``descendant-or-self`` contexts (the root
+    context emits its Nth child before deeper, earlier-in-document contexts
+    emit theirs), and any NON-FINAL descendant step (with nested same-tag
+    matches, an outer context's chain results all emit before an inner
+    context's, though the inner ones may precede in document order — e.g.
+    ``//table/tr`` with a table nested inside a td). Predicate-light chains
+    never reach this: the fast-path automaton DFS yields strict document
+    order by construction."""
     def expr_uses(expr) -> bool:
         if expr[0] == "path" and _path_needs_order_fix(expr[1]):
             return True
@@ -800,11 +849,14 @@ def _path_needs_order_fix(path: _Path) -> bool:
             isinstance(p, tuple) and expr_uses(p) for p in expr[1:]
         )
 
-    for step in path.steps:
+    last = len(path.steps) - 1
+    for i, step in enumerate(path.steps):
         if step.axis == "parent":
             return True
+        if i < last and step.axis in ("descendant", "descendant-or-self"):
+            return True
         for p in step.preds:
-            if p[0] == "num" or _uses_position(p) or expr_uses(p):
+            if _positional_pred(p) or expr_uses(p):
                 return True
     return False
 
@@ -827,8 +879,12 @@ def compile_xpath(expression: str) -> XPathExpr:
         raise ParserError(msg_invalid_xpath(expression)) from None
     except (IndexError, ValueError):
         raise ParserError(msg_invalid_xpath(expression)) from None
-    needs_fix = len(paths) > 1 or any(_path_needs_order_fix(p) for p in paths)
-    fast = _compile_fast(paths[0]) if len(paths) == 1 and not needs_fix else None
+    # the fast-path automaton yields strict document order by itself, so
+    # paths it accepts never need (or pay for) the eager sort
+    fast = _compile_fast(paths[0]) if len(paths) == 1 else None
+    needs_fix = fast is None and (
+        len(paths) > 1 or any(_path_needs_order_fix(p) for p in paths)
+    )
     return XPathExpr(
         paths=tuple(paths),
         outer_index=outer_index,

@@ -528,6 +528,20 @@ def test_table_to_json_reference_shape(spark):
     parsed = _json.loads(out[0].js)
     assert parsed == {"caption": "Cap", "header": ["H"], "rows": [["a"], ["b"]]}
 
+    # multi-column + ragged rows: row boundaries come from row_lens, NOT a
+    # rectangularity guess (round-2 review: the first cut emitted one-cell
+    # rows for every table)
+    html2 = (
+        '<table><tr><td>a</td><td>b</td></tr>'
+        '<tr><td rowspan="2">c</td><td>d</td></tr><tr><td>e</td></tr>'
+        "</table>"
+    )
+    docs2 = documents_from_html(spark, [html2], ["d2"])
+    out2 = table_to_json(extract_tables(docs2, ParserConfig())).collect()
+    parsed2 = _json.loads(out2[0].js)
+    # rowspan carry: row 3 = [c, e] (grid expansion duplicates the carry)
+    assert parsed2["rows"] == [["a", "b"], ["c", "d"], ["c", "e"]]
+
 
 def test_simhash_four_band_recall_guarantee(spark):
     """Pigeonhole: 4 disjoint 16-bit bands find EVERY hamming<=3 pair —

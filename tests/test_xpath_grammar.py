@@ -57,7 +57,8 @@ def ids(root, expr):
         ("//table/tr/td", 4),
         ('//*[@id="c"]', 1),
         ("//table | //p", 4),                      # union
-        ("//table[last()]", 3),                    # last-per-parent
+        ("//table[last()]", 2),                    # number-valued predicate
+        # means position()=last(): LAST table-child per parent (2 parents)
         ('//tr[td="3"]', 1),                       # text-value comparison
         ('//table[string-length(@id)=1]', 2),
         ("//table[position()=1]", 2),  # first table-child per PARENT
@@ -112,3 +113,28 @@ def test_reference_generated_shapes_still_work(root):
     assert (q(root, '(//table[@id="c"])[1]')[0].attrs or {}).get("id") == "c"
     assert q(root, "(//table/thead/tr)[1]")[0].tag == "tr"
     assert len(q(root, "//table/tr")) == 4  # direct-child trs only
+
+
+def test_nested_same_tag_document_order():
+    """//table/tr with a table nested inside the outer table: DOMXPath
+    yields strict document order (inner rows surface at their position),
+    which the fast-path automaton DFS reproduces (round-2 review fix)."""
+    html = (
+        '<table id="outer"><table id="inner"><tr id="A"><td>a</td></tr>'
+        "</table><tr id=\"B\"><td>b</td></tr></table>"
+    )
+    r, _ = parse_html_fast(html)
+    got = [(n.attrs or {}).get("id") for n in q(r, "//table/tr")]
+    assert got == ["A", "B"]
+    assert (q(r, "(//table/tr)[1]")[0].attrs or {}).get("id") == "A"
+
+
+def test_number_valued_predicate_is_positional():
+    """XPath 1.0 §2.4: a predicate whose value is a number selects by
+    position — [last()] keeps the last node per context, and a bare
+    numeric function result compares against position()."""
+    html = '<div><table id="a"></table><table id="b"></table><table id="c"></table></div>'
+    r, _ = parse_html_fast(html)
+    assert [(n.attrs or {}).get("id") for n in q(r, "//table[last()]")] == ["c"]
+    # string-length(@id)=1 for all → position()=1 keeps only the first
+    assert [(n.attrs or {}).get("id") for n in q(r, "//table[string-length(@id)]")] == ["a"]
