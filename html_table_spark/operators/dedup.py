@@ -351,3 +351,94 @@ def simhash_near_dups(
     return simhash_banded_pairs(
         sigs, bands=bands, max_hamming=max_hamming, id_col=id_col
     )
+
+
+# -- cluster resolution ------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: (node, component) where component
+    is the minimum id reachable through the pair graph. The missing last
+    mile of every dedup pipeline — pair lists don't dedupe a corpus;
+    canonical-per-cluster does.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels); converges in graph-diameter
+    rounds. Near-dup graphs are unions of near-cliques (diameter 2-3 in
+    practice), so 3-4 rounds close almost everything; the loop stops the
+    first round nothing changes (one count() action per round — driver
+    control flow, never data through the driver). Each round is one join
+    on the edge list + one min-aggregate: shuffles carry (node, label)
+    ids only, never documents. For adversarial long-chain graphs swap in
+    the alternating large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — same join shapes,
+    O(log n) rounds.
+
+    The edge list and current labels are cached per round and unpersisted
+    after; at 10^12-doc scale checkpoint labels to storage every few
+    rounds to cut lineage instead.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one canonical document per near-dup cluster (the min-id member)
+    plus every document that appears in no pair — the end-to-end near-dedup
+    pass: LSH/SimHash pairs in, deduplicated corpus out. The components
+    join is a left join on ids only; unpaired documents pass through
+    without shuffling their text."""
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    keep = comp.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

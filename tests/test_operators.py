@@ -641,3 +641,23 @@ def test_ngram_jaccard_shingle_cap_bounds_row_size(spark):
     # default path: exact, no approx column (oracle-checked schema)
     exact = dedup.ngram_jaccard(df, pairs)
     assert set(exact.columns) == {"id_a", "id_b", "jaccard"}
+
+
+def test_connected_components_and_cluster_dedup(spark):
+    """Pairs -> clusters -> canonical-per-cluster corpus: two chains that
+    must merge transitively (a-b, b-c => one cluster) plus an isolated
+    pair and untouched singletons."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("c", "d")],
+        "id_a string, id_b string",
+    )
+    comp = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=d, text=f"doc {d}") for d in ["a", "b", "c", "d", "x", "y", "z"]]
+    )
+    kept = {r.doc_id for r in dedup.dedup_by_clusters(docs, pairs).collect()}
+    assert kept == {"a", "x", "z"}  # cluster canonicals + untouched singleton
