@@ -143,12 +143,14 @@ def main_bench() -> None:
     timings["extraction_pipeline"] = extraction["wall_sec"]
     for name in HEADLINE:
         fn = qfns[name]
-        # best-of-2: the sandbox shows ±40% wall jitter under background
-        # load; min-of-two is a far better steady-state estimator and the
-        # second run still rebuilds the whole plan (no cross-run caching —
-        # per-query caches are dropped between runs)
+        # best-of-3: the sandbox shows ±40% wall jitter under background
+        # load, and single spikes hit DIFFERENT queries each run (observed
+        # dd_lsh_pairs 1.1s→5.6s on identical code); min-of-three is a far
+        # better steady-state estimator and every run still rebuilds the
+        # whole plan (no cross-run caching — per-query caches are dropped
+        # between runs)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.monotonic()
             df = fn(spark, SF_DIR)
