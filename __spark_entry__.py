@@ -488,15 +488,17 @@ def qs_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def qs_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jsonSerialize sink (Table.php:68-75): caption + header + rows as one
-    compact JSON document per extracted table — caption = first word, body =
-    remaining words as single-cell rows, header empty (no thead)."""
+    compact JSON document per extracted table — caption = first word, header
+    = [k, v] from the thead, body = remaining words as single-cell rows.
+    Rows are header-combined OBJECTS (combineArray, Parser.php:614-622):
+    one cell under 'k', 'v' null-filled — the round-3 header-keyed path."""
     from html_table_spark.operators.tabular import table_to_json
 
     w0 = F.element_at(_W(), 1)
     rest = F.regexp_replace("text", r"^[^ ]+ ", "")
     html = F.concat(
         F.lit("<table><caption>"), w0,
-        F.lit("</caption><tr><td>"),
+        F.lit("</caption><thead><tr><th>k</th><th>v</th></tr></thead><tr><td>"),
         F.regexp_replace(rest, " ", "</td></tr><tr><td>"),
         F.lit("</td></tr></table>"),
     )
@@ -1448,9 +1450,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    CAST(json_object(
                        'caption', split_part(text, ' ', 1),
-                       'header', CAST([] AS VARCHAR[]),
+                       'header', ['k', 'v'],
                        'rows', list_transform((string_split(text, ' '))[2:],
-                                              x -> [x])
+                                              x -> json_object('k', x, 'v', NULL))
                    ) AS VARCHAR) AS js
             FROM documents
         """,

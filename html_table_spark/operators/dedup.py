@@ -379,8 +379,13 @@ def connected_components(
     O(log n) rounds.
 
     The edge list and current labels are cached per round and unpersisted
-    after; at 10^12-doc scale checkpoint labels to storage every few
-    rounds to cut lineage instead.
+    after; every 5 rounds the labels are localCheckpoint-ed so retries
+    replay a bounded suffix, not the whole chain (at 10^12-doc scale use
+    reliable ``checkpoint()`` to cluster storage instead). The returned
+    DataFrame is lineage-free (checkpointed) — no caller-owned cache.
+    Raises ``RuntimeError`` if label propagation has not converged after
+    ``max_iters`` rounds: a silently-split component would make
+    ``dedup_by_clusters`` keep duplicate canonicals.
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = (
@@ -394,7 +399,8 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .cache()
     )
-    for _ in range(max_iters):
+    changed = 0
+    for it in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
@@ -420,8 +426,30 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+        if (it + 1) % 5 == 0:
+            # long-chain graphs: cut the accumulated join lineage every few
+            # rounds so a straggler retry replays 5 rounds, not the chain
+            chk = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = chk
     edges.unpersist()
-    return labels.select("node", F.col("label").alias("component"))
+    if changed != 0:
+        # a silently-split component makes dedup_by_clusters keep duplicate
+        # "canonicals" — never return wrong clusters without a signal
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge after {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters or use the "
+            "large-star/small-star variant for long-chain graphs"
+        )
+    # localCheckpoint truncates the per-round join lineage (25 rounds of
+    # joins would otherwise replay from the edge list on any recompute) and
+    # lets us release the loop cache instead of leaking it to the caller
+    out = labels.select("node", F.col("label").alias("component")).localCheckpoint(
+        eager=True
+    )
+    labels.unpersist()
+    return out
 
 
 def dedup_by_clusters(

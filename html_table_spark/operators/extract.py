@@ -168,6 +168,25 @@ import re as _re
 
 _COMMENT_END_RE = _re.compile(r"--\s*>")
 
+# A '<' inside a tag the boundary scan does NOT inspect (generic start tags
+# like <td ...>, generic end tags like </td ...>) can hide one of the scan's
+# own event patterns (quoted '<table>'/'</table>' in a data attribute,
+# unquoted 'foo=</table>') and silently divert the depth counter while
+# staying balanced. Detect that shape in ONE C-level pass and fall back to
+# the always-correct whole-doc parse. Mirrors _TAG_RE's consumption rules:
+# start-tag attrs honor quotes (so the quote alternatives here exclude '<'
+# to EXPOSE an angle hidden inside them), end tags are quote-blind and stop
+# at the first '>'. Event tags (<table/<script/<style/<!/<?/comments) fire
+# before anything embedded in them and are consumed exactly, so a match
+# inside one of those is only ever a harmless false positive (→ fallback).
+_UNSEEN_TAG_ANGLE_RE = _re.compile(
+    r"""<(?:
+          [a-zA-Z](?:"[^"<]*"|'[^'<]*'|[^<>])*   # start tag: quote-aware
+        | /[^<>]*                                # end tag: quote-blind
+        )<""",
+    _re.VERBOSE,
+)
+
 
 def make_arrow_extractor(
     config: ParserConfig,
@@ -426,15 +445,19 @@ def _top_level_table_cuts(html: str) -> list[tuple[int, int]] | None:
     <script>/<style> raw text, and inside ``<?...?>`` PIs / ``<!...>``
     bogus declarations (which the tokenizer swallows to their first '>')
     are NOT boundaries, and close tags require the tokenizer's
-    name-boundary (``</tables>`` is not a close). Residual blind spot
-    (documented, fail-safe): table markup inside a quoted attribute of a
-    tag the scan does not inspect (e.g. ``<td data-x="</table>">``) —
-    such docs unbalance the depth counter and fall back to a whole-doc
-    parse."""
+    name-boundary (``</tables>`` is not a close). Tags the scan does not
+    inspect (``<td …>``, ``</td …>``) can swallow event patterns in their
+    attribute region — quoted ``data-x="</table>x<table>"`` stays
+    *balanced* and would silently cut garbage (round-3 ADVICE) — so a
+    single C-level pre-scan (``_UNSEEN_TAG_ANGLE_RE``) detects any ``<``
+    inside a tag body and falls back to the whole-doc parse, which is
+    always correct, just unsplit."""
     lower = html.lower()
     n = len(lower)
     if n != len(html):  # .lower() changed length (e.g. 'İ') → offsets shift
         return None
+    if _UNSEEN_TAG_ANGLE_RE.search(html) is not None:
+        return None  # markup hidden inside a tag body — do not split
     cuts: list[tuple[int, int]] = []
     depth = 0
     pos = 0

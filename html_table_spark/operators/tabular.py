@@ -126,19 +126,24 @@ class Tabular:
 
 def table_to_json(extracted: DataFrame) -> DataFrame:
     """``Table::jsonSerialize`` twin (reference ``src/Table.php:68-75``):
-    one compact JSON document per extracted table with the same shape —
-    ``{"caption": ..., "header": [...], "rows": [[...], ...]}``. Rows are
-    rebuilt JVM-side from the flat cell-span stream using the table's
-    ``row_lens`` column (cells per grid-expanded row — the span stream
-    itself has no row boundaries): prefix-sum the lengths, slice the cell
-    texts per row. No explode/re-group shuffle. Legacy rows with a null
-    ``row_lens`` (pre-round-2 parquet) fall back to one-cell rows. Parity
-    note: PHP's json_encode keeps null-valued keys while Spark's
-    ``to_json`` drops them — callers needing the explicit
-    ``"caption": null`` key must coalesce the caption to a sentinel."""
+    one compact JSON document per extracted table with the same shape.
+    ``rows`` iterates the TabularDataReader, so with a **non-empty header**
+    each row is a JSON *object* keyed by header names — the record
+    projected to header width with missing offsets null-filled, exactly
+    ``combineArray`` (reference ``src/Parser.php:614-622``); with an empty
+    header rows stay positional string arrays. Rows are rebuilt JVM-side
+    from the flat cell-span stream using the table's ``row_lens`` column
+    (cells per grid-expanded row — the span stream itself has no row
+    boundaries): prefix-sum the lengths, slice the cell texts per row. No
+    explode/re-group shuffle. Legacy rows with a null ``row_lens``
+    (pre-round-2 parquet) fall back to one-cell rows. Null-valued keys
+    (``"caption": null``, null-filled cells) are kept, matching PHP
+    json_encode (``ignoreNullFields=false``; Spark always keeps null map
+    values)."""
     cells = F.filter(F.col("spans"), lambda s: s["kind"] == "cell")
     texts = F.transform(cells, lambda s: s["text"])
     lens = F.col("row_lens")
+    header = F.col("header")
     # 1-based slice starts: [1, 1+l0, 1+l0+l1, ...]
     starts = F.aggregate(
         lens,
@@ -154,17 +159,42 @@ def table_to_json(extracted: DataFrame) -> DataFrame:
     rows = F.when(lens.isNull(), F.transform(cells, lambda s: F.array(s["text"]))).otherwise(
         grouped
     )
-    return extracted.select(
-        "doc_id",
-        "table_idx",
+    # combineArray: project each row to header width, null-fill missing
+    # offsets (F.get is 0-based and yields NULL out-of-bounds even under
+    # ANSI mode), drop cells beyond the header. Header names are unique —
+    # duplicate headers are rejected at config time (§2.3).
+    keyed_rows = F.transform(
+        rows,
+        lambda row: F.map_from_arrays(
+            header,
+            F.transform(
+                F.sequence(F.lit(0), F.size(header) - F.lit(1)),
+                lambda j: F.get(row, j),
+            ),
+        ),
+    )
+    opts = {"ignoreNullFields": "false"}
+    js = F.when(
+        F.size(header) > 0,
         F.to_json(
             F.struct(
                 F.col("caption").alias("caption"),
-                F.col("header").alias("header"),
+                header.alias("header"),
+                keyed_rows.alias("rows"),
+            ),
+            opts,
+        ),
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.col("caption").alias("caption"),
+                header.alias("header"),
                 rows.alias("rows"),
-            )
-        ).alias("js"),
+            ),
+            opts,
+        )
     )
+    return extracted.select("doc_id", "table_idx", js.alias("js"))
 
 
 def golden_diff(actual: DataFrame, expected: DataFrame) -> DataFrame:

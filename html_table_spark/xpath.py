@@ -356,17 +356,11 @@ def _descendants(node: Node):
 
 
 def _string_value(node: Node) -> str:
-    """XPath string() of an element: concatenated descendant text."""
-    parts: list[str] = []
-    stack = [node]
-    while stack:
-        n = stack.pop()
-        for c in reversed(n.children):
-            if type(c) is str:
-                parts.append(c)
-            elif c.kind == ELEMENT:
-                stack.append(c)
-    return "".join(reversed(parts))
+    """XPath string() of an element: concatenated descendant text in
+    document order (delegates to ``Node.text_content``, which runs the
+    forward-order DFS; a previous hand-rolled traversal here scrambled
+    multi-child text, e.g. string(<tr><td>a</td><td>b</td></tr>) == 'ba')."""
+    return node.text_content()
 
 
 def _build_parent_map(root: Node) -> dict[int, Node]:

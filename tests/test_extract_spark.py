@@ -213,6 +213,54 @@ def test_table_cuts_ignore_comments_rawtext_and_typos():
     # unterminated comment → ambiguous → whole-doc fallback
     assert _top_level_table_cuts("<!-- oops <table></table>") is None
 
+
+def test_table_cuts_quoted_markup_in_uninspected_tag_falls_back():
+    """Round-3 ADVICE: balanced table markup hidden inside an UNINSPECTED
+    tag's attribute must not produce garbage cuts — the pre-scan detects a
+    '<' inside any tag body and falls back to the whole-doc parse."""
+    from html_table_spark.operators.extract import _top_level_table_cuts
+
+    t = "<table><tr><td>x</td></tr></table>"
+    # the ADVICE repro: quoted close+open stays depth-balanced
+    bad = '<table><tr><td data-x="</table>x<table>">A</td></tr></table>'
+    assert _top_level_table_cuts(bad) is None
+    # unquoted attr value running into an event pattern
+    assert _top_level_table_cuts("<table><tr><td foo=</table>>A</td></tr></table>" ) is None
+    # quoted '>' before the hidden '<' (defeats any quote-blind heuristic)
+    assert _top_level_table_cuts('<div a=">" b="<table">' + t) is None
+    # '<' inside an END tag's junk region (</td ... > is quote-blind)
+    assert _top_level_table_cuts("<div></div <table>" + t) is None
+    # text '< letter' genuinely opens a tag for the tokenizer too → fallback
+    assert _top_level_table_cuts("i<j and k<m" + t) is None
+    # …but ordinary quoted attributes (including quoted '>') still split
+    cuts = _top_level_table_cuts('<table class="a>b"><tr><td>y</td></tr></table>' + t)
+    assert cuts is not None and len(cuts) == 2
+    cuts = _top_level_table_cuts('<div id="x" data-y=\'1\'>' + t * 2)
+    assert cuts is not None and len(cuts) == 2
+    # text '<' NOT followed by a letter is harmless
+    cuts = _top_level_table_cuts("<p>1 < 2 &lt; 3</p>" + t)
+    assert cuts is not None and len(cuts) == 1
+
+
+def test_mega_doc_split_parity_quoted_markup(spark):
+    """End-to-end: a doc with quoted table markup inside an attribute
+    produces IDENTICAL results via the chunk-split path and the whole-doc
+    kernel (the cut scan must fall back rather than cut garbage)."""
+    t = "<table><tr><td>c{}</td></tr></table>"
+    html = (
+        '<table><tr><td data-x="</table>x<table>">A</td></tr></table>'
+        + "".join(t.format(i) for i in range(50))
+    )
+    rows = [
+        {"doc_id": "qm", "spans": [{"kind": "text", "text": html, "media_ref": None, "offset": 0}]}
+    ]
+    config = ParserConfig().all_tables()
+    chunks = split_mega_docs(_docs_df(spark, rows), tables_per_chunk=8)
+    got = spark_signatures(extract_tables(chunks, config))
+    expected = kernel_signatures(rows, config)
+    assert len(got) == 51
+    assert got == expected
+
 def test_table_cuts_selfclosed_rawtext_and_empty_table():
     """Self-closed <script/>/<style/>/<table/> are EMPTY elements to the
     tokenizer (htmldom _TAG_RE selfclose group) — the boundary scan must not

@@ -507,9 +507,11 @@ def test_golden_diff_multiset_semantics(spark):
 
 
 def test_table_to_json_reference_shape(spark):
-    """jsonSerialize parity (Table.php:68-75): {caption, header, rows} with
-    rows in span order; null caption drops the key (documented to_json
-    divergence from PHP json_encode)."""
+    """jsonSerialize parity (Table.php:68-75): {caption, header, rows}.
+    With a non-empty header, iterating the TabularDataReader yields
+    header-combined records (combineArray, Parser.php:614-622), so rows are
+    JSON OBJECTS keyed by header names, projected/null-filled to header
+    width; empty header keeps positional arrays (round-3 ADVICE fix)."""
     import json as _json
 
     from html_table_spark.config import ParserConfig
@@ -526,11 +528,28 @@ def test_table_to_json_reference_shape(spark):
         extract_tables(docs, ParserConfig().table_header_position("thead"))
     ).collect()
     parsed = _json.loads(out[0].js)
-    assert parsed == {"caption": "Cap", "header": ["H"], "rows": [["a"], ["b"]]}
+    assert parsed == {
+        "caption": "Cap",
+        "header": ["H"],
+        "rows": [{"H": "a"}, {"H": "b"}],
+    }
 
-    # multi-column + ragged rows: row boundaries come from row_lens, NOT a
-    # rectangularity guess (round-2 review: the first cut emitted one-cell
-    # rows for every table)
+    # header wider than a row → null-fill; row wider than header → project
+    html_nf = (
+        "<table><thead><tr><th>k</th><th>v</th></tr></thead>"
+        "<tr><td>a</td></tr><tr><td>b</td><td>c</td><td>drop</td></tr></table>"
+    )
+    docs_nf = documents_from_html(spark, [html_nf], ["d3"])
+    out_nf = table_to_json(
+        extract_tables(docs_nf, ParserConfig().table_header_position("thead"))
+    ).collect()
+    parsed_nf = _json.loads(out_nf[0].js)
+    assert parsed_nf["caption"] is None  # PHP json_encode keeps null keys
+    assert parsed_nf["rows"] == [{"k": "a", "v": None}, {"k": "b", "v": "c"}]
+
+    # multi-column + ragged rows, EMPTY header → positional arrays; row
+    # boundaries come from row_lens, NOT a rectangularity guess (round-2
+    # review: the first cut emitted one-cell rows for every table)
     html2 = (
         '<table><tr><td>a</td><td>b</td></tr>'
         '<tr><td rowspan="2">c</td><td>d</td></tr><tr><td>e</td></tr>'
@@ -541,6 +560,7 @@ def test_table_to_json_reference_shape(spark):
     parsed2 = _json.loads(out2[0].js)
     # rowspan carry: row 3 = [c, e] (grid expansion duplicates the carry)
     assert parsed2["rows"] == [["a", "b"], ["c", "d"], ["c", "e"]]
+    assert parsed2["caption"] is None
 
 
 def test_simhash_four_band_recall_guarantee(spark):
@@ -661,3 +681,21 @@ def test_connected_components_and_cluster_dedup(spark):
     )
     kept = {r.doc_id for r in dedup.dedup_by_clusters(docs, pairs).collect()}
     assert kept == {"a", "x", "z"}  # cluster canonicals + untouched singleton
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Round-3 ADVICE: exhausting max_iters with labels still changing must
+    raise, not silently return split components (duplicate canonicals)."""
+    import pytest as _pytest
+
+    # a 6-node chain needs >1 min-label round; max_iters=1 cannot converge
+    chain = [(f"n{i}", f"n{i+1}") for i in range(5)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=1)
+    # with enough rounds the same graph resolves to one component
+    comp = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs, max_iters=10).collect()
+    }
+    assert set(comp.values()) == {"n0"}

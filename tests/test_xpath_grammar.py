@@ -71,6 +71,21 @@ def test_node_counts(root, expr, count):
     assert len(q(root, expr)) == count, expr
 
 
+def test_string_value_multi_child_document_order():
+    """string() of a node with multiple text-bearing children must come back
+    in document order (round-3 ADVICE: the old traversal returned 'ba' for
+    <tr><td>a</td><td>b</td></tr> and 'xac' for <p>a<b>x</b>c</p>)."""
+    doc = parse_html_fast(
+        "<table><tr><td>a</td><td>b</td></tr></table><p>a<b>x</b>c</p>"
+    )[0]
+    assert [n.tag for n in q(doc, '//tr[.="ab"]')] == ["tr"]
+    assert q(doc, '//tr[.="ba"]') == []
+    assert [n.tag for n in q(doc, '//p[contains(.,"ax")]')] == ["p"]
+    assert [n.tag for n in q(doc, '//p[starts-with(.,"ax")]')] == ["p"]
+    assert [n.tag for n in q(doc, '//p[normalize-space(.)="axc"]')] == ["p"]
+    assert [n.tag for n in q(doc, "//tr[string-length(.)=2]")] == ["tr"]
+
+
 def test_document_order_and_union_order(root):
     # union across paths must come back in document order, not path order
     got = [n.tag for n in q(root, "//p | //table")]
