@@ -171,6 +171,10 @@ def main_bench() -> None:
                 "sf": _sf_num(sf),
                 "extraction": extraction,
                 "cores": CPUS,
+                # timing policy version, so rounds compare like-for-like:
+                # v2 = best-of-3 wall per headline query (since r02 commit
+                # b9de3c2); v1 (r01) was single-shot. Bump on any change.
+                "policy": "best-of-3-v2",
             }
         )
     )

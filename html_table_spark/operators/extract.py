@@ -27,6 +27,7 @@ from collections.abc import Iterator
 import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..config import ParserConfig
 from ..htmldom import _TAG_RE as _html_tag_re
@@ -131,35 +132,42 @@ def make_extractor(config: ParserConfig, flush_rows: int = 2048):
     return extract_batches
 
 
-def _doc_htmls_from_arrow(batch: pa.RecordBatch) -> list[str]:
-    """Reassemble per-doc HTML from the Arrow spans column WITHOUT building
-    per-span Python dicts: slice the flat child arrays via list offsets.
-    This (plus flat output construction) is what makes the operator scale —
-    5M span dicts per batch would otherwise dominate the stage."""
-    spans_col = batch.column("spans")
-    if isinstance(spans_col, pa.ChunkedArray):  # pragma: no cover
-        spans_col = spans_col.combine_chunks()
-    # list offsets into the flat struct children
-    offsets = spans_col.offsets.to_pylist()
-    values = spans_col.values
-    kinds = values.field("kind").to_pylist()
-    texts = values.field("text").to_pylist()
-    span_offs = values.field("offset").to_pylist()
-    valid = spans_col.is_valid().to_pylist()
-    htmls: list[str] = []
-    for i in range(len(spans_col)):
-        lo, hi = offsets[i], offsets[i + 1]
-        if not valid[i] or hi <= lo:
-            htmls.append("")
-            continue
-        segment = [
-            (span_offs[j] if span_offs[j] is not None else 0, texts[j])
-            for j in range(lo, hi)
-            if kinds[j] == "text" and texts[j] is not None
-        ]
-        segment.sort(key=lambda t: t[0])
-        htmls.append("".join(t for _, t in segment))
-    return htmls
+def html_reassembly_col(spans_col: str = "spans"):
+    """JVM-side twin of ``spans.doc_spans_to_html``: text spans with
+    non-null text, ordered by (offset, original span position) — null
+    offsets sort as 0 and ties keep span order, exactly the Python
+    reference's stable sort — concatenated into one HTML string.
+
+    Doing the reassembly in the JVM (round-3 Arrow-copy reduction) means
+    the Python boundary carries ONE string column per document instead of
+    the full span struct array: the kind/media_ref/offset child arrays and
+    every media span stop crossing the JVM↔Python socket entirely, and the
+    worker no longer materializes four ``to_pylist`` copies per batch just
+    to re-join them. Null/empty span rows coalesce to ''."""
+    texts = F.filter(
+        spans_col,
+        lambda s: (s["kind"] == F.lit("text")) & s["text"].isNotNull(),
+    )
+    indexed = F.transform(
+        texts,
+        lambda s, i: F.struct(
+            F.coalesce(s["offset"], F.lit(0)).alias("o"),
+            i.alias("i"),
+            s["text"].alias("t"),
+        ),
+    )
+    ordered = F.array_sort(
+        indexed,
+        lambda a, b: (
+            F.when(a["o"] < b["o"], -1)
+            .when(a["o"] > b["o"], 1)
+            .when(a["i"] < b["i"], -1)
+            .when(a["i"] > b["i"], 1)
+            .otherwise(0)
+        ),
+    )
+    joined = F.array_join(F.transform(ordered, lambda x: x["t"]), "")
+    return F.coalesce(joined, F.lit(""))
 
 
 STATUS_CHUNK = "chunk"
@@ -295,7 +303,9 @@ def make_arrow_extractor(
                 if "table_idx_base" in batch.schema.names
                 else None
             )
-            htmls = _doc_htmls_from_arrow(batch)
+            # HTML is reassembled JVM-side (html_reassembly_col): one string
+            # column crosses Arrow, already filtered/ordered/joined
+            htmls = batch.column("html").to_pylist()
             for i, html in enumerate(htmls):
                 doc_id = doc_ids[i]
                 base = bases[i] if bases is not None else 0
@@ -399,10 +409,13 @@ def extract_tables(
     from .util import ensure_parallelism
 
     config = config or ParserConfig()
-    cols = ["doc_id", "spans"] + (
-        ["table_idx_base"] if "table_idx_base" in documents.columns else []
+    # explicit pruning before the UDF stage, with the HTML reassembly done
+    # JVM-side: the Arrow boundary carries (doc_id, html) only — no span
+    # structs, no media spans (round-3 Arrow-copy reduction)
+    cols = [F.col("doc_id"), html_reassembly_col("spans").alias("html")] + (
+        [F.col("table_idx_base")] if "table_idx_base" in documents.columns else []
     )
-    pruned = documents.select(*cols)  # explicit pruning before the UDF stage
+    pruned = documents.select(*cols)
     if spread_small_inputs:
         # a dimension-sized corpus arriving as one file = one partition
         # would serialize the whole Arrow stage on a single Python worker.

@@ -7,10 +7,14 @@ import os
 from pyspark.sql import SparkSession
 
 # Arrow batches default to 10k rows; with multi-KB..MB HTML documents per
-# row that overshoots Python worker memory — 256 docs/batch keeps the
-# JVM→Python transfer bounded while still amortizing the Arrow round trip
-# (SURVEY.md §4.3 "Arrow batch sizing").
-DEFAULT_ARROW_BATCH = 256
+# row that overshoots Python worker memory. 1024 docs/batch keeps the
+# JVM→Python transfer bounded (pass-1 docs are cost-capped at 256 KB, so
+# the worst batch is ~256 MB and the typical one ~3 MB) while quartering
+# the number of batch boundaries vs the round-2 value of 256 — each
+# boundary costs IPC framing plus per-batch buffer materialization on both
+# sides, measured ~5% of pass-1 wall at sf0.1 (round-3 Arrow-copy
+# reduction; SURVEY.md §4.3 "Arrow batch sizing").
+DEFAULT_ARROW_BATCH = 1024
 
 
 def get_spark(
