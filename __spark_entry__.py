@@ -286,6 +286,13 @@ def x_xpath_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and_not": '//table[contains(@class,"data") and not(@id)]',
         "or_starts": '//table[starts-with(@class,"nav") or @class="zz"]',
         "union": '//table[@class="zz"] | //table[contains(@class,"nav")]',
+        # round-3 axes (VERDICT item 3): each picks a structurally-known
+        # table so the cells stay SQL-predictable
+        "following_sib": '//table[@class="nav small"]/following-sibling::table[1]',
+        "preceding_sib": '//table[preceding-sibling::table[@id="t2"]]',
+        "ancestor": "//td[ancestor::table[@id]]/ancestor::table[1]",
+        "attr_step": "//table[following-sibling::table/@id]",
+        "text_step": '//table[tr/td/text()="menu"]',
     }
     parts = []
     for name, expr in selectors.items():
@@ -1398,6 +1405,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'or_starts', 'menu', CAST(0 AS INT) FROM w
             UNION ALL
             SELECT doc_id, 'union', 'menu', CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'following_sib', w0, CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'preceding_sib', unnest(rest),
+                   CAST(generate_subscripts(rest, 1) - 1 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'ancestor', w0, CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'attr_step', 'menu', CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'text_step', 'menu', CAST(0 AS INT) FROM w
         """,
         "x_user_header": """
             WITH w AS (

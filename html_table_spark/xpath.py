@@ -11,7 +11,15 @@ paste from browser devtools:
   (``//`` desugars to ``descendant-or-self::node()`` + child step, so
   ``//table[2]`` counts per parent exactly as DOMXPath does)
 - explicit axes: ``child::``, ``descendant::``, ``descendant-or-self::``,
-  ``self::``, ``parent::`` (and ``.``/``..`` abbreviations)
+  ``self::``, ``parent::`` (and ``.``/``..`` abbreviations), and — round 3 —
+  ``following-sibling::``, ``preceding-sibling::``, ``ancestor::``,
+  ``ancestor-or-self::``, ``following::``, ``preceding::`` (reverse axes
+  count position() nearest-first per XPath 1.0 §2.4; results re-sort to
+  document order)
+- attribute location steps (``//table/@id``, ``@*``) and ``text()`` node
+  tests as FINAL result steps — results are :class:`XPathAttr` /
+  :class:`XPathText` wrappers, which the selection layer maps to the
+  reference's not-a-DOMElement error exactly as ``Parser.php:370`` does
 - predicates: positional (``[2]``), attribute equality (``[@id="x"]``),
   attribute existence (``[@id]``), relative-path existence (``[thead]``,
   ``[.//th]``), ``and`` / ``or`` / ``not()``, comparisons
@@ -20,11 +28,10 @@ paste from browser devtools:
   ``text()`` and ``.`` string values, numeric literals
 - top-level union ``|`` and the ``(path)[N]`` document-order wrapper
 
-Everything outside the grammar (e.g. ``following-sibling::``, attribute
-*location* steps, ``text()`` as a final step — our tree stores text runs as
-plain strings, not nodes) raises :class:`ParserError` with the reference's
-eager-validation message, so misconfigurations surface on the driver, never
-inside a Spark task.
+Everything outside the grammar (``namespace::`` axes, ``comment()`` result
+steps, attribute/text steps in non-final positions) raises
+:class:`ParserError` with the reference's eager-validation message, so
+misconfigurations surface on the driver, never inside a Spark task.
 
 Results are element nodes in document order, deduplicated, matching
 ``DOMXPath::query``. Known divergence vs libxml2: adjacent text runs are
@@ -90,7 +97,39 @@ class _SyntaxError(Exception):
 # AST
 # ---------------------------------------------------------------------------
 
-_AXES = {"child", "descendant", "descendant-or-self", "self", "parent"}
+_AXES = {
+    "child",
+    "descendant",
+    "descendant-or-self",
+    "self",
+    "parent",
+    # round-3 additions (VERDICT item 3): the sibling/ancestor/document
+    # axes DOMXPath accepts. Reverse axes generate candidates in AXIS
+    # order (nearest first) so positional predicates count per XPath 1.0
+    # §2.4; final results are re-sorted to document order (needs_order_fix)
+    "following-sibling",
+    "preceding-sibling",
+    "ancestor",
+    "ancestor-or-self",
+    "following",
+    "preceding",
+    "attribute",
+}
+
+# axes whose lazy walk order is not document order (reverse axes, parent
+# chains, cross-subtree document axes) — results need the eager sort
+_ORDER_FIX_AXES = frozenset(
+    {
+        "parent",
+        "ancestor",
+        "ancestor-or-self",
+        "following-sibling",
+        "preceding-sibling",
+        "following",
+        "preceding",
+        "attribute",
+    }
+)
 
 
 @dataclass(frozen=True)
@@ -178,6 +217,22 @@ class _Parser:
         while not self._at_path_end():
             self._path_sep(steps)
             steps.append(self.parse_step())
+        # attribute and text() steps select non-element nodes: legal only as
+        # the FINAL location step (nothing navigates onward from them), with
+        # at most numeric-positional predicates — enforced eagerly so a bad
+        # expression fails on the driver, never inside a Spark task
+        for i, s in enumerate(steps):
+            if s.axis == "attribute" or s.test == "text()":
+                if i != len(steps) - 1:
+                    raise _SyntaxError()
+                if any(p[0] != "num" for p in s.preds):
+                    raise _SyntaxError()
+                if s.test == "text()" and s.axis not in (
+                    "child",
+                    "descendant",
+                    "descendant-or-self",
+                ):
+                    raise _SyntaxError()
         return _Path(steps=_fuse_steps(steps), absolute=absolute)
 
     def _at_path_end(self) -> bool:
@@ -196,7 +251,7 @@ class _Parser:
         if kind == "axis":
             axis = value[:-2]
             if axis not in _AXES:
-                raise _SyntaxError()  # following-sibling:: etc. unsupported
+                raise _SyntaxError()  # namespace::, unknown axes
             self.next()
             kind, value = self.peek()
         if kind == "ddot":
@@ -206,19 +261,35 @@ class _Parser:
             self.next()
             return _Step("self", "node()", self._parse_preds())
         if kind == "at":
-            raise _SyntaxError()  # attribute location steps unsupported
+            # @name abbreviation for attribute::name (location step)
+            if axis != "child":
+                raise _SyntaxError()
+            self.next()
+            axis = "attribute"
+            kind, value = self.peek()
         if kind != "name":
             raise _SyntaxError()
         self.next()
         test = value.lower()
+        if axis == "attribute":
+            # attribute::name / attribute::* — results are attribute VALUE
+            # nodes (XPathAttr); node tests other than a name or * are
+            # meaningless on this axis
+            if self.peek()[0] == "lpar":
+                raise _SyntaxError()
+            return _Step("attribute", test, self._parse_preds())
         if self.peek()[0] == "lpar":
-            # node-test function: node() supported; text()/comment() are not
-            # representable as result nodes in this tree
+            # node-test function: node() and text() supported (text runs are
+            # plain strings in this tree, surfaced as XPathText results);
+            # comment() results are not representable
             self.next()
             self.expect("rpar")
-            if test != "node":
+            if test == "node":
+                test = "node()"
+            elif test == "text":
+                test = "text()"
+            else:
                 raise _SyntaxError()
-            test = "node()"
         return _Step(axis, test, self._parse_preds())
 
     def _parse_preds(self) -> tuple:
@@ -339,6 +410,41 @@ def _fuse_steps(steps: list[_Step]) -> tuple[_Step, ...]:
 # ---------------------------------------------------------------------------
 
 
+class XPathAttr:
+    """An attribute node result (``//table/@id``). Not an element: the
+    reference's ``$table instanceof DOMElement`` gate maps these to the
+    table-not-found error (``Parser.php:370``), and semantics.py checks
+    ``type(...) is Node`` accordingly. ``value`` is the attribute value
+    (the XPath string value of an attribute node)."""
+
+    __slots__ = ("name", "value", "owner")
+
+    def __init__(self, name: str, value: str, owner: Node):
+        self.name = name
+        self.value = value
+        self.owner = owner
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"@{self.name}={self.value!r}"
+
+
+class XPathText:
+    """A text node result (``//td/text()``). Text runs are plain strings in
+    this tree, so results carry (value, parent, child index) — identity per
+    occurrence (two equal strings in different cells stay two nodes, which
+    a bare ``str`` could not guarantee under CPython small-string caching)."""
+
+    __slots__ = ("value", "parent", "index")
+
+    def __init__(self, value: str, parent: Node, index: int):
+        self.value = value
+        self.parent = parent
+        self.index = index
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"text({self.value!r})"
+
+
 def _children_elements(node: Node):
     for child in node.children:
         if type(child) is Node and child.kind == ELEMENT:
@@ -406,6 +512,18 @@ class _EvalCtx:
             self._order = _doc_order_map(self.root)
         return self._order.get(id(node), 1 << 60)
 
+    def sort_key(self, n):
+        """Document-order key covering attribute/text results: attributes
+        sort immediately after their owner element, text runs after their
+        parent by child index (approximate against deeper elements in mixed
+        unions — exact within any one result type)."""
+        t = type(n)
+        if t is XPathAttr:
+            return (self.ordinal(n.owner), 1, 0)
+        if t is XPathText:
+            return (self.ordinal(n.parent), 2, n.index)
+        return (self.ordinal(n), 0, 0)
+
 
 def _uses_position(expr) -> bool:
     if expr[0] in ("pos", "last"):
@@ -413,6 +531,34 @@ def _uses_position(expr) -> bool:
     return any(
         isinstance(part, tuple) and _uses_position(part) for part in expr[1:]
     )
+
+
+def _element_siblings(ctx: Node, ev: _EvalCtx):
+    """(preceding, following) element siblings of ctx, each in document
+    order; ctx's position is found by identity among the parent's children."""
+    p = ev.parent(ctx) if ctx is not ev.root else None
+    if p is None:
+        return [], []
+    before: list[Node] = []
+    after: list[Node] = []
+    seen_self = False
+    for c in p.children:
+        if c is ctx:
+            seen_self = True
+            continue
+        if type(c) is Node and c.kind == ELEMENT:
+            (after if seen_self else before).append(c)
+    return before, after
+
+
+def _ancestors(ctx: Node, ev: _EvalCtx):
+    """Ancestor chain, nearest first (the axis order of ancestor::)."""
+    n = ctx
+    while n is not ev.root:
+        n = ev.parent(n)
+        if n is None:
+            return
+        yield n
 
 
 def _axis_candidates(ctx: Node, step: _Step, ev: _EvalCtx):
@@ -428,15 +574,44 @@ def _axis_candidates(ctx: Node, step: _Step, ev: _EvalCtx):
         nodes = chain()
     elif axis == "self":
         nodes = iter((ctx,))
-    else:  # parent
+    elif axis == "parent":
         p = ev.parent(ctx) if ctx is not ev.root else None
         nodes = iter(()) if p is None else iter((p,))
+    elif axis == "following-sibling":
+        nodes = iter(_element_siblings(ctx, ev)[1])
+    elif axis == "preceding-sibling":
+        # reverse axis: nearest sibling first (position() counts backwards)
+        nodes = iter(_element_siblings(ctx, ev)[0][::-1])
+    elif axis == "ancestor":
+        nodes = _ancestors(ctx, ev)
+    elif axis == "ancestor-or-self":
+        def chain_self():
+            yield ctx
+            yield from _ancestors(ctx, ev)
+        nodes = chain_self()
+    elif axis == "following":
+        # document order, everything after ctx's subtree; DFS pre-order
+        # makes the subtree a contiguous ordinal range, so "after" is a
+        # single ordinal comparison against the subtree's end
+        end = ev.ordinal(ctx) + sum(1 for _ in _descendants(ctx))
+        nodes = (n for n in _descendants(ev.root) if ev.ordinal(n) > end)
+    else:  # preceding: before ctx in document order, ancestors excluded,
+        # generated nearest-first (reverse axis)
+        anc = {id(a) for a in _ancestors(ctx, ev)}
+        before = [
+            n
+            for n in _descendants(ev.root)
+            if ev.ordinal(n) < ev.ordinal(ctx) and id(n) not in anc
+        ]
+        nodes = iter(before[::-1])
     test = step.test
     if test == "node()":
         yield from nodes
     elif test == "*":
         for n in nodes:
-            if n.kind == ELEMENT:
+            # the synthetic #document container is not an element to
+            # DOMXPath — parent/ancestor chains stop exposing it to *
+            if n.kind == ELEMENT and n.tag != "#document":
                 yield n
     else:
         for n in nodes:
@@ -454,7 +629,66 @@ def _positional_pred(p) -> bool:
     return p[0] in _NUMERIC_OPS or _uses_position(p)
 
 
+def _subtree_texts(ctx: Node):
+    """All text runs under ctx as (parent, index, value), document order."""
+    stack = [(ctx, i) for i in range(len(ctx.children) - 1, -1, -1)]
+    while stack:
+        parent, i = stack.pop()
+        c = parent.children[i]
+        if type(c) is str:
+            yield parent, i, c
+        elif c.kind == ELEMENT and c.children:
+            stack.extend((c, j) for j in range(len(c.children) - 1, -1, -1))
+
+
+def _terminal_matches(ctx: Node, step: _Step, ev: _EvalCtx):
+    """attribute:: and text() result steps (grammar-validated: final step,
+    numeric-positional predicates only)."""
+    if step.axis == "attribute":
+        attrs = ctx.attrs or {}
+        if step.test == "*":
+            cands = [XPathAttr(k, v, ctx) for k, v in attrs.items()]
+        else:
+            v = attrs.get(step.test)
+            cands = [] if v is None else [XPathAttr(step.test, v, ctx)]
+    elif step.axis == "child":
+        cands = [
+            XPathText(c, ctx, i)
+            for i, c in enumerate(ctx.children)
+            if type(c) is str
+        ]
+    else:  # descendant / descendant-or-self text(): subtree runs, doc order
+        cands = [XPathText(c, p, i) for p, i, c in _subtree_texts(ctx)]
+    for p in step.preds:  # numeric-only (position() = number, §2.4)
+        want = p[1]
+        cands = [c for i, c in enumerate(cands) if i + 1 == want]
+    return cands
+
+
+def _node_key(n):
+    """Identity key for dedup: wrappers are fresh objects per query, so two
+    paths reaching the same attribute/text node must dedup by position, not
+    object id."""
+    t = type(n)
+    if t is XPathAttr:
+        return (id(n.owner), 1, n.name)
+    if t is XPathText:
+        return (id(n.parent), 2, n.index)
+    return id(n)
+
+
+def _result_string(n) -> str:
+    """XPath string value of any result node (element, attribute, text)."""
+    t = type(n)
+    if t is XPathAttr or t is XPathText:
+        return n.value
+    return _string_value(n)
+
+
 def _step_matches(ctx: Node, step: _Step, ev: _EvalCtx):
+    if step.axis == "attribute" or step.test == "text()":
+        yield from _terminal_matches(ctx, step, ev)
+        return
     candidates = _axis_candidates(ctx, step, ev)
     if not step.preds:
         yield from candidates
@@ -498,10 +732,10 @@ def _iter_path(ctx_nodes, path: _Path, ev: _EvalCtx):
             for node in _step_matches(ctx, step, ev):
                 yield from walk(level + 1, node)
 
-    seen: set[int] = set()
+    seen: set = set()
     for ctx in ctx_nodes:
         for node in walk(0, ctx):
-            key = id(node)
+            key = _node_key(node)
             if key not in seen:
                 seen.add(key)
                 yield node
@@ -538,7 +772,7 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
     if op == "path":
         path = expr[1]
         ctx = [ev.root] if path.absolute else [node]
-        return ("set", [_string_value(n) for n in _iter_path(ctx, path, ev)])
+        return ("set", [_result_string(n) for n in _iter_path(ctx, path, ev)])
     if op == "contains":
         a = _to_string(_eval_value(expr[1], node, pos, size, ev))
         b = _to_string(_eval_value(expr[2], node, pos, size, ev))
@@ -698,13 +932,17 @@ def _compile_fast(path: _Path):
     identical yield order to the generic walk). Returns None when the path
     needs the generic machinery."""
     steps = path.steps
-    if not steps or steps[0].axis != "descendant" or steps[0].test in ("*", "node()"):
+    if not steps or steps[0].axis != "descendant" or steps[0].test in (
+        "*",
+        "node()",
+        "text()",
+    ):
         return None
     plan = []
     for i, s in enumerate(steps):
         if s.axis != ("descendant" if i == 0 else "child"):
             return None
-        if s.test in ("*", "node()"):
+        if s.test in ("*", "node()", "text()"):
             return None
         attrs = _attr_eq_preds(s.preds)
         if attrs is None:
@@ -791,16 +1029,17 @@ class XPathExpr:
         if len(self.paths) == 1 and not self.needs_order_fix:
             yield from _iter_path([root], self.paths[0], ev)
             return
-        # union / parent-axis results: collect, dedup, re-sort in document
+        # union / reverse-axis results: collect, dedup, re-sort in document
         # order (one extra DFS; only paid on the exotic shapes)
-        seen: set[int] = set()
-        nodes: list[Node] = []
+        seen: set = set()
+        nodes: list = []
         for path in self.paths:
             for n in _iter_path([root], path, ev):
-                if id(n) not in seen:
-                    seen.add(id(n))
+                k = _node_key(n)
+                if k not in seen:
+                    seen.add(k)
                     nodes.append(n)
-        nodes.sort(key=ev.ordinal)
+        nodes.sort(key=ev.sort_key)
         yield from nodes
 
     def query(self, root: Node) -> list[Node]:
@@ -845,7 +1084,7 @@ def _path_needs_order_fix(path: _Path) -> bool:
 
     last = len(path.steps) - 1
     for i, step in enumerate(path.steps):
-        if step.axis == "parent":
+        if step.axis in _ORDER_FIX_AXES:
             return True
         if i < last and step.axis in ("descendant", "descendant-or-self"):
             return True

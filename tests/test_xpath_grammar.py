@@ -110,16 +110,91 @@ def test_first_is_lazy_prefix_of_query(root):
         "table[@",                       # dangling attr
         '//table[@id=]',                 # missing comparand
         "///x",                          # empty step
-        "//table[following-sibling::p]", # unsupported axis
+        "namespace::x",                  # unknown axis
         "1+2",                           # not a path
-        "//table/text()",                # text() location step (no text nodes)
-        "//table/@id",                   # attribute location step
+        "//table/comment()",             # comment() result step
+        "//table/@id/..",                # attribute step must be final
+        "//td/text()/b",                 # text() step must be final
+        '//td/text()[@x]',               # only positional preds on text()
         "",                              # empty expression
     ],
 )
 def test_eager_validation_rejects(bad):
     with pytest.raises(ParserError):
         compile_xpath(bad)
+
+
+@pytest.mark.parametrize(
+    "expr,expect",
+    [
+        # sibling axes (round-3 VERDICT item 3); reverse axes count
+        # position() nearest-first per XPath 1.0 §2.4
+        ('//table[@id="a"]/following-sibling::table', ["plain"]),
+        ("//p/following-sibling::*", ["plain", None]),       # table + div wrapper
+        ('//table[@class="plain"]/preceding-sibling::table', ["a"]),
+        ('//table[@class="plain"]/preceding-sibling::*[1]', [None]),  # nearest = p
+        ("//table[following-sibling::p]", ["a"]),
+        # ancestor / ancestor-or-self
+        ('//table[@id="c"]/ancestor::div', ["top", None]),   # doc order: outer first
+        ('//table[@id="c"]/ancestor::*[1]', [None]),         # nearest = inner div
+        ('//td/ancestor-or-self::table', ["a", "plain", "c"]),
+        # document axes: following excludes descendants, preceding excludes
+        # ancestors
+        # includes the caption's own sibling tr — following:: covers later
+        # subtrees of ancestors too
+        ("//caption/following::tr", 5),
+        ('//table[@id="c"]/preceding::caption', 1),
+        ("//p/preceding::td", 1),
+    ],
+)
+def test_new_axes(root, expr, expect):
+    got = q(root, expr)
+    if isinstance(expect, int):
+        assert len(got) == expect, expr
+    else:
+        assert [
+            (n.attrs or {}).get("id") or (n.attrs or {}).get("class")
+            for n in got
+        ] == expect, expr
+
+
+def test_attribute_and_text_result_steps(root):
+    """Attribute location steps and text() node tests as result steps
+    (round-3): results are XPathAttr/XPathText wrappers in document order,
+    deduplicated by node position."""
+    from html_table_spark.xpath import XPathAttr, XPathText
+
+    attrs = q(root, "//table/@id")
+    assert [a.value for a in attrs] == ["a", "c"]
+    assert all(isinstance(a, XPathAttr) for a in attrs)
+    assert q(root, "//table/@id")[0].owner.tag == "table"
+    # @* yields every attribute of the element
+    star = q(root, '//table[@id="a"]/@*')
+    assert sorted(a.name for a in star) == ["class", "id"]
+    # union with itself dedups by node position, not wrapper identity
+    assert len(q(root, "//table/@id | //table/@id")) == 2
+    # text(): one result per text run, positional predicates allowed
+    texts = q(root, "//td/text()")
+    assert [t.value for t in texts] == ["1", "2", "3", "4"]
+    assert all(isinstance(t, XPathText) for t in texts)
+    assert [t.value for t in q(root, "(//td/text())[2]")] == ["2"]
+    # descendant text under one table
+    assert [t.value for t in q(root, '//table[@class="plain"]//text()')] == ["H", "2"]
+
+
+def test_non_element_selection_is_not_found(spark_noop=None):
+    """Selecting an attribute/text node with tableXPathPosition maps to the
+    reference's instanceof-DOMElement gate (Parser.php:370): the not-found
+    error, not the not-a-table error."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.errors import MSG_TABLE_NOT_FOUND
+    from html_table_spark.semantics import parse_document
+
+    html = '<table id="t"><tr><td>x</td></tr></table>'
+    for expr in ("//table/@id", "//td/text()"):
+        [res] = parse_document(html, ParserConfig().table_xpath_position(expr))
+        assert res.status == "error"
+        assert res.error_msg == MSG_TABLE_NOT_FOUND
 
 
 def test_reference_generated_shapes_still_work(root):
