@@ -1070,11 +1070,12 @@ def _bucket_expr_sql(col: str, planes: list[list[float]]) -> str:
 
 
 def _media_features_values_sql() -> str:
-    """VALUES oracle for x_media_features: kernel media spans × the
-    deterministic fake decoder, computed driver-side."""
+    """VALUES oracle for x_media_features: kernel media spans × the decode
+    policy (REAL header parse for PNG/GIF/JPEG-magic payloads — round 3 —
+    deterministic fake otherwise), computed driver-side."""
     from html_table_spark.config import ParserConfig
     from html_table_spark.corpus import synthesize_documents
-    from html_table_spark.operators.media import _decode_fake, synthesize_media_table
+    from html_table_spark.operators.media import _decode_meta, synthesize_media_table
     from html_table_spark.semantics import parse_document
     from html_table_spark.spans import doc_spans_to_html, encode_table_spans
 
@@ -1089,7 +1090,7 @@ def _media_features_values_sql() -> str:
     )
     feats = {}
     for m in synthesize_media_table(refs):
-        w, h, n, _ = _decode_fake(m["payload"], m["mime"])
+        w, h, n, _ = _decode_meta(m["payload"], m["mime"])
         feats[m["media_ref"]] = (w, h, n)
     cfg = ParserConfig().all_tables()
     rows = []

@@ -225,6 +225,38 @@ def ngram_jaccard(
     return pairs.join(a, "id_a").join(b, "id_b").select(*out_cols)
 
 
+def ngram_jaccard_routed(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_shingles: int = 4096,
+) -> DataFrame:
+    """The exact-recompute router ``BENCH/JACCARD_CAP.md`` promises: run the
+    capped Jaccard for the bulk (bounded worst-case row payload through the
+    pair join), then route every ``approx = true`` pair — pairs touching a
+    doc whose distinct-shingle set exceeded the cap — through an exact
+    two-doc recompute, and coalesce the branches. End-to-end output equals
+    the uncapped computation exactly while the join never ships more than
+    ``max_shingles`` shingles per row: the capped pass protects the join,
+    the exact pass re-reads only the handful of mega docs named by approx
+    pairs (semi-join pruned inside :func:`ngram_jaccard`).
+
+    The capped result is cached — both branches filter it, and recomputing
+    the shingle join per branch would double the expensive stage. The cache
+    is pairs-sized (ids + one double + one bool), not corpus-sized."""
+    capped = ngram_jaccard(
+        df, pairs, text_col, id_col, shingle_n, max_shingles=max_shingles
+    ).persist()
+    exact_pairs = capped.filter(F.col("approx")).select("id_a", "id_b")
+    kept = capped.filter(~F.col("approx")).select("id_a", "id_b", "jaccard")
+    exact = ngram_jaccard(
+        df, exact_pairs, text_col, id_col, shingle_n, max_shingles=None
+    )
+    return kept.unionByName(exact)
+
+
 # -- SimHash (vectorized Arrow path; non-SQL-expressible) --------------------
 
 def _simhash64_batch(texts: pd.Series) -> pd.Series:

@@ -41,10 +41,83 @@ FEATURE_DIM = 16
 
 def _decode_real(payload: bytes, mime: str):  # pragma: no cover - needs codecs
     raise NotImplementedError(
-        "media decode requires image/audio codecs not present in this "
-        "container; deterministic fake used instead (swap in Pillow/ffmpeg "
-        "on a cluster image)"
+        "full pixel decode (features/resize/frame-sample) requires "
+        "image/audio codecs not present in this container; header metadata "
+        "is parsed natively (parse_image_header) and features use the "
+        "deterministic fake (swap in Pillow/ffmpeg on a cluster image)"
     )
+
+
+# SOFn markers that carry frame dimensions (ISO/IEC 10918-1 table B.1);
+# 0xC4 (DHT), 0xC8 (JPG extension), 0xCC (DAC) are not frame headers
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    """Walk JPEG marker segments to the first SOFn: height/width are the
+    2-byte big-endian fields at offsets 3/5 of the frame header (ISO/IEC
+    10918-1 §B.2.2). Returns None on any malformed structure."""
+    i, n = 2, len(b)
+    while i + 1 < n:
+        if b[i] != 0xFF:
+            return None
+        while i < n and b[i] == 0xFF:  # fill bytes
+            i += 1
+        if i >= n:
+            return None
+        marker = b[i]
+        i += 1
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue  # standalone markers: no length field
+        if marker in (0xD9, 0xDA):  # EOI / start-of-scan before any SOF
+            return None
+        if i + 2 > n:
+            return None
+        seglen = (b[i] << 8) | b[i + 1]
+        if seglen < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if i + 7 > n:
+                return None
+            h = (b[i + 3] << 8) | b[i + 4]
+            w = (b[i + 5] << 8) | b[i + 6]
+            return (w, h) if w > 0 and h > 0 else None
+        i += seglen
+    return None
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Native (mime, width, height) from the payload's own magic bytes —
+    pure struct reads off the public format specs, no codec libraries:
+
+    - PNG: IHDR width/height, big-endian uint32 at offsets 16/20
+      (ISO/IEC 15948 §11.2.2; IHDR is always the first chunk)
+    - GIF: logical-screen width/height, little-endian uint16 at 6/8
+      (GIF89a specification §18)
+    - JPEG: first SOFn frame header via the marker walk above
+
+    Returns None when no magic matches or the header is truncated/corrupt —
+    callers fall back to the deterministic fake, so a bad payload can never
+    kill a stage."""
+    b = payload or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) < 24 or b[12:16] != b"IHDR":
+            return None
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return ("image/png", w, h) if 0 < w and 0 < h else None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) < 10:
+            return None
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return ("image/gif", w, h) if 0 < w and 0 < h else None
+    if b[:2] == b"\xff\xd8":
+        dims = _jpeg_dims(b)
+        return ("image/jpeg", dims[0], dims[1]) if dims else None
+    return None
 
 
 def _decode_fake(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
@@ -64,6 +137,20 @@ def _decode_fake(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
     return width, height, n_frames, feature
 
 
+def _decode_meta(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
+    """Default decode: REAL dimensions whenever the payload carries a
+    recognizable PNG/GIF/JPEG header (round-3 — no codec libs needed for
+    header metadata), deterministic fake for everything else. Features
+    always come from the fake path until real codecs exist
+    (``_decode_real`` seam)."""
+    fw, fh, n_frames, feature = _decode_fake(payload, mime)
+    header = parse_image_header(payload)
+    if header is not None:
+        _, w, h = header
+        return w, h, 1, feature
+    return fw, fh, n_frames, feature
+
+
 def extract_media_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     """media(media_ref, payload, mime) → per-media features, Arrow-batched.
 
@@ -74,7 +161,7 @@ def extract_media_features(media: DataFrame, use_real_codecs: bool = False) -> D
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _decode_real if use_real_codecs else _decode_fake
+        decode = _decode_real if use_real_codecs else _decode_meta
         for batch in batches:
             out = []
             for ref, payload, mime in zip(
@@ -129,10 +216,48 @@ def enrich_media_spans(extracted: DataFrame, media_features: DataFrame) -> DataF
 
 
 def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
-    """Deterministic fake payload rows for the given refs (tests/bench)."""
+    """Deterministic payload rows for the given refs (tests/bench).
+
+    Refs ending in 1/2/3 get REAL minimal PNG/GIF/JPEG headers (dimensions
+    seeded from the ref digest) so the pipeline exercises the native header
+    decode end-to-end; refs ending in 0 stay opaque video payloads; the
+    rest are opaque bytes that exercise the fake-decode fallback."""
     rows = []
     for ref in media_refs:
-        payload = hashlib.sha256(f"{seed}:{ref}".encode()).digest() * 4
-        mime = "video/mp4" if ref.endswith("0") else "image/png"
+        digest = hashlib.sha256(f"{seed}:{ref}".encode()).digest()
+        w, h = 32 + digest[0], 32 + digest[1]
+        last = ref[-1] if ref else ""
+        if last == "1":  # minimal PNG: signature + IHDR chunk
+            payload = (
+                b"\x89PNG\r\n\x1a\n"
+                + (13).to_bytes(4, "big") + b"IHDR"
+                + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, 6, 0, 0, 0]) + digest[:4]
+            )
+            mime = "image/png"
+        elif last == "2":  # minimal GIF89a: logical screen descriptor
+            payload = (
+                b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                + digest
+            )
+            mime = "image/gif"
+        elif last == "3":  # minimal JPEG: SOI + APP0(JFIF) + SOF0
+            sof0 = (
+                b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+                + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+            )
+            payload = (
+                b"\xff\xd8"
+                + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + digest[:9]
+                + sof0 + digest
+            )
+            mime = "image/jpeg"
+        elif last == "0":
+            payload = digest * 4
+            mime = "video/mp4"
+        else:
+            payload = digest * 4
+            mime = "image/png"
         rows.append({"media_ref": ref, "payload": payload, "mime": mime})
     return rows

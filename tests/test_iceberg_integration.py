@@ -103,8 +103,10 @@ spark.stop()
 @pytest.mark.skipif(
     _iceberg_jar() is None,
     reason="no Iceberg runtime jar (set ICEBERG_JAR=...); sandbox has no "
-    "network to fetch one — SnapshotSink's Parquet emulation of the same "
-    "contract is covered by test_pipeline.py",
+    "network to fetch one (verified again round-3: `curl -sI "
+    "https://repo1.maven.org/maven2/...` fails DNS resolution, curl rc=6; "
+    "no iceberg*spark*.jar anywhere on the filesystem) — SnapshotSink's "
+    "Parquet emulation of the same contract is covered by test_pipeline.py",
 )
 def test_snapshot_contract_on_real_iceberg(tmp_path):
     jar = _iceberg_jar()

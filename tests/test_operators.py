@@ -229,7 +229,45 @@ def test_media_real_codec_path_stubbed(spark):
     refs = ["x1"]
     media = spark.createDataFrame(synthesize_media_table(refs), MEDIA_SCHEMA)
     rows = extract_media_features(media, use_real_codecs=True).collect()
-    assert rows[0].status.startswith("error: media decode requires")
+    assert rows[0].status.startswith("error: full pixel decode")
+
+
+def test_image_header_parsers():
+    """Round-3: native PNG/GIF/JPEG dimension decode from public format
+    specs (ISO/IEC 15948 IHDR, GIF89a logical screen, 10918-1 SOFn)."""
+    import hashlib as _hl
+
+    from html_table_spark.operators.media import (
+        _decode_meta,
+        parse_image_header,
+    )
+
+    rows = {r["media_ref"]: r for r in synthesize_media_table(["a1", "b2", "c3", "d0", "e4"])}
+    for ref, expected_mime in (("a1", "image/png"), ("b2", "image/gif"), ("c3", "image/jpeg")):
+        digest = _hl.sha256(f"42:{ref}".encode()).digest()
+        w, h = 32 + digest[0], 32 + digest[1]
+        got = parse_image_header(rows[ref]["payload"])
+        assert got == (expected_mime, w, h), ref
+        # the default decode path surfaces the REAL dims, 1 frame
+        dw, dh, dn, _ = _decode_meta(rows[ref]["payload"], rows[ref]["mime"])
+        assert (dw, dh, dn) == (w, h, 1)
+    # opaque payloads: no magic → None → fake fallback
+    assert parse_image_header(rows["d0"]["payload"]) is None
+    assert parse_image_header(rows["e4"]["payload"]) is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(None) is None
+    # truncated/corrupt headers fall back instead of raising
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4 + b"XXXX" + b"\x00" * 8) is None
+    assert parse_image_header(b"GIF89a\x10") is None
+    assert parse_image_header(b"GIF89a\x00\x00\x00\x00" + b"x") is None  # 0x0 dims
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None  # SOI+EOI, no SOF
+    assert parse_image_header(b"\xff\xd8\x00\x00") is None  # garbage marker
+    assert parse_image_header(b"\xff\xd8\xff\xc0\x00\x01") is None  # bad seglen
+    # JPEG with fill bytes and a DHT before SOF0 still resolves
+    dht = b"\xff\xc4" + (4).to_bytes(2, "big") + b"\x00\x00"
+    sof = b"\xff\xff\xff\xc0" + (17).to_bytes(2, "big") + bytes([8]) + (99).to_bytes(2, "big") + (77).to_bytes(2, "big") + bytes(10)
+    assert parse_image_header(b"\xff\xd8" + dht + sof) == ("image/jpeg", 77, 99)
 
 
 # --- extracted_cells relational view ----------------------------------------
@@ -661,6 +699,42 @@ def test_ngram_jaccard_shingle_cap_bounds_row_size(spark):
     # default path: exact, no approx column (oracle-checked schema)
     exact = dedup.ngram_jaccard(df, pairs)
     assert set(exact.columns) == {"id_a", "id_b", "jaccard"}
+
+
+def test_ngram_jaccard_routed_equals_uncapped(spark):
+    """Round-3 VERDICT item 6: the exact-recompute router — capped bulk
+    pass + exact two-doc recompute of approx pairs — must equal the
+    uncapped computation END-TO-END on a corpus with capped mega docs,
+    partially-overlapping docs, and small docs."""
+    from pyspark.sql import Row
+
+    mega_a = " ".join(f"tok{i}" for i in range(400))
+    mega_b = " ".join(f"tok{i}" for i in range(150, 480))  # overlaps mega_a
+    rows = [
+        Row(doc_id="m1", text=mega_a),
+        Row(doc_id="m2", text=mega_b),
+        Row(doc_id="m3", text=mega_a),
+        Row(doc_id="s1", text="small doc one two three"),
+        Row(doc_id="s2", text="small doc one two four"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = spark.createDataFrame(
+        [("m1", "m2"), ("m1", "m3"), ("s1", "s2"), ("m2", "s1")],
+        "id_a string, id_b string",
+    )
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard(df, pairs).collect()
+    }
+    routed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_routed(df, pairs, max_shingles=50).collect()
+    }
+    assert routed == uncapped
+    assert set(routed) == {("m1", "m2"), ("m1", "m3"), ("s1", "s2"), ("m2", "s1")}
+    # sanity: the cap actually engaged (mega pairs were approx in the bulk pass)
+    bulk = dedup.ngram_jaccard(df, pairs, max_shingles=50)
+    assert {r.approx for r in bulk.filter("id_a = 'm1'").collect()} == {True}
 
 
 def test_connected_components_and_cluster_dedup(spark):
