@@ -143,30 +143,32 @@ def html_reassembly_col(spans_col: str = "spans"):
     the full span struct array: the kind/media_ref/offset child arrays and
     every media span stop crossing the JVM↔Python socket entirely, and the
     worker no longer materializes four ``to_pylist`` copies per batch just
-    to re-join them. Null/empty span rows coalesce to ''."""
-    texts = F.filter(
-        spans_col,
-        lambda s: (s["kind"] == F.lit("text")) & s["text"].isNotNull(),
-    )
+    to re-join them. Null/empty span rows coalesce to ''.
+
+    Expression shape (round-3 serial-planning diet): ONE lambda and a
+    comparator-FREE ``array_sort``. Structs sort field-lexicographically,
+    so ``struct(o, i, t)`` under the default ordering IS the stable
+    (offset, position) sort — ``i`` is unique per array, so the ``t``
+    field is never compared. Non-text / null-text spans keep a NULL ``t``
+    instead of being pre-filtered: ``array_join`` skips null elements, so
+    the filter rides the join for free, and the sorted ``t`` column comes
+    out via lambda-free ``getField``. Every lambda costs repeated
+    LambdaFunction resolution on EACH analyzer pass over the plan (the
+    extraction pipeline analyzes this subtree ~10 times during
+    construction) and an interpreted per-element call at runtime; the
+    round-2 comparator variant additionally paid an interpreted lambda per
+    COMPARISON (O(n log n) per row)."""
     indexed = F.transform(
-        texts,
+        spans_col,
         lambda s, i: F.struct(
             F.coalesce(s["offset"], F.lit(0)).alias("o"),
             i.alias("i"),
-            s["text"].alias("t"),
+            F.when(
+                (s["kind"] == F.lit("text")) & s["text"].isNotNull(), s["text"]
+            ).alias("t"),
         ),
     )
-    ordered = F.array_sort(
-        indexed,
-        lambda a, b: (
-            F.when(a["o"] < b["o"], -1)
-            .when(a["o"] > b["o"], 1)
-            .when(a["i"] < b["i"], -1)
-            .when(a["i"] > b["i"], 1)
-            .otherwise(0)
-        ),
-    )
-    joined = F.array_join(F.transform(ordered, lambda x: x["t"]), "")
+    joined = F.array_join(F.array_sort(indexed).getField("t"), "")
     return F.coalesce(joined, F.lit(""))
 
 
@@ -394,6 +396,8 @@ def extract_tables(
     tables_per_chunk: int = 64,
     mega_policy: str = "parse",
     spread_small_inputs: bool = True,
+    pre_reassembled: bool = False,
+    has_base: bool | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans[, table_idx_base]) → extracted tables.
 
@@ -405,17 +409,30 @@ def extract_tables(
     buffers on both sides of the Python boundary — no pandas, no per-span
     dict/object materialization (BASELINE.json hot-path constraint taken to
     its conclusion).
+
+    ``pre_reassembled=True``: the input already carries
+    ``(doc_id, html[, table_idx_base])`` — the caller did the JVM-side
+    reassembly itself (the extraction pipeline shares ONE reassembly
+    subtree across both passes). ``has_base`` skips the ``.columns``
+    schema probe when the caller knows the answer — probing an unanalyzed
+    DataFrame triggers a full Catalyst analyzer pass, pure serial driver
+    time (round-3 serial-planning diet).
     """
     from .util import ensure_parallelism
 
     config = config or ParserConfig()
-    # explicit pruning before the UDF stage, with the HTML reassembly done
-    # JVM-side: the Arrow boundary carries (doc_id, html) only — no span
-    # structs, no media spans (round-3 Arrow-copy reduction)
-    cols = [F.col("doc_id"), html_reassembly_col("spans").alias("html")] + (
-        [F.col("table_idx_base")] if "table_idx_base" in documents.columns else []
-    )
-    pruned = documents.select(*cols)
+    if has_base is None:
+        has_base = "table_idx_base" in documents.columns
+    if pre_reassembled:
+        pruned = documents
+    else:
+        # explicit pruning before the UDF stage, with the HTML reassembly
+        # done JVM-side: the Arrow boundary carries (doc_id, html) only — no
+        # span structs, no media spans (round-3 Arrow-copy reduction)
+        cols = [F.col("doc_id"), html_reassembly_col("spans").alias("html")] + (
+            [F.col("table_idx_base")] if has_base else []
+        )
+        pruned = documents.select(*cols)
     if spread_small_inputs:
         # a dimension-sized corpus arriving as one file = one partition
         # would serialize the whole Arrow stage on a single Python worker.

@@ -3,16 +3,20 @@
 Plan shape (SURVEY.md §3.4, §4.3) — all plan-shape decisions, no custom
 Catalyst rules:
 
-    scan #1 (doc_cost ≤ T)  → pass 1 (mapInArrow) → extracted rows ┐
-    scan #2 (doc_cost > T)  → boundary-scan chunking               │
+    scan #1 (len(html) ≤ T) → pass 1 (mapInArrow) → extracted rows ┐
+    scan #2 (len(html) > T) → boundary-scan chunking               │
         → chunk rows (status='chunk', ≤64 tables, base ordinal)    │
         → full-entropy repartition → pass 2 (mapInArrow) ──────────┴→ union
     → per-partition lineage agg → snapshot-committed sink
 
 Why explicit: UDF-stage skew is invisible to AQE (it only splits skewed
 joins/aggregations), so a 2,000-table mega-document would otherwise pin one
-task for the whole stage.  Mega docs are filtered JVM-side by a span-length
-cost aggregate and split by a linear boundary scan.
+task for the whole stage.  Mega docs are filtered JVM-side by the length of
+the JVM-reassembled HTML — the same value the in-UDF guard checks — and
+split by a linear boundary scan.  (At fleet scale the routing predicate
+would be a STORED top-level byte-length column, giving scan #2 parquet
+min/max pruning + predicate pushdown; the cost here is computed because the
+corpus schema is fixed by BASELINE.json.)
 
 Why TWO scans (a deliberate trade): scan #2 re-reads (doc_id, spans) to
 find the mega tail instead of persisting pass-1 output — persisting a
@@ -32,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..config import ParserConfig
-from ..operators.extract import STATUS_CHUNK, extract_tables
+from ..operators.extract import STATUS_CHUNK, extract_tables, html_reassembly_col
 from ..sources.sinks import SnapshotSink
 
 # Docs whose total text size exceeds this take the mega-doc split path.
@@ -40,16 +44,21 @@ DEFAULT_MEGA_COST = 256 * 1024  # bytes of HTML
 
 
 def with_doc_cost(documents: DataFrame) -> DataFrame:
-    """JVM-side cost proxy: total text length across spans (no Python)."""
-    cost = F.aggregate(
-        "spans",
-        F.lit(0).cast("long"),
-        lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
-    )
+    """JVM-side cost proxy: total text length across spans (no Python).
+
+    Lambda-free on purpose: ``array_join`` skips null elements, so
+    ``length(array_join(spans.text, ''))`` equals the old per-span
+    ``aggregate(...coalesce(length(text), 0)...)`` exactly, stays inside
+    whole-stage codegen (interpreted HOF lambdas are not codegen'd), and
+    costs no LambdaFunction resolution on the ~10 analyzer passes the
+    pipeline plan takes during construction."""
+    cost = F.length(F.array_join(F.col("spans").getField("text"), ""))
     # NULL spans must cost 0, not NULL: a NULL cost would fail BOTH pass
     # filters, silently dropping the doc — and with resume on, it would be
     # re-scanned forever (it never gets its completion marker)
-    return documents.withColumn("doc_cost", F.coalesce(cost, F.lit(0)))
+    return documents.withColumn(
+        "doc_cost", F.coalesce(cost, F.lit(0)).cast("long")
+    )
 
 
 def salted(documents: DataFrame, num_partitions: int) -> DataFrame:
@@ -58,10 +67,10 @@ def salted(documents: DataFrame, num_partitions: int) -> DataFrame:
     Repartitions on the FULL-ENTROPY hash, not a pre-modded salt: feeding P
     distinct salt values through the partitioner's own hash is balls-in-
     bins — ~1/e of the P partitions would come out empty and others would
-    stack 2-3 salts."""
-    return documents.withColumn(
-        "_salt", F.xxhash64("doc_id")
-    ).repartition(num_partitions, "_salt").drop("_salt")
+    stack 2-3 salts. The hash rides the repartition expression directly —
+    no withColumn/drop pair (each intermediate Dataset is a full analyzer
+    pass, serial driver time)."""
+    return documents.repartition(num_partitions, F.xxhash64("doc_id"))
 
 
 def plan_extraction(
@@ -91,7 +100,6 @@ def plan_extraction(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    source = documents.select("doc_id", "spans")
     if repartition_normal == "always":
         shuffle_source = True
     elif repartition_normal == "never":
@@ -99,60 +107,81 @@ def plan_extraction(
     else:  # auto: cheap structural check, no job triggered
         scan_parts = documents.rdd.getNumPartitions()
         shuffle_source = scan_parts < max(2, num_partitions // 2)
-    if shuffle_source:
-        source = salted(source, num_partitions)
 
     if not config.select_all_tables:
         # reference single-table semantics: selection applies to the whole
         # document, so mega splitting does not apply
+        source = documents.select("doc_id", "spans")
+        if shuffle_source:
+            source = salted(source, num_partitions)
         return extract_tables(source, config, spread_small_inputs=False)
 
+    # ONE shared reassembly subtree: (doc_id, html) with the HTML rebuilt
+    # JVM-side. Both passes filter on length(html) — the SAME expression the
+    # in-UDF guard uses (len(html) > threshold), so the two passes partition
+    # the corpus exactly with no cost-vs-html mismatch case. Plan
+    # construction is deliberately terse: every intermediate Dataset costs a
+    # full Catalyst analyzer pass over the whole subtree (measured ~1s per
+    # extract_tables call in the round-2 shape — pure serial driver time
+    # that caps the N→4N scaling ratio), so the branch below builds ~9
+    # Datasets instead of round-2's ~20.
+    shuffled = salted(documents, num_partitions) if shuffle_source else documents
+    pre = shuffled.select(
+        F.col("doc_id"), html_reassembly_col("spans").alias("html")
+    )
     # Pass 1 — the bulk: normal docs extracted on scan partitions; docs over
-    # the cost threshold are filtered out JVM-SIDE (F.aggregate over span
-    # lengths), so mega-doc bytes never cross the Arrow boundary just to be
-    # skipped — they'd otherwise be reassembled in Python before the length
-    # check. No cache, no materialization: pass 1 output flows straight to
-    # the consumer/sink. The in-UDF skip policy remains as a belt-and-braces
-    # guard for docs whose cost the aggregate under-counts.
-    costed = with_doc_cost(source)
+    # the threshold are filtered out JVM-SIDE, so mega-doc bytes never cross
+    # the Arrow boundary just to be skipped. No cache, no materialization:
+    # pass 1 output flows straight to the consumer/sink. The in-UDF skip
+    # policy remains as a belt-and-braces guard.
     normal_out = extract_tables(
-        costed.filter(F.col("doc_cost") <= mega_cost_threshold).drop("doc_cost"),
+        pre.where(F.length("html") <= mega_cost_threshold),
         config,
         mega_cost_threshold=mega_cost_threshold,
         tables_per_chunk=tables_per_chunk,
         mega_policy="skip",
         spread_small_inputs=False,
+        pre_reassembled=True,
+        has_base=False,
     )
-    # Pass 2 — the skewed tail only: a second pruned scan filtered by the
-    # JVM-side cost aggregate (reads just the mega docs' spans), split into
-    # chunk rows by a linear boundary scan, salted so one doc's chunks
-    # spread across the cluster, then extracted with global table ordinals.
-    # The shuffle here moves mega-doc bytes only — there is NO full-corpus
-    # shuffle anywhere in the plan.
-    mega = costed.filter(F.col("doc_cost") > mega_cost_threshold).drop("doc_cost")
+    # Pass 2 — the skewed tail only: a second pruned scan (reads just the
+    # mega docs' spans), split into chunk rows by a linear boundary scan,
+    # salted so one doc's chunks spread across the cluster, then extracted
+    # with global table ordinals. The shuffle here moves mega-doc bytes
+    # only — there is NO full-corpus shuffle anywhere in the plan.
     chunks = extract_tables(
-        mega,
+        pre.where(F.length("html") > mega_cost_threshold),
         config,
         mega_cost_threshold=mega_cost_threshold,
         tables_per_chunk=tables_per_chunk,
         mega_policy="chunk",
         spread_small_inputs=False,
+        pre_reassembled=True,
+        has_base=False,
     )
-    # the chunk-mode extractor can also emit FINAL rows: a doc whose span
-    # COST crossed the threshold but whose reassembled HTML did not (e.g.
-    # cost dominated by media-span text) is parsed in place. Those rows must
-    # go straight to the output — feeding them back through extraction would
-    # reassemble their OUTPUT spans as (empty) HTML and lose the tables.
-    # Both status branches read `chunks`; persist it so the mega scan +
-    # boundary chunking run once. The persisted set IS the skewed tail —
-    # mega-doc chunk text ≪ corpus by the threshold's definition.
+    # the chunk-mode extractor can also emit FINAL rows: an unsplittable
+    # tag-soup doc (or one with few huge tables) is parsed in place. Those
+    # rows must go straight to the output — feeding them back through
+    # extraction would reassemble their OUTPUT spans as (empty) HTML and
+    # lose the tables. Both status branches read `chunks`; persist it so the
+    # mega scan + boundary chunking run once. The persisted set IS the
+    # skewed tail — mega-doc chunk text ≪ corpus by the threshold's
+    # definition.
     chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
-    parsed_in_place = chunks.filter(F.col("status") != STATUS_CHUNK)
-    chunk_rows = chunks.filter(F.col("status") == STATUS_CHUNK).select(
-        "doc_id", "spans", F.col("table_idx").alias("table_idx_base")
+    parsed_in_place = chunks.where(F.col("status") != STATUS_CHUNK)
+    # a chunk row carries exactly ONE text span (the chunk's HTML, built by
+    # the extractor) — element_at(1) IS its reassembly, lambda-free
+    chunk_rows = chunks.where(F.col("status") == STATUS_CHUNK).select(
+        "doc_id",
+        F.coalesce(F.element_at("spans", 1)["text"], F.lit("")).alias("html"),
+        F.col("table_idx").alias("table_idx_base"),
     )
     mega_out = extract_tables(
-        salted_chunks(chunk_rows, num_partitions), config, spread_small_inputs=False
+        salted_chunks(chunk_rows, num_partitions),
+        config,
+        spread_small_inputs=False,
+        pre_reassembled=True,
+        has_base=True,
     )
     return normal_out.unionByName(parsed_in_place).unionByName(mega_out)
 
@@ -160,9 +189,9 @@ def plan_extraction(
 def salted_chunks(chunks: DataFrame, num_partitions: int) -> DataFrame:
     """Chunks of one mega-doc must NOT hash to one partition — repartition
     on the full-entropy hash of (doc_id, chunk ordinal); see salted()."""
-    return chunks.withColumn(
-        "_salt", F.xxhash64("doc_id", "table_idx_base")
-    ).repartition(num_partitions, "_salt").drop("_salt")
+    return chunks.repartition(
+        num_partitions, F.xxhash64("doc_id", "table_idx_base")
+    )
 
 
 def lineage_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
