@@ -243,12 +243,16 @@ def ngram_jaccard_routed(
     the exact pass re-reads only the handful of mega docs named by approx
     pairs (semi-join pruned inside :func:`ngram_jaccard`).
 
-    The capped result is cached — both branches filter it, and recomputing
-    the shingle join per branch would double the expensive stage. The cache
-    is pairs-sized (ids + one double + one bool), not corpus-sized."""
+    The capped result is materialized once (eager ``localCheckpoint``, as
+    in :func:`connected_components`) — both branches filter it, and
+    recomputing the shingle join per branch would double the expensive
+    stage. Checkpoint blocks are released by the ContextCleaner when the
+    returned DataFrame is dropped; a bare ``persist()`` here would leak a
+    cache entry per invocation for the session lifetime. The materialized
+    set is pairs-sized (ids + one double + one bool), not corpus-sized."""
     capped = ngram_jaccard(
         df, pairs, text_col, id_col, shingle_n, max_shingles=max_shingles
-    ).persist()
+    ).localCheckpoint(eager=True)
     exact_pairs = capped.filter(F.col("approx")).select("id_a", "id_b")
     kept = capped.filter(~F.col("approx")).select("id_a", "id_b", "jaccard")
     exact = ngram_jaccard(
@@ -432,7 +436,12 @@ def connected_components(
         .cache()
     )
     changed = 0
-    for it in range(max_iters):
+    # max_iters bounds the number of LABEL-CHANGING rounds; convergence is
+    # only observable one round later (the first round with changed == 0),
+    # so run up to max_iters + 1 rounds — otherwise a graph of diameter
+    # exactly max_iters would raise with fully-converged labels and the
+    # effective capacity would be max_iters - 1.
+    for it in range(max_iters + 1):
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")

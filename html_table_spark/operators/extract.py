@@ -191,11 +191,21 @@ _COMMENT_END_RE = _re.compile(r"--\s*>")
 # inside one of those is only ever a harmless false positive (→ fallback).
 _UNSEEN_TAG_ANGLE_RE = _re.compile(
     r"""<(?:
-          [a-zA-Z](?:"[^"<]*"|'[^'<]*'|[^<>])*   # start tag: quote-aware
-        | /[^<>]*                                # end tag: quote-blind
+          [a-zA-Z](?:"[^"<]*"|'[^'<]*'|[^<>])*+  # start tag: quote-aware
+        | /[^<>]*+                               # end tag: quote-blind
         )<""",
     _re.VERBOSE,
 )
+# The attr-region quantifiers are POSSESSIVE (*+): a quote char is matchable
+# by both the pair alternatives and [^<>], so on a failing overall match a
+# backtracking engine re-explores every pair-vs-single split — measured
+# exponential (~8× per 4 chars) on a quote run like '<a ' + '"'*48, which
+# would pin an executor core on one adversarial mega doc. Possessive
+# matching keeps the deterministic left-to-right consumption (pairs first,
+# lone quote as a plain char) and the same match language: the pair branch
+# excludes '<', so every '<' it could hide is exposed either way, and a
+# singles re-parse of a successful pair region dies at the first '>' the
+# pair consumed — it can never reach a '<' the possessive scan missed.
 
 
 def make_arrow_extractor(
@@ -319,6 +329,14 @@ def make_arrow_extractor(
                 ):
                     if mega_policy == "skip":
                         continue
+                    # INVARIANT (plans/pipeline.py relies on this): chunk
+                    # mode emits ONLY status='chunk' rows for over-threshold
+                    # docs — an unsplittable doc becomes one whole-doc chunk
+                    # row, never an in-place parse. If an in-place path is
+                    # ever added here, the pipeline needs its
+                    # parsed-in-place union leg (and the chunk-pass persist)
+                    # back, or those rows are re-fed through extraction and
+                    # their tables are lost.
                     cuts = _top_level_table_cuts(html)
                     if cuts and len(cuts) > tables_per_chunk:
                         pieces = [

@@ -33,10 +33,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..config import ParserConfig
-from ..operators.extract import STATUS_CHUNK, extract_tables, html_reassembly_col
+from ..operators.extract import extract_tables, html_reassembly_col
 from ..sources.sinks import SnapshotSink
 
 # Docs whose total text size exceeds this take the mega-doc split path.
@@ -159,19 +158,15 @@ def plan_extraction(
         pre_reassembled=True,
         has_base=False,
     )
-    # the chunk-mode extractor can also emit FINAL rows: an unsplittable
-    # tag-soup doc (or one with few huge tables) is parsed in place. Those
-    # rows must go straight to the output — feeding them back through
-    # extraction would reassemble their OUTPUT spans as (empty) HTML and
-    # lose the tables. Both status branches read `chunks`; persist it so the
-    # mega scan + boundary chunking run once. The persisted set IS the
-    # skewed tail — mega-doc chunk text ≪ corpus by the threshold's
-    # definition.
-    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
-    parsed_in_place = chunks.where(F.col("status") != STATUS_CHUNK)
-    # a chunk row carries exactly ONE text span (the chunk's HTML, built by
-    # the extractor) — element_at(1) IS its reassembly, lambda-free
-    chunk_rows = chunks.where(F.col("status") == STATUS_CHUNK).select(
+    # chunk mode emits ONLY status='chunk' rows (extract.py documents the
+    # invariant at the emit site: an unsplittable doc becomes one whole-doc
+    # chunk, parsed downstream after the salt spreads it) and the routing
+    # predicate above is the SAME len(html) expression the in-UDF guard
+    # checks, so the chunk pass has exactly one consumer — no persist, no
+    # always-empty parsed-in-place union leg. A chunk row carries exactly
+    # ONE text span (the chunk's HTML, built by the extractor) —
+    # element_at(1) IS its reassembly, lambda-free.
+    chunk_rows = chunks.select(
         "doc_id",
         F.coalesce(F.element_at("spans", 1)["text"], F.lit("")).alias("html"),
         F.col("table_idx").alias("table_idx_base"),
@@ -183,7 +178,7 @@ def plan_extraction(
         pre_reassembled=True,
         has_base=True,
     )
-    return normal_out.unionByName(parsed_in_place).unionByName(mega_out)
+    return normal_out.unionByName(mega_out)
 
 
 def salted_chunks(chunks: DataFrame, num_partitions: int) -> DataFrame:

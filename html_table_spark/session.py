@@ -7,14 +7,18 @@ import os
 from pyspark.sql import SparkSession
 
 # Arrow batches default to 10k rows; with multi-KB..MB HTML documents per
-# row that overshoots Python worker memory. 1024 docs/batch keeps the
-# JVM→Python transfer bounded (pass-1 docs are cost-capped at 256 KB, so
-# the worst batch is ~256 MB and the typical one ~3 MB) while quartering
-# the number of batch boundaries vs the round-2 value of 256 — each
-# boundary costs IPC framing plus per-batch buffer materialization on both
-# sides, measured ~5% of pass-1 wall at sf0.1 (round-3 Arrow-copy
-# reduction; SURVEY.md §4.3 "Arrow batch sizing").
+# row that overshoots Python worker memory. 1024 docs/batch quarters the
+# number of batch boundaries vs the round-2 value of 256 — each boundary
+# costs IPC framing plus per-batch buffer materialization on both sides,
+# measured ~5% of pass-1 wall at sf0.1 (round-3 Arrow-copy reduction;
+# SURVEY.md §4.3 "Arrow batch sizing"). The record cap alone bounds
+# nothing for the chunk pass, whose rows are mega docs/chunks of unbounded
+# size (1024 multi-MB rows = a multi-GB batch): DEFAULT_ARROW_BATCH_BYTES
+# is the actual memory guarantee — the JVM cuts a batch at whichever cap
+# hits first, so pass 1 rides the record cap (typical batch ~3 MB) and the
+# mega pass the byte cap.
 DEFAULT_ARROW_BATCH = 1024
+DEFAULT_ARROW_BATCH_BYTES = 64 * 1024 * 1024
 
 
 def get_spark(
@@ -29,13 +33,16 @@ def get_spark(
     # real cluster master to local mode
     if cpus and master == "local[*]":
         master = f"local[{cpus}]"
+    threads = None
+    if master.startswith("local["):
+        # match the core count in local mode; 'local[N,maxFailures]' and
+        # 'local[*]' are both legal master strings
+        inner = master[master.find("[") + 1 : master.find("]")]
+        t = inner.split(",")[0]
+        threads = 32 if t == "*" else max(1, int(t))
     if shuffle_partitions is None:
-        if master.startswith("local["):
-            # match the core count in local mode; 'local[N,maxFailures]' and
-            # 'local[*]' are both legal master strings
-            inner = master[master.find("[") + 1 : master.find("]")]
-            threads = inner.split(",")[0]
-            shuffle_partitions = 32 if threads == "*" else max(8, int(threads))
+        if threads is not None:
+            shuffle_partitions = max(8, threads)
         else:
             # cluster masters: leave Spark's own default / spark-submit conf
             shuffle_partitions = None
@@ -46,14 +53,39 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            str(DEFAULT_ARROW_BATCH_BYTES),
+        )
         # one doc row can be multi-MB; cap scan split size so a handful of
         # mega-docs cannot land in one input split
         .config("spark.sql.files.maxPartitionBytes", "32m")
+        # openCostInBytes floors the split size at 4m (Spark default kept
+        # explicit): minPartitionNum below can only grow the task count to
+        # totalBytes/4m, never into thousands of micro-tasks
+        .config("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     if shuffle_partitions is not None:
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    if threads is not None:
+        # Spark's file-split formula, split = min(maxPartitionBytes,
+        # max(openCostInBytes, totalBytes / minPartitionNum)), defaults
+        # minPartitionNum to the core count — i.e. ONE wave of scan tasks.
+        # Extraction task durations are skewed (doc cost varies ~100× below
+        # the mega threshold), so one to three coarse waves end in a ragged
+        # straggler tail: measured par_eff 0.67 on the pass-1 stage at
+        # local[8] with 10×32m splits vs 0.88+ with ~8 waves of smaller
+        # splits. Target ~8 waves; the 4m openCost floor above keeps the
+        # task count bounded (≤ totalBytes/4m tasks), and at fleet data
+        # sizes totalBytes/(8·cores) exceeds the 32m cap anyway, so this
+        # only changes behavior where the default was degenerate (small
+        # corpus relative to the cluster). Cluster masters: leave to
+        # spark-submit conf.
+        builder = builder.config(
+            "spark.sql.files.minPartitionNum", str(8 * threads)
         )
     return builder.getOrCreate()

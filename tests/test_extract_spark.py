@@ -242,6 +242,60 @@ def test_table_cuts_quoted_markup_in_uninspected_tag_falls_back():
     assert cuts is not None and len(cuts) == 1
 
 
+def test_unseen_tag_angle_prescan_is_linear_time():
+    """Round-3 review: the quote-aware pre-scan must stay linear on
+    adversarial quote runs — the pre-fix backtracking variant took ~8x
+    longer per +4 quotes (3s at 32 quotes; hours at 60+), pinning an
+    executor core on one crafted mega doc. Budget is generous (0.5s for
+    200k chars) so the test only fails on a complexity regression, not on
+    a loaded box."""
+    import time
+
+    from html_table_spark.operators.extract import _UNSEEN_TAG_ANGLE_RE
+
+    t = "<table><tr><td>x</td></tr></table>"
+    for q in ('"', "'"):
+        for n in (61, 200_000):
+            s = "<a " + q * n + ">" + t
+            t0 = time.monotonic()
+            m = _UNSEEN_TAG_ANGLE_RE.search(s)
+            assert time.monotonic() - t0 < 0.5, (q, n)
+            assert m is None, "quote run hides no angle -> no match"
+    # possessive rewrite keeps the match language: every documented
+    # positive/negative from the quote-aware spec still holds
+    assert _UNSEEN_TAG_ANGLE_RE.search('<td data-x="</table>x<table>">')
+    assert _UNSEEN_TAG_ANGLE_RE.search("</td foo<table>")
+    assert _UNSEEN_TAG_ANGLE_RE.search('<a "x<y">')
+    assert not _UNSEEN_TAG_ANGLE_RE.search('<td a="q\'q" b=\'d"d\'>x</td>')
+    assert not _UNSEEN_TAG_ANGLE_RE.search('<td class="x">a</td><table>')
+
+
+def test_chunk_mode_emits_only_chunk_rows(spark):
+    """INVARIANT the pipeline relies on (plans/pipeline.py dropped its
+    parsed-in-place union leg + persist on the strength of this): with
+    mega_policy='chunk', every over-threshold doc — splittable or tag
+    soup — yields ONLY status='chunk' rows."""
+    from html_table_spark.operators.extract import STATUS_CHUNK, extract_tables
+
+    splittable = f14_mega_doc_html(8)
+    soup = "</table>" + "<table><tr><td>s</td></tr></table>" * 3
+    rows = [
+        {"doc_id": "m1", "spans": [{"kind": "text", "text": splittable, "media_ref": None, "offset": 0}]},
+        {"doc_id": "m2", "spans": [{"kind": "text", "text": soup, "media_ref": None, "offset": 0}]},
+    ]
+    out = extract_tables(
+        _docs_df(spark, rows),
+        ParserConfig().all_tables(),
+        mega_cost_threshold=16,  # force both docs over the threshold
+        tables_per_chunk=2,
+        mega_policy="chunk",
+    ).collect()
+    assert out, "chunk pass emitted nothing"
+    assert {r.status for r in out} == {STATUS_CHUNK}
+    # the soup doc must still be represented (whole-doc chunk), not dropped
+    assert {r.doc_id for r in out} == {"m1", "m2"}
+
+
 def test_mega_doc_split_parity_quoted_markup(spark):
     """End-to-end: a doc with quoted table markup inside an attribute
     produces IDENTICAL results via the chunk-split path and the whole-doc

@@ -773,3 +773,19 @@ def test_connected_components_nonconvergence_raises(spark):
         for r in dedup.connected_components(pairs, max_iters=10).collect()
     }
     assert set(comp.values()) == {"n0"}
+
+
+def test_connected_components_diameter_equals_max_iters(spark):
+    """Convergence is observable only one round AFTER the last label
+    change, so a graph needing exactly max_iters changing rounds must
+    SUCCEED (effective capacity = max_iters, not max_iters - 1): chain
+    n0-n1-n2 propagates n0 one hop per round -> exactly 2 changing
+    rounds; max_iters=2 must not raise."""
+    pairs = spark.createDataFrame(
+        [("n0", "n1"), ("n1", "n2")], "id_a string, id_b string"
+    )
+    comp = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs, max_iters=2).collect()
+    }
+    assert comp == {"n0": "n0", "n1": "n0", "n2": "n0"}
