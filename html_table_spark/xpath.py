@@ -26,6 +26,15 @@ paste from browser devtools:
   (``= != < <= > >=``), ``contains()``, ``starts-with()``,
   ``normalize-space()``, ``string-length()``, ``position()``, ``last()``,
   ``text()`` and ``.`` string values, numeric literals
+- round 3, the rest of the XPath 1.0 §3.5/§4 core library: arithmetic
+  (``+ - * div mod``, unary minus — ``[position() < last() - 1]``,
+  ``[position() mod 2 = 1]``) with IEEE nan/±inf semantics, ``concat()``,
+  ``substring()`` (spec rounding: ``substring('12345', 1.5, 2.6)`` →
+  ``'234'``), ``substring-before/after()``, ``translate()`` (delete via
+  short ``to``), ``boolean()``, ``number()``, ``count()``, ``ceiling()``,
+  ``floor()``, ``round()`` (half-up toward +inf), ``true()``, ``false()``,
+  0-arg ``name()``/``local-name()``; number→string prints XPath
+  ``NaN``/``Infinity`` spellings
 - top-level union ``|`` and the ``(path)[N]`` document-order wrapper
 
 Everything outside the grammar (``namespace::`` axes, ``comment()`` result
@@ -42,6 +51,7 @@ tokenizer never produces.
 
 from __future__ import annotations
 
+import math as _math
 import re
 from dataclasses import dataclass, field
 
@@ -63,6 +73,8 @@ _TOKEN_RE = re.compile(
   | (?P<lbrak>\[) | (?P<rbrak>\]) | (?P<lpar>\() | (?P<rpar>\))
   | (?P<union>\|)
   | (?P<comma>,)
+  | (?P<plus>\+)
+  | (?P<minus>-)
   | (?P<at>@)
   | (?P<axis>[a-zA-Z][a-zA-Z-]*::)
   | (?P<name>\*|[a-zA-Z_][a-zA-Z0-9_.-]*)
@@ -319,12 +331,43 @@ class _Parser:
     _CMP = {"eq": "=", "ne": "!=", "lt": "<", "le": "<=", "gt": ">", "ge": ">="}
 
     def parse_cmp(self):
-        node = self.parse_value()
+        node = self.parse_add()
         kind = self.peek()[0]
         if kind in self._CMP:
             self.next()
-            return ("cmp", self._CMP[kind], node, self.parse_value())
+            return ("cmp", self._CMP[kind], node, self.parse_add())
         return node
+
+    # arithmetic sits between comparison and value per XPath 1.0 §3.5
+    # (AdditiveExpr / MultiplicativeExpr / UnaryExpr). '*', 'div' and 'mod'
+    # are operators only AFTER a complete operand — at operand position the
+    # same tokens are a wildcard / path step names (e.g. [div] tests for an
+    # HTML <div> child; [div div div] divides two <div> node-sets), which
+    # parse_value consumes first, so the grammar disambiguates by position
+    # exactly as the spec does.
+    def parse_add(self):
+        node = self.parse_mul()
+        while self.peek()[0] in ("plus", "minus"):
+            op = "+" if self.next()[0] == "plus" else "-"
+            node = ("arith", op, node, self.parse_mul())
+        return node
+
+    def parse_mul(self):
+        node = self.parse_unary()
+        while True:
+            kind, value = self.peek()
+            if kind == "name" and value in ("*", "div", "mod"):
+                self.next()
+                op = "*" if value == "*" else value
+                node = ("arith", op, node, self.parse_unary())
+            else:
+                return node
+
+    def parse_unary(self):
+        if self.peek()[0] == "minus":
+            self.next()
+            return ("neg", self.parse_unary())
+        return self.parse_value()
 
     def parse_value(self):
         kind, value = self.peek()
@@ -374,7 +417,51 @@ class _Parser:
                 arg = self.parse_expr()
             self.expect("rpar")
             return ("stringfn", arg) if name == "string" else (name, arg)
+        if name == "concat":
+            args = self._parse_args()
+            if len(args) < 2:
+                raise _SyntaxError()
+            return ("concat", *args)
+        if name in ("substring-before", "substring-after", "substring", "translate"):
+            args = self._parse_args()
+            arity = {
+                "substring-before": (2,),
+                "substring-after": (2,),
+                "substring": (2, 3),
+                "translate": (3,),
+            }[name]
+            if len(args) not in arity:
+                raise _SyntaxError()
+            return (name, *args)
+        if name in ("boolean", "number", "count", "ceiling", "floor", "round"):
+            arg = None
+            if self.peek()[0] != "rpar":
+                arg = self.parse_expr()
+            self.expect("rpar")
+            if arg is None and name != "number":
+                raise _SyntaxError()  # only number() takes 0 args
+            if name == "count":
+                if arg[0] != "path":
+                    raise _SyntaxError()  # count() needs a node-set
+                return ("count", arg[1])
+            return ({"boolean": "booleanfn", "number": "numberfn"}.get(name, name), arg)
+        if name in ("true", "false"):
+            self.expect("rpar")
+            return ("bool-lit", name == "true")
+        if name in ("name", "local-name"):
+            # 0-arg form (context node); no namespaces in tolerant HTML, so
+            # local-name() == name()
+            self.expect("rpar")
+            return ("namefn",)
         raise _SyntaxError()
+
+    def _parse_args(self):
+        args = [self.parse_expr()]
+        while self.peek()[0] == "comma":
+            self.next()
+            args.append(self.parse_expr())
+        self.expect("rpar")
+        return args
 
 
 def _fuse_steps(steps: list[_Step]) -> tuple[_Step, ...]:
@@ -622,7 +709,12 @@ def _axis_candidates(ctx: Node, step: _Step, ev: _EvalCtx):
 # top-level ops whose VALUE is a number — per XPath 1.0 §2.4 a
 # number-valued predicate means position() = number, so these force the
 # positional (per-context node-set) evaluation path
-_NUMERIC_OPS = frozenset({"num", "pos", "last", "string-length"})
+_NUMERIC_OPS = frozenset(
+    {
+        "num", "pos", "last", "string-length",
+        "arith", "neg", "count", "numberfn", "ceiling", "floor", "round",
+    }
+)
 
 
 def _positional_pred(p) -> bool:
@@ -805,6 +897,107 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
             else _to_string(_eval_value(arg, node, pos, size, ev))
         )
         return ("str", s)
+    if op == "arith":
+        _, o, lhs, rhs = expr
+        x = _to_number(_eval_value(lhs, node, pos, size, ev))
+        y = _to_number(_eval_value(rhs, node, pos, size, ev))
+        if o == "+":
+            return ("num", x + y)
+        if o == "-":
+            return ("num", x - y)
+        if o == "*":
+            return ("num", x * y)
+        if o == "div":
+            # IEEE 754 per XPath 1.0 §3.5 — Python float division raises on
+            # zero, so spell out the nan/±inf cases
+            if y == 0:
+                if x != x or x == 0:
+                    return ("num", float("nan"))
+                sign = _math.copysign(1.0, x) * _math.copysign(1.0, y)
+                return ("num", sign * float("inf"))
+            return ("num", x / y)
+        # mod: remainder with the sign of the DIVIDEND (spec example:
+        # 5 mod -2 = 1, -5 mod 2 = -1) — fmod, not Python %
+        if y == 0 or x != x or y != y:
+            return ("num", float("nan"))
+        return ("num", _math.fmod(x, y))
+    if op == "neg":
+        return ("num", -_to_number(_eval_value(expr[1], node, pos, size, ev)))
+    if op == "concat":
+        return (
+            "str",
+            "".join(
+                _to_string(_eval_value(a, node, pos, size, ev))
+                for a in expr[1:]
+            ),
+        )
+    if op == "substring":
+        s = _to_string(_eval_value(expr[1], node, pos, size, ev))
+        start = _xpath_round(_to_number(_eval_value(expr[2], node, pos, size, ev)))
+        if len(expr) == 4:
+            length = _xpath_round(
+                _to_number(_eval_value(expr[3], node, pos, size, ev))
+            )
+            end = start + length
+        else:
+            end = float("inf")
+        if start != start or end != end:  # NaN bound -> empty (§4.2)
+            return ("str", "")
+        # chars at 1-based positions p with round(start) <= p < end
+        return (
+            "str",
+            "".join(c for i, c in enumerate(s, 1) if i >= start and i < end),
+        )
+    if op == "substring-before":
+        a = _to_string(_eval_value(expr[1], node, pos, size, ev))
+        b = _to_string(_eval_value(expr[2], node, pos, size, ev))
+        i = a.find(b)
+        return ("str", a[:i] if i >= 0 else "")
+    if op == "substring-after":
+        a = _to_string(_eval_value(expr[1], node, pos, size, ev))
+        b = _to_string(_eval_value(expr[2], node, pos, size, ev))
+        i = a.find(b)
+        return ("str", a[i + len(b) :] if i >= 0 else "")
+    if op == "translate":
+        s = _to_string(_eval_value(expr[1], node, pos, size, ev))
+        frm = _to_string(_eval_value(expr[2], node, pos, size, ev))
+        to = _to_string(_eval_value(expr[3], node, pos, size, ev))
+        # first occurrence in `frm` wins; chars beyond len(to) are DELETED
+        tbl: dict[str, str | None] = {}
+        for i, ch in enumerate(frm):
+            if ch not in tbl:
+                tbl[ch] = to[i] if i < len(to) else None
+        out = []
+        for ch in s:
+            mapped = tbl.get(ch, ch)
+            if mapped is not None:
+                out.append(mapped)
+        return ("str", "".join(out))
+    if op == "booleanfn":
+        return ("bool", _truth(expr[1], node, pos, size, ev))
+    if op == "numberfn":
+        arg = expr[1]
+        if arg is None:
+            return ("num", _to_number(("str", _string_value(node))))
+        return ("num", _to_number(_eval_value(arg, node, pos, size, ev)))
+    if op == "bool-lit":
+        return ("bool", expr[1])
+    if op == "count":
+        path = expr[1]
+        ctx = [ev.root] if path.absolute else [node]
+        return ("num", float(sum(1 for _ in _iter_path(ctx, path, ev))))
+    if op in ("ceiling", "floor", "round"):
+        x = _to_number(_eval_value(expr[1], node, pos, size, ev))
+        if x != x or x in (float("inf"), float("-inf")):
+            return ("num", x)
+        if op == "ceiling":
+            return ("num", float(_math.ceil(x)))
+        if op == "floor":
+            return ("num", float(_math.floor(x)))
+        return ("num", _xpath_round(x))
+    if op == "namefn":
+        tag = node.tag if type(node) is Node and node.kind == ELEMENT else ""
+        return ("str", "" if tag.startswith("#") else tag)
     if op == "not":
         return ("bool", not _truth(expr[1], node, pos, size, ev))
     if op in ("and", "or"):
@@ -829,7 +1022,24 @@ def _to_string(value) -> str:
 
 
 def _num_str(x: float) -> str:
+    # XPath string() of a number: integers print without a decimal point;
+    # the specials spell NaN/Infinity (§4.2). int(x) raises on non-finite
+    # floats, which arithmetic can now produce.
+    if x != x:
+        return "NaN"
+    if x == float("inf"):
+        return "Infinity"
+    if x == float("-inf"):
+        return "-Infinity"
     return str(int(x)) if x == int(x) else str(x)
+
+
+def _xpath_round(x: float) -> float:
+    """XPath 1.0 round(): floor(x + 0.5) — half-up toward +inf (so
+    round(-0.5) is -0, round(2.5) is 3), NaN/±inf pass through."""
+    if x != x or x in (float("inf"), float("-inf")):
+        return x
+    return float(_math.floor(x + 0.5))
 
 
 def _to_number(value) -> float:

@@ -228,3 +228,101 @@ def test_number_valued_predicate_is_positional():
     assert [(n.attrs or {}).get("id") for n in q(r, "//table[last()]")] == ["c"]
     # string-length(@id)=1 for all → position()=1 keeps only the first
     assert [(n.attrs or {}).get("id") for n in q(r, "//table[string-length(@id)]")] == ["a"]
+
+
+# ---------------------------------------------------------------------------
+# round-3: XPath 1.0 §3.5 arithmetic + §4 core function library
+# ---------------------------------------------------------------------------
+
+FN_HTML = """<div>
+<table id="t1"><tr><td>a1</td><td>a2</td></tr><tr><td>b1</td></tr>
+<tr><td>c1</td></tr><tr><td>d1</td></tr></table>
+<table id="t2"><tr><td>12345</td></tr></table>
+<p>hello world</p>
+</div>"""
+
+
+@pytest.fixture(scope="module")
+def fn_root():
+    return parse_html_fast(FN_HTML)[0]
+
+
+def _fids(root, expr):
+    out = []
+    for n in q(root, expr):
+        a = getattr(n, "attrs", None) or {}
+        out.append(a.get("id") or getattr(n, "tag", repr(n)))
+    return out
+
+
+@pytest.mark.parametrize(
+    "expr,expect",
+    [
+        # arithmetic + positional interplay (§2.4: numeric value = position)
+        ("//table[1]//tr[position() < last() - 1]", ["tr", "tr"]),
+        ("//tr[position() mod 2 = 1]", ["tr", "tr", "tr"]),
+        ("//table[6 mod 4 = 2 and 5 div 2 = 2.5]", ["t1", "t2"]),
+        ("//tr[- -1 = 1]", ["tr"] * 5),          # unary minus nests
+        # count() is a node-set function, numeric-valued
+        ("//table[count(.//tr) = 4]", ["t1"]),
+        ("//table[count(.//tr) > 1 + 2]", ["t1"]),
+        # string library
+        ('//table[substring(.//td, 1, 2) = "a1"]', ["t1"]),
+        ('//table[substring("12345", 1.5, 2.6) = "234"]', ["t1", "t2"]),
+        ('//table[concat("t", "1") = @id]', ["t1"]),
+        ('//table[substring-before(@id, "2") = "t"]', ["t2"]),
+        ('//table[substring-after(@id, "t") = "2"]', ["t2"]),
+        ('//table[translate(@id, "t", "T") = "T1"]', ["t1"]),
+        # translate deletes chars beyond len(to)
+        ('//table[translate(@id, "t12", "T") = "T"]', ["t1", "t2"]),
+        # conversions + rounding (round() is half-up toward +inf)
+        ('//*[name() = "p"]', ["p"]),
+        ('//table[number(substring(.//td, 1, 1)) = 1]', ["t2"]),
+        ("//table[boolean(.//td)]", ["t1", "t2"]),
+        ("//table[not(false()) and true()]", ["t1", "t2"]),
+        (
+            "//table[floor(3.7) = 3 and ceiling(3.2) = 4 and "
+            "round(2.5) = 3 and round(-0.5) = 0]",
+            ["t1", "t2"],
+        ),
+        # IEEE specials with XPath string spellings
+        ('//table[string(1 div 0) = "Infinity"]', ["t1", "t2"]),
+        ('//table[string(-1 div 0) = "-Infinity"]', ["t1", "t2"]),
+        ('//table[string(0 div 0) = "NaN"]', ["t1", "t2"]),
+        ("//table[5 mod -2 = 1]", ["t1", "t2"]),   # sign of the dividend
+        ("//table[0 div 0 = 0 div 0]", []),        # NaN never equal
+    ],
+)
+def test_function_library(fn_root, expr, expect):
+    assert _fids(fn_root, expr) == expect
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "//table[substring()]",      # arity
+        "//table[substring(1)]",
+        "//table[concat(1)]",        # concat needs >= 2 args
+        "//table[count(2)]",         # count needs a node-set
+        "//table[count()]",
+        "//table[+1]",               # no unary plus in XPath 1.0
+        "//table[translate(1, 2)]",  # arity
+        "//table[name(x)]",          # only the 0-arg form is supported
+        "//table[true(1)]",
+    ],
+)
+def test_function_library_eager_rejects(bad):
+    with pytest.raises(ParserError):
+        compile_xpath(bad)
+
+
+def test_div_is_still_an_element_name(fn_root):
+    """'div' at operand position is the HTML element; after an operand it
+    is the operator — both in one corpus-realistic document."""
+    assert _fids(fn_root, "//div") == ["div"]
+    assert _fids(fn_root, "//div[div div div = 1]") == []  # no <div> children
+    html = '<section><div>2</div><div>2</div><table id="x"></table></section>'
+    r, _ = parse_html_fast(html)
+    # div div div = 2/2 = 1 -> positional 1? No: numeric predicate selects
+    # position 1 of section candidates; value is 1 -> keeps position 1
+    assert _fids(r, "//section[div div div = 1]") == ["section"]
