@@ -95,22 +95,39 @@ def run_extraction_bench(spark, sf: str, warm: bool = True) -> dict:
     measurement — a one-time per-executor cost that is noise at fleet
     scale), the second run is timed."""
     from html_table_spark.config import ParserConfig
-    from html_table_spark.plans.pipeline import plan_extraction
+    from html_table_spark.plans.pipeline import (
+        plan_extraction_legs,
+        run_concurrent,
+    )
     from html_table_spark.sources.documents import read_documents
 
     path = corpus_path(sf)
     docs = read_documents(spark, path)
     n_docs = docs.count()
     config = ParserConfig().all_tables()
+
+    def extract_once() -> int:
+        # the production shape (run_job): the two legs run as CONCURRENT
+        # jobs, mega submitted first so its chunk stage fills slots the
+        # pass-1 tail leaves idle instead of barriering in front of it;
+        # total tables = sum of the legs (== the union plan's count)
+        normal, mega = plan_extraction_legs(docs, config)
+        counts = run_concurrent(
+            [
+                lambda: mega.filter("table_idx >= 0").count(),
+                lambda: normal.filter("table_idx >= 0").count(),
+            ]
+        )
+        return sum(counts)
+
     if warm:
-        plan_extraction(docs, config).filter("table_idx >= 0").count()
+        extract_once()
     # best-of-3 damps scheduler + sandbox noise (observed ±20% wall jitter)
     wall = float("inf")
     for _ in range(3):
         spark.catalog.clearCache()
         started = time.monotonic()
-        extracted = plan_extraction(docs, config)
-        n_tables = extracted.filter("table_idx >= 0").count()
+        n_tables = extract_once()
         wall = min(wall, time.monotonic() - started)
     return {
         "docs": n_docs,
@@ -194,6 +211,23 @@ def main_extract_only(cores: int) -> None:
 SCALING_PAIRS = ((4, 16), (8, 32))
 
 
+def _code_rev() -> str:
+    """Identify the code revision for scaling-evidence merge discipline:
+    git HEAD plus a dirty marker (a dirty tree is NOT the committed rev)."""
+    try:
+        head = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", REPO, "status", "--porcelain"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        return head + ("-dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
 def _wait_for_quiet(max_wait_s: int = 600, threshold: float = 1.0) -> None:
     """Scaling runs are worthless under background load (a loaded box
     penalizes exactly the high-core configs and can swing the efficiency
@@ -256,15 +290,28 @@ def main_scaling() -> None:
     with open(os.path.join(bench_dir, "SCALING_RUNS.jsonl"), "a") as fh:
         fh.write(json.dumps({"ts": time.time(), "results": results}) + "\n")
     best_path = os.path.join(bench_dir, "scaling_best.json")
+    rev = _code_rev()
     merged = {}
     if os.path.exists(best_path):
         with open(best_path) as fh:
-            merged = {int(k): v for k, v in json.load(fh).items()}
+            prev = json.load(fh)
+        # merge ONLY same-revision legs: mixing bests across code revisions
+        # manufactures a sweep no single build ever ran (round-2 lesson,
+        # commit d70ddb9) — a new revision starts its evidence from scratch
+        if prev.get("rev") == rev:
+            merged = {int(k): v for k, v in prev.get("results", {}).items()}
     for cores, r in results.items():
         if cores not in merged or r["docs_per_sec"] > merged[cores]["docs_per_sec"]:
             merged[cores] = r
     with open(best_path, "w") as fh:
-        json.dump({str(k): v for k, v in sorted(merged.items())}, fh, indent=1)
+        json.dump(
+            {
+                "rev": rev,
+                "results": {str(k): v for k, v in sorted(merged.items())},
+            },
+            fh,
+            indent=1,
+        )
     results = merged
     effs = {}
     queries = {}

@@ -65,7 +65,12 @@ def get_spark(
         # totalBytes/4m, never into thousands of micro-tasks
         .config("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (serial driver cost per stage); SPARK_GRAFT_UI=1
+        # turns it on for stage-level profiling (scripts/profile_serial.py)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
     )
     if shuffle_partitions is not None:
         builder = builder.config(

@@ -143,7 +143,15 @@ class SnapshotSink:
         ]
         if not paths:
             return spark.createDataFrame([], EXTRACTED_SCHEMA)
-        return spark.read.schema(EXTRACTED_SCHEMA).parquet(*paths)
+        # recursiveFileLookup: a committed run's data_path may hold the two
+        # concurrently-written leg subdirectories (run_job) — read every
+        # data file under it with the explicit schema, no partition
+        # inference from the leg directory names
+        return (
+            spark.read.schema(EXTRACTED_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(*paths)
+        )
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         paths = [m["lineage_path"] for m in self.manifests() if m.get("lineage_path")]

@@ -143,3 +143,61 @@ def test_cost_over_threshold_but_small_html_keeps_tables(spark):
     ).filter("table_idx >= 0").collect()
     assert len(out) == 1
     assert out[0].caption == "c" and out[0].n_cells == 1 and out[0].status == "ok"
+
+
+def test_legs_equal_union_plan(spark):
+    """plan_extraction is exactly the union of plan_extraction_legs — the
+    concurrent-jobs path (bench, run_job) and the single-DF contract path
+    must extract identical rows."""
+    from html_table_spark.plans.pipeline import plan_extraction_legs
+
+    df, _ = _corpus_df(spark, n_docs=25, seed=7, mega_docs=1, mega_tables=80)
+    kwargs = dict(
+        num_partitions=8, mega_cost_threshold=16 * 1024, tables_per_chunk=16
+    )
+    config = ParserConfig().all_tables()
+    union = plan_extraction(df, config, **kwargs)
+    normal, mega = plan_extraction_legs(df, config, **kwargs)
+    cols = ["doc_id", "table_idx", "status"]
+    a = sorted(map(tuple, union.select(*cols).collect()))
+    b = sorted(map(tuple, normal.select(*cols).unionByName(mega.select(*cols)).collect()))
+    assert a == b
+    # single-table mode has no mega leg
+    n2, m2 = plan_extraction_legs(df, ParserConfig(), num_partitions=4)
+    assert m2 is None and n2.count() > 0
+
+
+def test_run_concurrent_order_and_errors():
+    from html_table_spark.plans.pipeline import run_concurrent
+
+    assert run_concurrent([lambda: 1, lambda: 2, lambda: 3]) == [1, 2, 3]
+
+    def boom():
+        raise ValueError("leg failed")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="leg failed"):
+        run_concurrent([lambda: 1, boom])
+
+
+def test_run_job_leg_layout_readable(spark, tmp_path):
+    """Concurrent leg writes land in data_path subdirs; read_committed and
+    the lineage re-read must see every row exactly once."""
+    import os
+
+    df, _ = _corpus_df(spark, n_docs=20, seed=13, mega_docs=1, mega_tables=60)
+    sink = SnapshotSink(str(tmp_path / "legs"))
+    run_job(
+        spark, df, sink, ParserConfig().all_tables(),
+        num_partitions=4, mega_cost_threshold=16 * 1024, tables_per_chunk=16,
+    )
+    data_path = sink.manifests()[0]["data_path"]
+    subdirs = sorted(
+        d for d in os.listdir(data_path)
+        if os.path.isdir(os.path.join(data_path, d))
+    )
+    assert subdirs == ["mega", "normal"]
+    committed = sink.read_committed(spark)
+    assert committed.select("doc_id").distinct().count() == 21
+    assert committed.filter("doc_id = 'mega000'").count() == 60
