@@ -211,21 +211,40 @@ def main_extract_only(cores: int) -> None:
 SCALING_PAIRS = ((4, 16), (8, 32))
 
 
+# the files whose CONTENT determines extraction throughput — scaling
+# evidence may only merge across sweeps where all of these are identical
+# (doc/test-only commits don't reset honest evidence; any kernel, plan,
+# session-conf or bench-harness change does)
+_PERF_FILES = (
+    "bench.py",
+    "html_table_spark/session.py",
+    "html_table_spark/htmldom.py",
+    "html_table_spark/semantics.py",
+    "html_table_spark/xpath.py",
+    "html_table_spark/config.py",
+    "html_table_spark/corpus.py",
+    "html_table_spark/operators/extract.py",
+    "html_table_spark/plans/pipeline.py",
+    "html_table_spark/sources/documents.py",
+)
+
+
 def _code_rev() -> str:
-    """Identify the code revision for scaling-evidence merge discipline:
-    git HEAD plus a dirty marker (a dirty tree is NOT the committed rev)."""
-    try:
-        head = subprocess.run(
-            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, check=True,
-        ).stdout.strip()
-        dirty = subprocess.run(
-            ["git", "-C", REPO, "status", "--porcelain"],
-            capture_output=True, text=True, check=True,
-        ).stdout.strip()
-        return head + ("-dirty" if dirty else "")
-    except Exception:
-        return "unknown"
+    """Content hash of the extraction-relevant sources: the merge key for
+    scaling evidence (round-2 lesson, commit d70ddb9 — never merge bests
+    across builds whose measured code differs)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in _PERF_FILES:
+        p = os.path.join(REPO, rel)
+        h.update(rel.encode())
+        try:
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            h.update(b"<missing>")
+    return h.hexdigest()[:16]
 
 
 def _wait_for_quiet(max_wait_s: int = 600, threshold: float = 1.0) -> None:
@@ -390,6 +409,18 @@ evidence in BENCH/SCALING_RUNS.jsonl):
   plus the pool control is the transferable evidence; the single-box
   8→32 number is reported unvarnished for honesty.
 
+Round-3 change (concurrent extraction legs): in the round-2 union plan
+the DAGScheduler could not launch the result stage (which carries the
+bulk pass-1 scan tasks) until the mega leg's chunk map stage finished —
+a barrier whose cost only the wide configuration pays, because at low
+core counts the box is saturated either way. The two legs now run as
+concurrent jobs (plan_extraction_legs + run_concurrent, also the run_job
+write path). Pinned A/B on this corpus: local[32] 7.0 s → 5.7 s, while
+local[8] is unchanged (~15.4 s) — the overlap converts idle straggler-
+tail slots into chunk-stage work exactly where N→4N efficiency is
+measured. At fleet scale the same structure applies: the skewed-tail
+job runs beside the bulk job instead of gating it.
+
 Run-to-run spread on this shared box is real and BIMODAL: background
 activity (driver snapshots fire every ~15 min, and one full sweep takes
 >15 min) lands inside some leg of almost every sweep and can halve that
@@ -397,16 +428,20 @@ leg's throughput (observed local[32]: 6.9k-19.0k docs/s across five
 same-code sweeps). Each row is therefore the best pinned measurement per
 config across recorded same-revision sweeps: per-sweep bests over
 SPARK_GRAFT_SCALING_ATTEMPTS attempts, merged via
-BENCH/scaling_best.json; every raw sweep is appended to
+BENCH/scaling_best.json — keyed by a content hash of the
+extraction-relevant sources, so bests never mix across builds whose
+measured code differs; every raw sweep is appended to
 BENCH/SCALING_RUNS.jsonl for audit. Values above 1.0 would be noise
 penalizing the low-core runs, not true superlinearity.
 
-The measured job is the full plan: one corpus scan → JVM-side cost
-filter (mega-doc bytes never cross Arrow in pass 1) → Arrow extraction →
-second scan pruned to the mega tail → boundary-scan chunking → salted
-chunk shuffle → second extraction pass with global table ordinals →
-union → count. Steady-state (worker
-pool warmed, best-of-2). Reproduce with `python bench.py --scaling`.
+The measured job is the full plan as two CONCURRENT jobs: (leg 1) corpus
+scan → JVM-side cost filter (mega-doc bytes never cross Arrow in pass 1)
+→ Arrow extraction → count, beside (leg 2) a second scan pruned to the
+mega tail → boundary-scan chunking → salted chunk shuffle → second
+extraction pass with global table ordinals → count; total = sum (equal
+to the union plan's count by construction, tests/test_pipeline.py).
+Steady-state (worker pool warmed, best-of-3 per leg pair). Reproduce
+with `python bench.py --scaling`.
 """
         )
 

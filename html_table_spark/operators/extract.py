@@ -321,22 +321,29 @@ def make_arrow_extractor(
             for i, html in enumerate(htmls):
                 doc_id = doc_ids[i]
                 base = bases[i] if bases is not None else 0
-                if (
-                    mega_cost_threshold is not None
-                    and mega_policy != "parse"
-                    and len(html) > mega_cost_threshold
-                    and config.select_all_tables
+                if config.select_all_tables and (
+                    mega_policy == "chunk"
+                    or (
+                        mega_policy == "skip"
+                        and mega_cost_threshold is not None
+                        and len(html) > mega_cost_threshold
+                    )
                 ):
                     if mega_policy == "skip":
                         continue
                     # INVARIANT (plans/pipeline.py relies on this): chunk
-                    # mode emits ONLY status='chunk' rows for over-threshold
-                    # docs — an unsplittable doc becomes one whole-doc chunk
-                    # row, never an in-place parse. If an in-place path is
-                    # ever added here, the pipeline needs its
+                    # mode emits ONLY status='chunk' rows — for EVERY doc in
+                    # the pass, not just over-threshold ones, because the
+                    # pipeline routes on the sort-free span-text length,
+                    # which can exceed len(html) (text on non-text spans);
+                    # such a doc becomes one whole-doc chunk row, parsed
+                    # downstream, never an in-place parse. If an in-place
+                    # path is ever added here, the pipeline needs its
                     # parsed-in-place union leg (and the chunk-pass persist)
                     # back, or those rows are re-fed through extraction and
-                    # their tables are lost.
+                    # their tables are lost
+                    # (tests/test_pipeline.py::test_cost_over_threshold_
+                    # but_small_html_keeps_tables).
                     cuts = _top_level_table_cuts(html)
                     if cuts and len(cuts) > tables_per_chunk:
                         pieces = [

@@ -11,9 +11,10 @@ Catalyst rules:
 
 Why explicit: UDF-stage skew is invisible to AQE (it only splits skewed
 joins/aggregations), so a 2,000-table mega-document would otherwise pin one
-task for the whole stage.  Mega docs are filtered JVM-side by the length of
-the JVM-reassembled HTML — the same value the in-UDF guard checks — and
-split by a linear boundary scan.  (At fleet scale the routing predicate
+task for the whole stage.  Mega docs are routed JVM-side by the SORT-FREE
+total span-text length (order-independent, equal to the reassembled HTML's
+length under the corpus contract; the in-UDF guard re-checks the real
+len(html)) and split by a linear boundary scan.  (At fleet scale the routing predicate
 would be a STORED top-level byte-length column, giving scan #2 parquet
 min/max pruning + predicate pushdown; the cost here is computed because the
 corpus schema is fixed by BASELINE.json.)
@@ -154,26 +155,44 @@ def plan_extraction_legs(
             source = salted(source, num_partitions)
         return extract_tables(source, config, spread_small_inputs=False), None
 
-    # ONE shared reassembly subtree: (doc_id, html) with the HTML rebuilt
-    # JVM-side. Both passes filter on length(html) — the SAME expression the
-    # in-UDF guard uses (len(html) > threshold), so the two passes partition
-    # the corpus exactly with no cost-vs-html mismatch case. Plan
-    # construction is deliberately terse: every intermediate Dataset costs a
-    # full Catalyst analyzer pass over the whole subtree (measured ~1s per
-    # extract_tables call in the round-2 shape — pure serial driver time
-    # that caps the N→4N scaling ratio), so the branch below builds ~9
-    # Datasets instead of round-2's ~20.
+    # Routing filter vs reassembly (round-3 split): both passes route on
+    # the SORT-FREE span-text length — array_join skips nulls and string
+    # concat length is order-independent, so it equals length(html) of the
+    # reassembled document whenever non-text spans carry no text (the
+    # corpus contract; an exotic doc that differs still lands in exactly
+    # one leg because the legs are complements of ONE expression, and the
+    # in-UDF guard re-checks the real len(html)). Filtering BEFORE the
+    # reassembly projection matters twice: (a) the mega leg no longer
+    # array_sorts every document's spans just to discard all but the tail,
+    # and (b) Catalyst pushes a filter through a projection by
+    # SUBSTITUTION, so filtering on length(html) re-evaluated the full
+    # sort+join per row in the Filter AND again in the Project (no
+    # cross-operator subexpression elimination) — the cheap filter leaves
+    # the expensive expression to the Project only.
+    #
+    # Plan construction is deliberately terse: every intermediate Dataset
+    # costs a full Catalyst analyzer pass over the whole subtree (measured
+    # ~1s per extract_tables call in the round-2 shape — pure serial driver
+    # time that caps the N→4N scaling ratio).
     shuffled = salted(documents, num_partitions) if shuffle_source else documents
-    pre = shuffled.select(
-        F.col("doc_id"), html_reassembly_col("spans").alias("html")
+    route_len = F.length(
+        F.coalesce(
+            F.array_join(F.col("spans").getField("text"), ""), F.lit("")
+        )
     )
+
+    def reassembled(source: DataFrame) -> DataFrame:
+        return source.select(
+            F.col("doc_id"), html_reassembly_col("spans").alias("html")
+        )
+
     # Pass 1 — the bulk: normal docs extracted on scan partitions; docs over
     # the threshold are filtered out JVM-SIDE, so mega-doc bytes never cross
     # the Arrow boundary just to be skipped. No cache, no materialization:
     # pass 1 output flows straight to the consumer/sink. The in-UDF skip
     # policy remains as a belt-and-braces guard.
     normal_out = extract_tables(
-        pre.where(F.length("html") <= mega_cost_threshold),
+        reassembled(shuffled.where(route_len <= mega_cost_threshold)),
         config,
         mega_cost_threshold=mega_cost_threshold,
         tables_per_chunk=tables_per_chunk,
@@ -188,7 +207,7 @@ def plan_extraction_legs(
     # with global table ordinals. The shuffle here moves mega-doc bytes
     # only — there is NO full-corpus shuffle anywhere in the plan.
     chunks = extract_tables(
-        pre.where(F.length("html") > mega_cost_threshold),
+        reassembled(shuffled.where(route_len > mega_cost_threshold)),
         config,
         mega_cost_threshold=mega_cost_threshold,
         tables_per_chunk=tables_per_chunk,
@@ -200,11 +219,11 @@ def plan_extraction_legs(
     # chunk mode emits ONLY status='chunk' rows (extract.py documents the
     # invariant at the emit site: an unsplittable doc becomes one whole-doc
     # chunk, parsed downstream after the salt spreads it) and the routing
-    # predicate above is the SAME len(html) expression the in-UDF guard
-    # checks, so the chunk pass has exactly one consumer — no persist, no
-    # always-empty parsed-in-place union leg. A chunk row carries exactly
-    # ONE text span (the chunk's HTML, built by the extractor) —
-    # element_at(1) IS its reassembly, lambda-free.
+    # predicate above is the complement of pass 1's, so the chunk pass has
+    # exactly one consumer — no persist, no always-empty parsed-in-place
+    # union leg. A chunk row carries exactly ONE text span (the chunk's
+    # HTML, built by the extractor) — element_at(1) IS its reassembly,
+    # lambda-free.
     chunk_rows = chunks.select(
         "doc_id",
         F.coalesce(F.element_at("spans", 1)["text"], F.lit("")).alias("html"),

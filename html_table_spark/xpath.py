@@ -34,7 +34,9 @@ paste from browser devtools:
   short ``to``), ``boolean()``, ``number()``, ``count()``, ``ceiling()``,
   ``floor()``, ``round()`` (half-up toward +inf), ``true()``, ``false()``,
   0-arg ``name()``/``local-name()``; number→string prints XPath
-  ``NaN``/``Infinity`` spellings
+  ``NaN``/``Infinity`` spellings; ``id()`` as a FilterExpr path start
+  (``id('t1')//tr``) and as a predicate node-set (libxml2 registers HTML
+  ``@id`` as the ID attribute, first registration wins — xmlAddID)
 - top-level union ``|`` and the ``(path)[N]`` document-order wrapper
 
 Everything outside the grammar (``namespace::`` axes, ``comment()`` result
@@ -155,6 +157,12 @@ class _Step:
 class _Path:
     steps: tuple[_Step, ...]
     absolute: bool  # True → evaluate from the document root
+    # id(arg) path start (XPath 1.0 §4.1): the arg expression AST, or None.
+    # When set, the path's seed nodes are the id-matched elements (libxml2
+    # registers HTML @id as the ID attribute after loadHTML — duplicate ids
+    # keep the FIRST registration, xmlAddID semantics) and `absolute` is
+    # irrelevant; `steps` may be empty (bare ``id('x')``).
+    id_arg: object = None
 
 
 # Expr AST: nested tuples
@@ -203,6 +211,8 @@ class _Parser:
         return paths
 
     def parse_path(self) -> _Path:
+        if self.peek() == ("name", "id") and self.peek(1)[0] == "lpar":
+            return self._parse_id_path()
         steps: list[_Step] = []
         absolute = False
         need_step = True
@@ -229,6 +239,11 @@ class _Parser:
         while not self._at_path_end():
             self._path_sep(steps)
             steps.append(self.parse_step())
+        self._validate_terminal_steps(steps)
+        return _Path(steps=_fuse_steps(steps), absolute=absolute)
+
+    @staticmethod
+    def _validate_terminal_steps(steps: list[_Step]) -> None:
         # attribute and text() steps select non-element nodes: legal only as
         # the FINAL location step (nothing navigates onward from them), with
         # at most numeric-positional predicates — enforced eagerly so a bad
@@ -245,7 +260,20 @@ class _Parser:
                     "descendant-or-self",
                 ):
                     raise _SyntaxError()
-        return _Path(steps=_fuse_steps(steps), absolute=absolute)
+
+    def _parse_id_path(self) -> _Path:
+        """``id(expr)`` FilterExpr path start (XPath 1.0 §3.3/§4.1), with an
+        optional trailing relative path: ``id('t1')``, ``id('a b')//tr``."""
+        self.next()  # 'id'
+        self.next()  # '('
+        arg = self.parse_expr()
+        self.expect("rpar")
+        steps: list[_Step] = []
+        while not self._at_path_end():
+            self._path_sep(steps)
+            steps.append(self.parse_step())
+        self._validate_terminal_steps(steps)
+        return _Path(steps=_fuse_steps(steps), absolute=False, id_arg=arg)
 
     def _at_path_end(self) -> bool:
         return self.peek()[0] not in ("slash", "dslash")
@@ -386,6 +414,10 @@ class _Parser:
             self.expect("rpar")
             return node
         if kind == "name" and self.peek(1)[0] == "lpar":
+            if value == "id":
+                # node-set-valued: usable as a predicate truth/comparison
+                # value and inside count(), like any relative path
+                return ("path", self._parse_id_path())
             return self._parse_function(value.lower())
         if kind in ("name", "slash", "dslash", "dot", "ddot", "axis"):
             # relative (or absolute) path → node-set
@@ -582,12 +614,34 @@ class _EvalCtx:
     parent and document-order maps (only paid for when an expression
     actually uses ``..``/``parent::`` or needs an order fix-up)."""
 
-    __slots__ = ("root", "_parents", "_order")
+    __slots__ = ("root", "_parents", "_order", "_ids")
 
     def __init__(self, root: Node):
         self.root = root
         self._parents = None
         self._order = None
+        self._ids = None
+
+    def id_nodes(self, tokens) -> list:
+        """Elements for ``id()`` tokens, in document order. First @id wins
+        on duplicates (libxml2 xmlAddID keeps the first registration)."""
+        if self._ids is None:
+            ids: dict = {}
+            ordn = 0
+            stack = [self.root]
+            while stack:
+                n = stack.pop()
+                if type(n) is not Node or n.kind != ELEMENT:
+                    continue
+                ordn += 1
+                v = (n.attrs or {}).get("id")
+                if v is not None and v not in ids:
+                    ids[v] = (ordn, n)
+                if n.children:
+                    stack.extend(reversed(n.children))
+            self._ids = ids
+        hits = sorted(self._ids[t] for t in set(tokens) if t in self._ids)
+        return [n for _, n in hits]
 
     def parent(self, node: Node) -> Node | None:
         if self._parents is None:
@@ -814,6 +868,26 @@ def _step_matches(ctx: Node, step: _Step, ev: _EvalCtx):
 def _iter_path(ctx_nodes, path: _Path, ev: _EvalCtx):
     """Lazily yield the path's matches in document order, deduplicated."""
     steps = path.steps
+    if path.id_arg is not None:
+        # seed from the id()-matched elements; the arg is evaluated per
+        # context node (so id(@ref) works), node-set args union every
+        # node's string value per §4.1
+        seeds: list = []
+        seen_seed: set = set()
+        for ctx in ctx_nodes:
+            v = _eval_value(path.id_arg, ctx, None, None, ev)
+            if v[0] == "set":
+                tokens = [t for s in v[1] for t in s.split()]
+            else:
+                tokens = _to_string(v).split()
+            for n in ev.id_nodes(tokens):
+                if id(n) not in seen_seed:
+                    seen_seed.add(id(n))
+                    seeds.append(n)
+        if not steps:
+            yield from seeds
+            return
+        ctx_nodes = seeds
     last = len(steps) - 1
 
     def walk(level: int, ctx: Node):
@@ -1142,6 +1216,8 @@ def _compile_fast(path: _Path):
     identical yield order to the generic walk). Returns None when the path
     needs the generic machinery."""
     steps = path.steps
+    if path.id_arg is not None:
+        return None  # id() seeding needs the generic walk
     if not steps or steps[0].axis != "descendant" or steps[0].test in (
         "*",
         "node()",
@@ -1292,6 +1368,11 @@ def _path_needs_order_fix(path: _Path) -> bool:
             isinstance(p, tuple) and expr_uses(p) for p in expr[1:]
         )
 
+    if path.id_arg is not None and path.steps:
+        # two id() seeds can nest (id element inside another): the outer
+        # seed's walk results all emit before the inner seed's, which may
+        # precede in document order — same shape as non-final descendants
+        return True
     last = len(path.steps) - 1
     for i, step in enumerate(path.steps):
         if step.axis in _ORDER_FIX_AXES:

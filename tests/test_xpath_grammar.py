@@ -326,3 +326,57 @@ def test_div_is_still_an_element_name(fn_root):
     # div div div = 2/2 = 1 -> positional 1? No: numeric predicate selects
     # position 1 of section candidates; value is 1 -> keeps position 1
     assert _fids(r, "//section[div div div = 1]") == ["section"]
+
+
+# ---------------------------------------------------------------------------
+# round-3: id() — FilterExpr path start + predicate node-set (§4.1)
+# ---------------------------------------------------------------------------
+
+ID_HTML = """<div>
+<table id="t1"><tr><td>a</td></tr><tr><td>b</td></tr></table>
+<p id="para" data-ref="t2 t1">x</p>
+<table id="t2"><tr><td>c</td></tr></table>
+<span id="t2">duplicate id — first wins</span>
+<section id="outer"><b id="inner">y</b></section>
+</div>"""
+
+
+@pytest.fixture(scope="module")
+def id_root():
+    return parse_html_fast(ID_HTML)[0]
+
+
+def test_id_path_start(id_root):
+    assert _fids(id_root, 'id("t1")') == ["t1"]
+    # multiple whitespace-separated tokens, document order, unknown ignored
+    assert _fids(id_root, 'id("t2  t1 nope")') == ["t1", "t2"]
+    # duplicate @id: FIRST registration wins (xmlAddID) — the table, not span
+    assert [n.tag for n in q(id_root, 'id("t2")')] == ["table"]
+    # trailing relative path
+    assert len(q(id_root, 'id("t1")//tr')) == 2
+    assert len(q(id_root, 'id("t1 t2")/tr/td')) == 3
+    # nested seeds stay in document order
+    assert _fids(id_root, 'id("inner outer")') == ["outer", "inner"]
+
+
+def test_id_in_predicates(id_root):
+    # node-set truth: tables that exist by id
+    assert _fids(id_root, "//p[id(@data-ref)]") == ["para"]
+    # count over an id node-set
+    assert _fids(id_root, '//div[count(id("t1 t2")) = 2]') == ["div"]
+    # comparison via string value of the id'd node
+    assert _fids(id_root, '//p[id("t1")//td = "a"]') == ["para"]
+    # id(node-set arg) unions every node's string value
+    assert _fids(id_root, 'id(//p/@data-ref)') == ["t1", "t2"]
+
+
+def test_id_still_an_element_name(id_root):
+    html = "<div><id>q</id><table id='z'></table></div>"
+    r, _ = parse_html_fast(html)
+    assert [n.tag for n in q(r, "//id")] == ["id"]
+
+
+@pytest.mark.parametrize("bad", ["id()", "//table/id('x')", "id('x'"])
+def test_id_eager_rejects(bad):
+    with pytest.raises(ParserError):
+        compile_xpath(bad)
