@@ -24,7 +24,10 @@ sys.path.insert(0, REPO)
 from pyspark.sql import SparkSession
 
 from html_table_spark.config import ParserConfig
-from html_table_spark.plans.pipeline import plan_extraction
+from html_table_spark.plans.pipeline import (
+    plan_extraction_legs,
+    run_concurrent,
+)
 from html_table_spark.sources.documents import read_documents
 
 CORES = int(sys.argv[1]) if len(sys.argv) > 1 else 32
@@ -61,22 +64,40 @@ def main() -> None:
     docs = read_documents(spark, path)
     config = ParserConfig().all_tables()
 
+    def extract_once(report=None):
+        # the bench/run_job shape: two concurrent leg jobs, mega first
+        normal, mega = plan_extraction_legs(docs, config)
+
+        def timed(name, df):
+            def act():
+                t = time.monotonic()
+                n = df.filter("table_idx >= 0").count()
+                w = time.monotonic() - t
+                if report is not None:
+                    report[name] = w
+                return n
+
+            return act
+
+        counts = run_concurrent(
+            [timed("mega_leg", mega), timed("normal_leg", normal)]
+        )
+        return sum(counts)
+
     # warm
-    plan_extraction(docs, config).filter("table_idx >= 0").count()
+    extract_once()
 
     app_id = api("applications")[0]["id"]
     jobs_before = {j["jobId"] for j in api(f"applications/{app_id}/jobs")}
 
+    legs: dict = {}
     t0 = time.monotonic()
-    plan_t0 = time.monotonic()
-    extracted = plan_extraction(docs, config)
-    fil = extracted.filter("table_idx >= 0")
-    # force analysis+optimization separately from execution
-    fil._jdf.queryExecution().executedPlan()
-    plan_wall = time.monotonic() - plan_t0
-    n = fil.count()
+    n = extract_once(report=legs)
     wall = time.monotonic() - t0
-    print(f"timed run: wall={wall:.3f}s plan(analyze+optimize)={plan_wall:.3f}s tables={n}")
+    print(
+        f"timed run: wall={wall:.3f}s tables={n} "
+        f"legs={{{', '.join(f'{k}={v:.3f}s' for k, v in legs.items())}}}"
+    )
 
     jobs = [j for j in api(f"applications/{app_id}/jobs") if j["jobId"] not in jobs_before]
     jobs.sort(key=lambda j: j["jobId"])
