@@ -78,14 +78,25 @@ def _sf_num(sf: str):
 
 def corpus_path(sf: str) -> str:
     n_docs, mega, mega_tables = CORPUS_BY_SF.get(sf, CORPUS_BY_SF["0.01"])
-    path = f"/tmp/spark_graft_bench/corpus_sf{sf}_{n_docs}_{mega}x{mega_tables}"
+    # 256 shards (path-versioned): file count bounds scan parallelism, and
+    # at 64 shards the 32-core leg ran the pass-1 stage in TWO waves — any
+    # task-duration variance idled cores for up to half the stage (measured
+    # par_eff 0.83). 256 shards ≈ 8 waves at 32 cores; the 8-core leg was
+    # already wave-rich at 64. At fleet scale the corpus is inherently
+    # many-filed; a benchmark corpus that under-shards would measure the
+    # file layout, not the engine.
+    n_shards = int(os.environ.get("SPARK_GRAFT_SHARDS", "256"))
+    path = (
+        f"/tmp/spark_graft_bench/corpus_sf{sf}_{n_docs}_{mega}x{mega_tables}"
+        f"_s{n_shards}"
+    )
     if not os.path.exists(path):
         from html_table_spark.corpus import synthesize_documents, write_corpus_dir
 
         rows = synthesize_documents(
             n_docs=n_docs, seed=42, mega_docs=mega, mega_tables=mega_tables
         )
-        write_corpus_dir(rows, path, n_shards=64)
+        write_corpus_dir(rows, path, n_shards=n_shards)
     return path
 
 
@@ -116,7 +127,8 @@ def run_extraction_bench(spark, sf: str, warm: bool = True) -> dict:
             [
                 lambda: mega.filter("table_idx >= 0").count(),
                 lambda: normal.filter("table_idx >= 0").count(),
-            ]
+            ],
+            spark=spark,
         )
         return sum(counts)
 

@@ -17,6 +17,20 @@ interleaved text+media document corpus at web scale:
   column plumbing.
 """
 
+# Worker-side import side effect (deliberate): every PySpark task prologue
+# calls importlib.invalidate_caches(), and CPython 3.11's zipimporter
+# re-reads its whole archive TOC on each call — measured ~200-390 ms PER
+# TASK on a Spark-distribution install (pyspark.zip + jars on sys.path).
+# Reused workers import this package exactly once while unpickling our
+# UDFs, so applying the mtime-gated patch here fixes every later task in
+# that worker even under sessions we did not configure (e.g. the driver's
+# own correctness-gate session). Sessions built by session.get_spark also
+# set spark.python.daemon.module=html_table_spark.fastdaemon, which patches
+# before the FIRST task. See fastdaemon.py for the full story.
+from . import fastdaemon as _fastdaemon
+
+_fastdaemon.apply()
+
 from .config import ALL_SECTIONS, TBODY, TFOOT, THEAD, TR, ParserConfig
 from .errors import ParserError
 from .semantics import Cell, ExtractedTable, parse_document

@@ -220,9 +220,12 @@ def make_arrow_extractor(
     ``mega_policy`` controls documents whose HTML exceeds
     ``mega_cost_threshold`` (select-all mode only):
 
-    - ``'parse'`` — parse in place (default; single-table mode always does);
-    - ``'skip'``  — emit nothing (the pipeline's pass 1: the mega tail is
-      handled by a dedicated pass so a giant doc never pins a task here);
+    - ``'parse'`` — parse in place (default; single-table mode always does;
+      the pipeline's pass 1 — a doc its routing proxy under-calls costs one
+      slow task, never a dropped doc);
+    - ``'skip'``  — emit nothing (for callers that route the mega tail to a
+      dedicated pass with a filter GUARANTEED ≥ the real len(html), as the
+      round-2 cost routing was; the discovery routing must NOT use it);
     - ``'chunk'`` — split via a linear boundary scan into chunk rows
       (``status='chunk'``, table_idx = base ordinal, spans = one text span)
       for a salted redistribution; unsplittable tag soup is parsed in place
@@ -334,8 +337,9 @@ def make_arrow_extractor(
                     # INVARIANT (plans/pipeline.py relies on this): chunk
                     # mode emits ONLY status='chunk' rows — for EVERY doc in
                     # the pass, not just over-threshold ones, because the
-                    # pipeline routes on the sort-free span-text length,
-                    # which can exceed len(html) (text on non-text spans);
+                    # pipeline's routing proxies (span count under discovery
+                    # routing, sort-free span-text length under cost
+                    # routing) can exceed the real len(html);
                     # such a doc becomes one whole-doc chunk row, parsed
                     # downstream, never an in-place parse. If an in-place
                     # path is ever added here, the pipeline needs its

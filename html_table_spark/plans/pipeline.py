@@ -3,29 +3,33 @@
 Plan shape (SURVEY.md §3.4, §4.3) — all plan-shape decisions, no custom
 Catalyst rules:
 
-    scan #1 (len(html) ≤ T) → pass 1 (mapInArrow) → extracted rows ┐
-    scan #2 (len(html) > T) → boundary-scan chunking               │
+    discovery (offsets-only scan → mega doc_ids, driver-planned)   │
+    scan #1 (doc_id NOT IN mega_ids) → pass 1 (mapInArrow) ────────┐
+    scan #2 (doc_id IN mega_ids, row-group-PRUNED by the pushed    │
+        filter) → boundary-scan chunking                           │
         → chunk rows (status='chunk', ≤64 tables, base ordinal)    │
         → full-entropy repartition → pass 2 (mapInArrow) ──────────┴→ union
     → per-partition lineage agg → snapshot-committed sink
 
 Why explicit: UDF-stage skew is invisible to AQE (it only splits skewed
 joins/aggregations), so a 2,000-table mega-document would otherwise pin one
-task for the whole stage.  Mega docs are routed JVM-side by the SORT-FREE
-total span-text length (order-independent, equal to the reassembled HTML's
-length under the corpus contract; the in-UDF guard re-checks the real
-len(html)) and split by a linear boundary scan.  (At fleet scale the routing predicate
-would be a STORED top-level byte-length column, giving scan #2 parquet
-min/max pruning + predicate pushdown; the cost here is computed because the
-corpus schema is fixed by BASELINE.json.)
+task for the whole stage.  Mega docs are found by a span-COUNT discovery
+job that reads only the int32 offset leaf (nested schema pruning), then
+split by a linear boundary scan; routing is a performance split, never a
+correctness boundary — misrouted docs parse in place (pass 1) or as one
+whole-doc chunk (pass 2).  (At fleet scale the routing predicate would be
+a STORED top-level byte-length column, giving scan #2 parquet min/max
+pruning + predicate pushdown with no discovery job at all; discovery is
+the honest stand-in because the corpus schema is fixed by BASELINE.json.)
 
-Why TWO scans (a deliberate trade): scan #2 re-reads (doc_id, spans) to
-find the mega tail instead of persisting pass-1 output — persisting a
-corpus-sized intermediate at 10^12 docs costs more storage/IO than a second
-columnar scan, and the scans carry no shuffle.  The only shuffle in the job
-moves the skewed tail (mega-doc chunks ≪ corpus), repartitioned on
-``xxhash64(doc_id, chunk)``.  Normal docs ride the scan's byte-balanced
-file splits (``maxPartitionBytes``); a full repartition remains available
+Why TWO scans (a deliberate trade): scan #2 re-reads the mega tail instead
+of persisting pass-1 output — persisting a corpus-sized intermediate at
+10^12 docs costs more storage/IO than a second columnar scan, and with the
+pushed ``doc_id IN`` filter the re-read touches only the row groups that
+actually hold mega docs.  The only shuffle in the job moves the skewed
+tail (mega-doc chunks ≪ corpus), repartitioned on ``xxhash64(doc_id,
+chunk)``.  Normal docs ride the scan's byte-balanced file splits
+(``maxPartitionBytes``); a full repartition remains available
 (``repartition_normal='always'``) for pathological file layouts, and
 engages automatically when the scan exposes too little parallelism.
 """
@@ -41,6 +45,56 @@ from ..sources.sinks import SnapshotSink
 
 # Docs whose total text size exceeds this take the mega-doc split path.
 DEFAULT_MEGA_COST = 256 * 1024  # bytes of HTML
+
+# Discovery routing collects at most this many mega doc_ids to the driver
+# (ids only — never bytes). 64Ki ids ≈ a few MB of strings; past it the
+# planner falls back to distributed cost routing. At fleet scale the mega
+# tail is vanishingly rare by construction (it is the skew tail), and a
+# STORED byte-length column would replace discovery outright (see module
+# docstring).
+DEFAULT_DISCOVER_CAP = 65536
+
+
+def mega_span_count_hint(mega_cost_threshold: int) -> int:
+    """Span-count proxy threshold matching a byte threshold.
+
+    Routing needs only a CHEAP predicate that puts almost-all mega docs on
+    the chunk path — it is a performance hint, not a correctness boundary:
+    a byte-heavy doc the proxy misses is parsed in place by pass 1
+    (mega_policy='parse'), and a span-heavy doc with tiny HTML becomes one
+    whole-doc chunk parsed downstream (chunk mode's documented invariant).
+    4 KiB/span is the conservative end of the corpus shape (one table
+    fixture per span); the floor keeps tiny thresholds sane."""
+    return max(8, mega_cost_threshold // 4096)
+
+
+def discover_mega_ids(
+    documents: DataFrame,
+    *,
+    span_count_hint: int,
+    cap: int = DEFAULT_DISCOVER_CAP,
+) -> list[str] | None:
+    """Find mega-doc candidates by span COUNT — an offsets-only columnar scan.
+
+    ``size(spans.offset)`` needs just the int32 offset leaf (nested schema
+    pruning drops kind/text/media_ref), so this job reads a few bytes per
+    document where the round-2 routing scan re-decoded and re-concatenated
+    every text byte in the corpus merely to find the tail. Returns the ids
+    (possibly empty), or None when more than ``cap`` candidates exist —
+    callers then fall back to distributed cost routing, keeping the driver
+    out of the data path. doc_id-less rows are never candidates (they ride
+    the normal leg)."""
+    n_spans = F.size(F.col("spans").getField("offset"))
+    rows = (
+        documents.where(n_spans > span_count_hint)
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id")
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return None
+    return [r[0] for r in rows]
 
 
 def with_doc_cost(documents: DataFrame) -> DataFrame:
@@ -81,13 +135,17 @@ def plan_extraction(
     mega_cost_threshold: int = DEFAULT_MEGA_COST,
     tables_per_chunk: int = 64,
     repartition_normal: str = "auto",
+    routing: str = "discover",
+    discover_cap: int = DEFAULT_DISCOVER_CAP,
 ) -> DataFrame:
-    """Build the lazy extraction DataFrame (no action triggered) — the
-    single-action union of :func:`plan_extraction_legs`. Prefer the legs +
-    :func:`run_concurrent` when you control the action (see run_job): in the
-    union plan the DAGScheduler cannot launch the result stage (which holds
-    pass 1's scan tasks) until the mega leg's chunk map stage finishes, so
-    the bulk of the cluster idles behind the skewed tail's barrier."""
+    """Build the extraction DataFrame (with default routing='discover', one
+    tiny id-discovery job runs at plan time; routing='cost' is fully lazy) —
+    the single-action union of :func:`plan_extraction_legs`. Prefer the legs
+    + :func:`run_concurrent` when you control the action (see run_job): in
+    the union plan the DAGScheduler cannot launch the result stage (which
+    holds pass 1's scan tasks) until the mega leg's chunk map stage
+    finishes, so the bulk of the cluster idles behind the skewed tail's
+    barrier."""
     normal_out, mega_out = plan_extraction_legs(
         documents,
         config,
@@ -95,6 +153,8 @@ def plan_extraction(
         mega_cost_threshold=mega_cost_threshold,
         tables_per_chunk=tables_per_chunk,
         repartition_normal=repartition_normal,
+        routing=routing,
+        discover_cap=discover_cap,
     )
     if mega_out is None:
         return normal_out
@@ -109,6 +169,8 @@ def plan_extraction_legs(
     mega_cost_threshold: int = DEFAULT_MEGA_COST,
     tables_per_chunk: int = 64,
     repartition_normal: str = "auto",
+    routing: str = "discover",
+    discover_cap: int = DEFAULT_DISCOVER_CAP,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Build the two extraction legs as INDEPENDENT lazy DataFrames.
 
@@ -133,6 +195,12 @@ def plan_extraction_legs(
     keep the cluster busy. The mega-doc chunk stream is ALWAYS salted —
     that shuffle moves only the skewed tail, which is the north rule's
     skew case without the 100 TB full-corpus shuffle.
+
+    ``routing``: how docs are split between the legs — ``'discover'``
+    (default; offsets-only driver-planned id discovery + pushed-down
+    ``doc_id IN`` pruning, triggers one tiny Spark job at plan time) or
+    ``'cost'`` (round-2 distributed span-text-length filters, fully lazy).
+    See the routing comment below; output rows are identical under either.
     """
     config = config or ParserConfig()
     spark = documents.sparkSession
@@ -155,59 +223,106 @@ def plan_extraction_legs(
             source = salted(source, num_partitions)
         return extract_tables(source, config, spread_small_inputs=False), None
 
-    # Routing filter vs reassembly (round-3 split): both passes route on
-    # the SORT-FREE span-text length — array_join skips nulls and string
-    # concat length is order-independent, so it equals length(html) of the
-    # reassembled document whenever non-text spans carry no text (the
-    # corpus contract; an exotic doc that differs still lands in exactly
-    # one leg because the legs are complements of ONE expression, and the
-    # in-UDF guard re-checks the real len(html)). Filtering BEFORE the
-    # reassembly projection matters twice: (a) the mega leg no longer
-    # array_sorts every document's spans just to discard all but the tail,
-    # and (b) Catalyst pushes a filter through a projection by
-    # SUBSTITUTION, so filtering on length(html) re-evaluated the full
-    # sort+join per row in the Filter AND again in the Project (no
-    # cross-operator subexpression elimination) — the cheap filter leaves
-    # the expensive expression to the Project only.
+    shuffled = salted(documents, num_partitions) if shuffle_source else documents
+
+    # Leg routing (round-3 discovery rewrite). Routing is a PERFORMANCE
+    # split, not a correctness boundary: whatever predicate lands a doc in
+    # whichever leg, pass 1 parses it in place (mega_policy='parse') and
+    # chunk mode turns it into chunk rows parsed downstream — output rows
+    # are identical either way (tests/test_pipeline.py pins this). That
+    # freedom buys two scans' worth of bytes back:
+    #
+    # - 'discover' (default): a driver-planned offsets-only job finds the
+    #   mega doc_ids first (discover_mega_ids — reads ONLY the int32 offset
+    #   leaf). The mega leg then scans with `doc_id IN (...)`, which pushes
+    #   into the Parquet reader and prunes at row-group granularity — the
+    #   "second full scan" becomes a read of just the row groups holding
+    #   mega docs. The normal leg's complement filter is a hash-set probe
+    #   per row (Catalyst InSet) instead of the round-2 shape's full
+    #   re-concatenation of every text byte in the corpus purely to compare
+    #   its length. Ids over DEFAULT_DISCOVER_CAP fall back to 'cost'.
+    #   (At fleet scale a STORED byte-length column subsumes discovery —
+    #   module docstring — but the discovery job IS the honest stand-in:
+    #   it reads the narrowest leaf, never bytes, never spans.)
+    # - 'cost': the round-2 distributed routing — both legs filter on the
+    #   sort-free span-text length (order-independent concat length ==
+    #   len(reassembled html) under the corpus contract). No driver job,
+    #   no id list; both scans read every text byte. Kept as the fallback
+    #   and for callers that cannot tolerate a job at plan time.
     #
     # Plan construction is deliberately terse: every intermediate Dataset
     # costs a full Catalyst analyzer pass over the whole subtree (measured
     # ~1s per extract_tables call in the round-2 shape — pure serial driver
     # time that caps the N→4N scaling ratio).
-    shuffled = salted(documents, num_partitions) if shuffle_source else documents
-    route_len = F.length(
-        F.coalesce(
-            F.array_join(F.col("spans").getField("text"), ""), F.lit("")
+    mega_ids: list[str] | None = None
+    if routing == "discover":
+        mega_ids = discover_mega_ids(
+            shuffled,
+            span_count_hint=mega_span_count_hint(mega_cost_threshold),
+            cap=discover_cap,
         )
-    )
+    if mega_ids is not None:
+        if not mega_ids:
+            # no skew tail at all: one leg, zero extra machinery
+            normal_filter, mega_filter = None, None
+        else:
+            is_mega = F.col("doc_id").isin(mega_ids)
+            # null doc_id makes In() NULL — such docs must still ride the
+            # normal leg, not vanish from both
+            normal_filter = F.col("doc_id").isNull() | ~is_mega
+            mega_filter = is_mega
+    else:
+        route_len = F.length(
+            F.coalesce(
+                F.array_join(F.col("spans").getField("text"), ""), F.lit("")
+            )
+        )
+        normal_filter = route_len <= mega_cost_threshold
+        mega_filter = route_len > mega_cost_threshold
 
     def reassembled(source: DataFrame) -> DataFrame:
         return source.select(
             F.col("doc_id"), html_reassembly_col("spans").alias("html")
         )
 
-    # Pass 1 — the bulk: normal docs extracted on scan partitions; docs over
-    # the threshold are filtered out JVM-SIDE, so mega-doc bytes never cross
-    # the Arrow boundary just to be skipped. No cache, no materialization:
-    # pass 1 output flows straight to the consumer/sink. The in-UDF skip
-    # policy remains as a belt-and-braces guard.
+    # Pass 1 — the bulk. Routed-out docs are filtered JVM-SIDE, so mega-doc
+    # bytes never cross the Arrow boundary just to be skipped. No cache, no
+    # materialization: pass 1 output flows straight to the consumer/sink.
+    # mega_policy='parse': a doc the routing proxy under-calls (byte-heavy,
+    # few spans) is parsed in place — one slow task, never a dropped doc.
+    normal_source = shuffled if normal_filter is None else shuffled.where(normal_filter)
     normal_out = extract_tables(
-        reassembled(shuffled.where(route_len <= mega_cost_threshold)),
+        reassembled(normal_source),
         config,
         mega_cost_threshold=mega_cost_threshold,
         tables_per_chunk=tables_per_chunk,
-        mega_policy="skip",
+        mega_policy="parse",
         spread_small_inputs=False,
         pre_reassembled=True,
         has_base=False,
     )
-    # Pass 2 — the skewed tail only: a second pruned scan (reads just the
-    # mega docs' spans), split into chunk rows by a linear boundary scan,
-    # salted so one doc's chunks spread across the cluster, then extracted
-    # with global table ordinals. The shuffle here moves mega-doc bytes
-    # only — there is NO full-corpus shuffle anywhere in the plan.
+    if mega_filter is None:
+        return normal_out, None
+    # Pass 2 — the skewed tail only: a second PRUNED scan (discovery mode:
+    # row-group-pruned by the pushed doc_id IN filter; cost mode: reads the
+    # corpus but keeps just the tail), split into chunk rows by a linear
+    # boundary scan, salted so one doc's chunks spread across the cluster,
+    # then extracted with global table ordinals. The shuffle here moves
+    # mega-doc bytes only — there is NO full-corpus shuffle anywhere in the
+    # plan.
+    mega_source = shuffled.where(mega_filter)
+    if mega_ids:
+        # The pruned scan inherits the corpus's partitioning (hundreds of
+        # tasks, nearly all empty after the IN filter) and the chunk kernel
+        # is a PYTHON stage — every empty partition still pays the worker
+        # task prologue. Compact to one partition per discovered doc first:
+        # this shuffle moves only the mega docs themselves, and the chunk
+        # split is per-doc serial anyway, so extra partitions buy nothing.
+        mega_source = mega_source.repartition(
+            min(num_partitions, len(mega_ids)), F.xxhash64("doc_id")
+        )
     chunks = extract_tables(
-        reassembled(shuffled.where(route_len > mega_cost_threshold)),
+        reassembled(mega_source),
         config,
         mega_cost_threshold=mega_cost_threshold,
         tables_per_chunk=tables_per_chunk,
@@ -239,22 +354,36 @@ def plan_extraction_legs(
     return normal_out, mega_out
 
 
-def run_concurrent(actions):
+def run_concurrent(actions, spark: SparkSession | None = None):
     """Run driver-side actions (zero-arg callables) as concurrent Spark jobs.
 
     One thread per action — Spark's scheduler then packs the jobs' stages
     onto free task slots together instead of serializing them behind each
     other's barriers (standard multi-job submission; PySpark pins py4j
-    threads, so thread-local job groups/properties stay isolated). Results
-    come back in input order; the first exception is re-raised after all
-    threads finish, so a failed leg cannot leak a half-run."""
+    threads, so thread-local job groups/properties stay isolated). When a
+    session is passed AND it runs the FAIR scheduler, each action gets its
+    own on-the-fly scheduler pool: under FIFO, AQE materializes each query
+    stage as a separate job with a LATER job id, so a small leg's follow-up
+    stages queue behind a big leg's running stage (measured: the 4-task
+    mega chunk stage waited 4 s behind pass 1's 256 tasks); FAIR pools let
+    both legs' stages share slots the whole time. Results come back in
+    input order; the first exception is re-raised after all threads finish,
+    so a failed leg cannot leak a half-run."""
     import threading
 
     results: list = [None] * len(actions)
     errors: list = [None] * len(actions)
+    fair = (
+        spark is not None
+        and spark.conf.get("spark.scheduler.mode", "FIFO").upper() == "FAIR"
+    )
 
     def runner(i, fn):
         try:
+            if fair:
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", f"leg-{i}"
+                )
             results[i] = fn()
         except BaseException as exc:  # noqa: BLE001 — re-raised below
             errors[i] = exc
@@ -348,7 +477,8 @@ def run_job(
                 lambda: normal_out.write.mode("errorifexists").parquet(
                     data_path.rstrip("/") + "/normal"
                 ),
-            ]
+            ],
+            spark=spark,
         )
     committed = (
         spark.read.schema(normal_out.schema)

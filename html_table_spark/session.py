@@ -51,6 +51,22 @@ def get_spark(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # FAIR between on-the-fly pools; FIFO within each (no alloc file).
+        # Needed by the concurrent extraction legs: AQE materializes every
+        # query stage as a new job with a LATER job id, so under FIFO the
+        # tiny mega leg's downstream stages (4-task chunk split, pass 2)
+        # queue behind pass 1's hundreds of running tasks — measured 4 s of
+        # dead wait at local[32]. run_concurrent assigns one pool per leg
+        # when it sees this mode. Single-job workloads are unaffected (one
+        # pool, FIFO within).
+        .config("spark.scheduler.mode", "FAIR")
+        # CollectLimit escalation starts at ONE partition and quadruples —
+        # a selective limit+collect (mega-id discovery) otherwise runs
+        # ~5 SEQUENTIAL mini-jobs before it has scanned the corpus
+        # (measured 0.35 s serial at local[32]). Start wide: the scan is
+        # an offsets-only leaf read, so a full first pass is cheaper than
+        # the serialized escalation ladder.
+        .config("spark.sql.limit.initialNumPartitions", "1024")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config(
@@ -92,5 +108,21 @@ def get_spark(
         # spark-submit conf.
         builder = builder.config(
             "spark.sql.files.minPartitionNum", str(8 * threads)
+        )
+        # Local masters: boot Python workers through fastdaemon so the
+        # zip-TOC invalidation patch is active from the FIRST task (the
+        # package-import hook in __init__ only catches a worker after its
+        # first unpickle of our code). Measured on this host: 205 -> 68 ms
+        # per Python task (identity mapInArrow, 256 tasks, local[16]).
+        # Cluster masters are left alone — the daemon module boots BEFORE
+        # --py-files are materialized, so there it must be shipped via an
+        # operator-managed PYTHONPATH instead (fastdaemon.py docstring).
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        extra_pp = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.python.daemon.module", "html_table_spark.fastdaemon"
+        ).config(
+            "spark.executorEnv.PYTHONPATH",
+            repo_root + (os.pathsep + extra_pp if extra_pp else ""),
         )
     return builder.getOrCreate()

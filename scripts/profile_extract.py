@@ -34,18 +34,16 @@ CORES = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 
 
 def get_spark_ui(cores: int) -> SparkSession:
-    return (
-        SparkSession.builder.appName("profile")
-        .master(f"local[{cores}]")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        .config("spark.sql.files.maxPartitionBytes", "32m")
-        .config("spark.driver.memory", "8g")
-        .config("spark.sql.shuffle.partitions", str(max(8, cores)))
-        .config("spark.ui.enabled", "true")
-        .getOrCreate()
+    # the EXACT bench session shape (html_table_spark.session.get_spark sets
+    # minPartitionNum/openCost/arrow caps) — a hand-rolled config here once
+    # profiled a different plan than the bench runs (32m splits with no
+    # minPartitionNum -> 10 scan partitions -> the auto salted repartition
+    # engaged, which the real bench session never takes on this corpus)
+    os.environ["SPARK_GRAFT_UI"] = "1"
+    from html_table_spark.session import get_spark
+
+    return get_spark(
+        "profile", master=f"local[{cores}]", shuffle_partitions=max(8, cores)
     )
 
 
@@ -80,7 +78,8 @@ def main() -> None:
             return act
 
         counts = run_concurrent(
-            [timed("mega_leg", mega), timed("normal_leg", normal)]
+            [timed("mega_leg", mega), timed("normal_leg", normal)],
+            spark=spark,
         )
         return sum(counts)
 

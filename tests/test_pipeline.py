@@ -201,3 +201,121 @@ def test_run_job_leg_layout_readable(spark, tmp_path):
     committed = sink.read_committed(spark)
     assert committed.select("doc_id").distinct().count() == 21
     assert committed.filter("doc_id = 'mega000'").count() == 60
+
+
+def test_discovery_routing_equals_cost_routing(spark):
+    """Leg routing is a performance split, not a correctness boundary:
+    'discover' (offsets-only id discovery + pushed doc_id IN) and 'cost'
+    (distributed span-text-length filters) must extract identical rows."""
+    df, _ = _corpus_df(spark, n_docs=25, seed=21, mega_docs=2, mega_tables=80)
+    config = ParserConfig().all_tables()
+    kwargs = dict(
+        num_partitions=8, mega_cost_threshold=16 * 1024, tables_per_chunk=16
+    )
+    cols = ["doc_id", "table_idx", "status", "caption", "n_cells"]
+    a = sorted(map(tuple, plan_extraction(
+        df, config, routing="discover", **kwargs).select(*cols).collect()))
+    b = sorted(map(tuple, plan_extraction(
+        df, config, routing="cost", **kwargs).select(*cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_discovery_proxy_miss_byte_heavy_doc_not_dropped(spark):
+    """A doc the span-count proxy under-calls (FEW spans, HUGE html) must be
+    parsed in place by pass 1 — the round-2 'skip' guard would have dropped
+    it silently under discovery routing."""
+    big_table = (
+        "<table><caption>big</caption>"
+        + "".join(f"<tr><td>{'x' * 100}</td></tr>" for _ in range(50))
+        + "</table>"
+    )
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": "slim-mega", "spans": [
+                {"kind": "text", "text": big_table, "media_ref": None, "offset": 0},
+            ]},
+            # a genuine span-count mega so the mega leg exists and the
+            # normal leg's NOT-IN filter is exercised
+            {"doc_id": "fat-mega", "spans": [
+                {"kind": "text",
+                 "text": f"<table id='t{i}'><tr><td>{i}</td></tr></table>",
+                 "media_ref": None, "offset": i}
+                for i in range(40)
+            ]},
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    # threshold makes 'slim-mega' byte-mega (html ~5.7KB > 2KB) while its
+    # span count (1) stays under the proxy hint
+    out = plan_extraction(
+        docs, ParserConfig().all_tables(),
+        num_partitions=4, mega_cost_threshold=2048, tables_per_chunk=8,
+        routing="discover",
+    ).filter("table_idx >= 0")
+    rows = {(r.doc_id, r.table_idx): r for r in out.collect()}
+    assert ("slim-mega", 0) in rows, "byte-heavy proxy miss was dropped"
+    assert rows[("slim-mega", 0)].caption == "big"
+    assert rows[("slim-mega", 0)].status == "ok"
+    # the span-heavy doc still yields all 40 tables through the chunk path
+    fat = [k for k in rows if k[0] == "fat-mega"]
+    assert len(fat) == 40
+
+
+def test_discovery_null_doc_id_rides_normal_leg(spark):
+    """doc_id IS NULL makes In() evaluate to NULL — such docs must land in
+    the normal leg's INPUT, not vanish from both legs. DOCUMENTS_SCHEMA is
+    non-nullable (and EXTRACTED_SCHEMA's doc_id output contract matches),
+    but the routing predicate must not be the thing that loses a row if a
+    foreign parquet writer relaxed nullability."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    nullable_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), True),
+            DOCUMENTS_SCHEMA["spans"],
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": None, "spans": [
+                {"kind": "text", "text": "<table><tr><td>n</td></tr></table>",
+                 "media_ref": None, "offset": 0},
+            ]},
+            {"doc_id": "fat", "spans": [
+                {"kind": "text",
+                 "text": f"<table><tr><td>{i}</td></tr></table>",
+                 "media_ref": None, "offset": i}
+                for i in range(40)
+            ]},
+        ],
+        nullable_schema,
+    )
+    # the routing predicates exactly as plan_extraction_legs builds them
+    is_mega = F.col("doc_id").isin(["fat"])
+    normal = docs.where(F.col("doc_id").isNull() | ~is_mega)
+    mega = docs.where(is_mega)
+    assert normal.count() == 1  # the null-id doc
+    assert mega.count() == 1
+    assert normal.first().doc_id is None
+
+
+def test_discovery_cap_falls_back_to_cost_routing(spark):
+    """More candidates than discover_cap: discover_mega_ids returns None and
+    the planner falls back to distributed cost routing — same rows out."""
+    from html_table_spark.plans.pipeline import discover_mega_ids
+
+    df, _ = _corpus_df(spark, n_docs=10, seed=23, mega_docs=3, mega_tables=60)
+    ids = discover_mega_ids(df, span_count_hint=8, cap=2)
+    assert ids is None  # 3 candidates > cap 2
+    config = ParserConfig().all_tables()
+    kwargs = dict(
+        num_partitions=4, mega_cost_threshold=4096, tables_per_chunk=8
+    )
+    cols = ["doc_id", "table_idx", "status"]
+    capped = sorted(map(tuple, plan_extraction(
+        df, config, routing="discover", discover_cap=2, **kwargs
+    ).select(*cols).collect()))
+    cost = sorted(map(tuple, plan_extraction(
+        df, config, routing="cost", **kwargs).select(*cols).collect()))
+    assert capped == cost and len(capped) > 0
