@@ -230,6 +230,8 @@ SCALING_PAIRS = ((4, 16), (8, 32))
 _PERF_FILES = (
     "bench.py",
     "html_table_spark/session.py",
+    "html_table_spark/__init__.py",
+    "html_table_spark/fastdaemon.py",
     "html_table_spark/htmldom.py",
     "html_table_spark/semantics.py",
     "html_table_spark/xpath.py",

@@ -1,4 +1,4 @@
-"""libxml2-differential tag-soup corpus (round-2 VERDICT item 4).
+r"""libxml2-differential tag-soup corpus (round-2 VERDICT item 4).
 
 The reference parses through libxml2's tolerant HTML4 parser (PHP
 ``DOMDocument::loadHTML``, ``src/Parser.php:417-454``); the sandbox has no
