@@ -261,18 +261,38 @@ def _code_rev() -> str:
     return h.hexdigest()[:16]
 
 
-def _wait_for_quiet(max_wait_s: int = 600, threshold: float = 1.0) -> None:
+def _cpu_busy_fraction(window_s: float = 3.0) -> float:
+    """Fraction of total CPU time spent non-idle over a short window,
+    from /proc/stat deltas — an INSTANTANEOUS quiet signal, unlike the
+    1-min loadavg whose exponential decay reports a box as 'loaded' for
+    minutes after the last heavy job exits."""
+
+    def snap() -> tuple[int, int]:
+        with open("/proc/stat") as fh:
+            parts = [int(x) for x in fh.readline().split()[1:]]
+        idle = parts[3] + parts[4]  # idle + iowait
+        return sum(parts), idle
+
+    t0, i0 = snap()
+    time.sleep(window_s)
+    t1, i1 = snap()
+    total = t1 - t0
+    return 1.0 - (i1 - i0) / total if total > 0 else 0.0
+
+
+def _wait_for_quiet(max_wait_s: int = 600, threshold: float = 0.10) -> None:
     """Scaling runs are worthless under background load (a loaded box
     penalizes exactly the high-core configs and can swing the efficiency
-    ratio by 2×); wait for the 1-min loadavg to settle before each pinned
-    measurement."""
+    ratio by 2×); wait for present CPU use to settle before each pinned
+    measurement. Uses the measured busy fraction, not loadavg: on this
+    microVM the loadavg floats near 2-3 for minutes after a burst with
+    ZERO runnable tasks, which burned the full max_wait per leg while the
+    box was in fact idle."""
     deadline = time.monotonic() + max_wait_s
     while time.monotonic() < deadline:
-        with open("/proc/loadavg") as fh:
-            load = float(fh.read().split()[0])
-        if load < threshold:
+        if _cpu_busy_fraction() < threshold:
             return
-        time.sleep(15)
+        time.sleep(10)
 
 
 def main_scaling() -> None:
@@ -321,17 +341,21 @@ def main_scaling() -> None:
     bench_dir = os.path.join(REPO, "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
     with open(os.path.join(bench_dir, "SCALING_RUNS.jsonl"), "a") as fh:
-        fh.write(json.dumps({"ts": time.time(), "results": results}) + "\n")
+        fh.write(
+            json.dumps({"ts": time.time(), "sf": sf, "results": results}) + "\n"
+        )
     best_path = os.path.join(bench_dir, "scaling_best.json")
     rev = _code_rev()
     merged = {}
     if os.path.exists(best_path):
         with open(best_path) as fh:
             prev = json.load(fh)
-        # merge ONLY same-revision legs: mixing bests across code revisions
-        # manufactures a sweep no single build ever ran (round-2 lesson,
-        # commit d70ddb9) — a new revision starts its evidence from scratch
-        if prev.get("rev") == rev:
+        # merge ONLY same-revision same-corpus legs: mixing bests across
+        # code revisions manufactures a sweep no single build ever ran
+        # (round-2 lesson, commit d70ddb9), and mixing scale factors merges
+        # throughput over different corpora — either way the evidence
+        # starts from scratch
+        if prev.get("rev") == rev and prev.get("sf") == sf:
             merged = {int(k): v for k, v in prev.get("results", {}).items()}
     for cores, r in results.items():
         if cores not in merged or r["docs_per_sec"] > merged[cores]["docs_per_sec"]:
@@ -340,6 +364,7 @@ def main_scaling() -> None:
         json.dump(
             {
                 "rev": rev,
+                "sf": sf,
                 "results": {str(k): v for k, v in sorted(merged.items())},
             },
             fh,
