@@ -124,8 +124,12 @@ def main() -> None:
             total_task_ms += s["executorRunTime"]
             eff = task_sum / (w * CORES) if w > 0 else float("nan")
             name = s["name"].split("\n")[0][:60]
+            gc = s.get("jvmGcTime", 0) / 1000.0
+            deser = s.get("executorDeserializeTime", 0) / 1000.0
+            rser = s.get("resultSerializationTime", 0) / 1000.0
+            cpu = s.get("executorCpuTime", 0) / 1e9
             print(
-                f"{j['jobId']:>4} {sid:>6} {s['numTasks']:>6} {w:>8.3f} {task_sum:>11.3f} {eff:>8.2f}  {name}  (sched_gap={sched_gap:.3f}s)"
+                f"{j['jobId']:>4} {sid:>6} {s['numTasks']:>6} {w:>8.3f} {task_sum:>11.3f} {eff:>8.2f}  {name}  (sched_gap={sched_gap:.3f}s gc={gc:.2f}s deser={deser:.2f}s rser={rser:.2f}s jvm_cpu={cpu:.1f}s)"
             )
     print(f"\nsum(task)/cores = {total_task_ms/1000.0/CORES:.3f}s vs wall {wall:.3f}s -> serial+imbalance = {wall - total_task_ms/1000.0/CORES:.3f}s")
     spark.stop()
