@@ -133,7 +133,24 @@ def run_extraction_bench(spark, sf: str, warm: bool = True) -> dict:
         return sum(counts)
 
     if warm:
-        extract_once()
+        # Warm until the run wall plateaus, not a fixed once: C2 compile
+        # time is WALL-time bound, so after one warm run a ~4 s local[32]
+        # job is still JIT-compiling through its timed runs while a ~23 s
+        # local[4] job is long plateaued — a systematic bias against
+        # exactly the wide legs the N→4N rule measures (observed pinned
+        # local[32] iteration walls: 13.0, 6.7, 5.4, then flat). Stop when
+        # a run improves <10% over the previous one (or at a 30 s budget);
+        # every leg is then timed at steady state, which is the regime a
+        # fleet-scale hours-long job lives in.
+        budget = time.monotonic() + 30.0
+        prev = float("inf")
+        while True:
+            t0 = time.monotonic()
+            extract_once()
+            w = time.monotonic() - t0
+            if w > prev * 0.9 or time.monotonic() > budget:
+                break
+            prev = w
     # best-of-3 damps scheduler + sandbox noise (observed ±20% wall jitter)
     wall = float("inf")
     for _ in range(3):
