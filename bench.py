@@ -106,10 +106,7 @@ def run_extraction_bench(spark, sf: str, warm: bool = True) -> dict:
     measurement — a one-time per-executor cost that is noise at fleet
     scale), the second run is timed."""
     from html_table_spark.config import ParserConfig
-    from html_table_spark.plans.pipeline import (
-        plan_extraction_legs,
-        run_concurrent,
-    )
+    from html_table_spark.plans.pipeline import run_extraction_concurrent
     from html_table_spark.sources.documents import read_documents
 
     path = corpus_path(sf)
@@ -118,19 +115,17 @@ def run_extraction_bench(spark, sf: str, warm: bool = True) -> dict:
     config = ParserConfig().all_tables()
 
     def extract_once() -> int:
-        # the production shape (run_job): the two legs run as CONCURRENT
-        # jobs, mega submitted first so its chunk stage fills slots the
-        # pass-1 tail leaves idle instead of barriering in front of it;
+        # the production shape (run_job): each leg PLANS ITSELF and runs in
+        # its own thread, so pass 1's scan tasks launch while the mega
+        # thread is still running id discovery + chunk-plan analysis —
+        # none of that driver work sits serially in front of the job;
         # total tables = sum of the legs (== the union plan's count)
-        normal, mega = plan_extraction_legs(docs, config)
-        counts = run_concurrent(
-            [
-                lambda: mega.filter("table_idx >= 0").count(),
-                lambda: normal.filter("table_idx >= 0").count(),
-            ],
-            spark=spark,
+        counts = run_extraction_concurrent(
+            docs,
+            config,
+            leg_action=lambda _name, df: df.filter("table_idx >= 0").count(),
         )
-        return sum(counts)
+        return sum(v for v in counts.values() if v is not None)
 
     if warm:
         # Warm until the run wall plateaus, not a fixed once: C2 compile
@@ -470,12 +465,21 @@ the DAGScheduler could not launch the result stage (which carries the
 bulk pass-1 scan tasks) until the mega leg's chunk map stage finished —
 a barrier whose cost only the wide configuration pays, because at low
 core counts the box is saturated either way. The two legs now run as
-concurrent jobs (plan_extraction_legs + run_concurrent, also the run_job
-write path). Pinned A/B on this corpus: local[32] 7.0 s → 5.7 s, while
+concurrent jobs (run_extraction_concurrent, also the run_job write
+path). Pinned A/B on this corpus: local[32] 7.0 s → 5.7 s, while
 local[8] is unchanged (~15.4 s) — the overlap converts idle straggler-
 tail slots into chunk-stage work exactly where N→4N efficiency is
 measured. At fleet scale the same structure applies: the skewed-tail
 job runs beside the bulk job instead of gating it.
+
+Round-3 change (serial-path diet, per-leg self-planning): each leg now
+PLANS ITSELF inside its own thread — the normal leg's routing predicate
+is the lazy span-count complement (offsets only, no job), so pass 1's
+scan tasks launch while the mega thread is still running the
+offsets-only id-discovery job and analyzing the chunk plan. In the old
+shape that discovery job plus both legs' Catalyst analysis (~0.5 s of
+driver wall) sat serially in front of the first task — a fixed cost the
+N→4N ratio charges 4× harder against the wide leg.
 
 Run-to-run spread on this shared box is real and BIMODAL: background
 activity (driver snapshots fire every ~15 min, and one full sweep takes
@@ -490,12 +494,13 @@ measured code differs; every raw sweep is appended to
 BENCH/SCALING_RUNS.jsonl for audit. Values above 1.0 would be noise
 penalizing the low-core runs, not true superlinearity.
 
-The measured job is the full plan as two CONCURRENT jobs: (leg 1) corpus
-scan → JVM-side cost filter (mega-doc bytes never cross Arrow in pass 1)
-→ Arrow extraction → count, beside (leg 2) a second scan pruned to the
-mega tail → boundary-scan chunking → salted chunk shuffle → second
-extraction pass with global table ordinals → count; total = sum (equal
-to the union plan's count by construction, tests/test_pipeline.py).
+The measured job is the full plan as two CONCURRENT self-planning jobs:
+(leg 1) corpus scan → JVM-side span-count routing filter (mega-doc bytes
+never cross Arrow in pass 1) → Arrow extraction → count, beside (leg 2)
+offsets-only id discovery → a second scan row-group-pruned by the pushed
+doc_id IN filter → boundary-scan chunking → salted chunk shuffle →
+second extraction pass with global table ordinals → count; total = sum
+(equal to the union plan's count by construction, tests/test_pipeline.py).
 Steady-state (worker pool warmed, best-of-3 per leg pair). Reproduce
 with `python bench.py --scaling`.
 """

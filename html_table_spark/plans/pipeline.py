@@ -83,8 +83,10 @@ def discover_mega_ids(
     (possibly empty), or None when more than ``cap`` candidates exist —
     callers then fall back to distributed cost routing, keeping the driver
     out of the data path. doc_id-less rows are never candidates (they ride
-    the normal leg)."""
-    n_spans = F.size(F.col("spans").getField("offset"))
+    the normal leg). The predicate here is kept EXACTLY the null-safe form
+    _prep_legs builds for the legs, so the returned ids are a faithful
+    materialization of the mega leg's routing filter."""
+    n_spans = F.coalesce(F.size(F.col("spans").getField("offset")), F.lit(0))
     rows = (
         documents.where(n_spans > span_count_hint)
         .where(F.col("doc_id").isNotNull())
@@ -139,9 +141,10 @@ def plan_extraction(
     discover_cap: int = DEFAULT_DISCOVER_CAP,
 ) -> DataFrame:
     """Build the extraction DataFrame (with default routing='discover', one
-    tiny id-discovery job runs at plan time; routing='cost' is fully lazy) —
-    the single-action union of :func:`plan_extraction_legs`. Prefer the legs
-    + :func:`run_concurrent` when you control the action (see run_job): in
+    tiny id-discovery job runs while the mega leg is planned;
+    routing='cost' is fully lazy) — the single-action union of
+    :func:`plan_extraction_legs`. Prefer :func:`run_extraction_concurrent`
+    when you control the action (see run_job): in
     the union plan the DAGScheduler cannot launch the result stage (which
     holds pass 1's scan tasks) until the mega leg's chunk map stage
     finishes, so the bulk of the cluster idles behind the skewed tail's
@@ -197,10 +200,77 @@ def plan_extraction_legs(
     skew case without the 100 TB full-corpus shuffle.
 
     ``routing``: how docs are split between the legs — ``'discover'``
-    (default; offsets-only driver-planned id discovery + pushed-down
-    ``doc_id IN`` pruning, triggers one tiny Spark job at plan time) or
-    ``'cost'`` (round-2 distributed span-text-length filters, fully lazy).
-    See the routing comment below; output rows are identical under either.
+    (default; a LAZY span-count predicate routes the legs, and an
+    offsets-only id-discovery job — run only when the mega leg is planned —
+    prunes the mega scan via pushed-down ``doc_id IN``) or ``'cost'``
+    (round-2 distributed span-text-length filters, fully lazy).
+    See the routing comment in :func:`_prep_legs`; output rows are
+    identical under either.
+    """
+    prep = _prep_legs(
+        documents,
+        config,
+        num_partitions=num_partitions,
+        mega_cost_threshold=mega_cost_threshold,
+        tables_per_chunk=tables_per_chunk,
+        repartition_normal=repartition_normal,
+        routing=routing,
+        discover_cap=discover_cap,
+    )
+    return _plan_normal_leg(prep), _plan_mega_leg(prep)
+
+
+def _prep_legs(
+    documents: DataFrame,
+    config: ParserConfig | None = None,
+    *,
+    num_partitions: int | None = None,
+    mega_cost_threshold: int = DEFAULT_MEGA_COST,
+    tables_per_chunk: int = 64,
+    repartition_normal: str = "auto",
+    routing: str = "discover",
+    discover_cap: int = DEFAULT_DISCOVER_CAP,
+) -> dict:
+    """Shared, JOB-FREE leg preparation: source shuffling decision + the two
+    complementary routing predicates. Everything here is lazy driver work so
+    both legs can plan themselves independently (run_extraction_concurrent
+    threads them; plan_extraction_legs calls them in sequence).
+
+    Leg routing (round-3 discovery rewrite, made lazy in the serial-path
+    diet). Routing is a PERFORMANCE split, not a correctness boundary:
+    whatever predicate lands a doc in whichever leg, pass 1 parses it in
+    place (mega_policy='parse') and chunk mode turns it into chunk rows
+    parsed downstream — output rows are identical either way
+    (tests/test_pipeline.py pins this). That freedom buys two scans' worth
+    of bytes back:
+
+    - 'discover' (default): BOTH legs route on the lazy span-count proxy
+      (``size(spans.offset)`` — the int32 offset leaf only, no text bytes,
+      no Spark job, exact complements by construction). When the mega leg
+      is planned it additionally runs discover_mega_ids — the offsets-only
+      job — and, because the discovered id set IS the exact materialization
+      of its own routing predicate, swaps the filter for `doc_id IN (...)`,
+      which pushes into the Parquet reader and prunes at row-group
+      granularity: the "second full scan" becomes a read of just the row
+      groups holding mega docs. The normal leg never waits for that job —
+      its complement predicate is a per-row array-length check, cheaper
+      than the round-2 InSet probe over 64Ki id strings and free of the id
+      list's per-task plan-serialization weight. Ids over discover_cap:
+      the mega leg keeps the lazy predicate (cost-style full scan of the
+      tail, still exactly complementary). (At fleet scale a STORED
+      byte-length column subsumes discovery — module docstring — but the
+      discovery job IS the honest stand-in: it reads the narrowest leaf,
+      never bytes, never spans.)
+    - 'cost': the round-2 distributed routing — both legs filter on the
+      sort-free span-text length (order-independent concat length ==
+      len(reassembled html) under the corpus contract). No id list; both
+      scans read every text byte. Kept for callers that want routing on
+      actual byte cost rather than the span-count proxy.
+
+    Plan construction is deliberately terse: every intermediate Dataset
+    costs a full Catalyst analyzer pass over the whole subtree (measured
+    ~1s per extract_tables call in the round-2 shape — pure serial driver
+    time that caps the N→4N scaling ratio).
     """
     config = config or ParserConfig()
     spark = documents.sparkSession
@@ -221,56 +291,22 @@ def plan_extraction_legs(
         source = documents.select("doc_id", "spans")
         if shuffle_source:
             source = salted(source, num_partitions)
-        return extract_tables(source, config, spread_small_inputs=False), None
+        return {"config": config, "single_source": source}
 
     shuffled = salted(documents, num_partitions) if shuffle_source else documents
 
-    # Leg routing (round-3 discovery rewrite). Routing is a PERFORMANCE
-    # split, not a correctness boundary: whatever predicate lands a doc in
-    # whichever leg, pass 1 parses it in place (mega_policy='parse') and
-    # chunk mode turns it into chunk rows parsed downstream — output rows
-    # are identical either way (tests/test_pipeline.py pins this). That
-    # freedom buys two scans' worth of bytes back:
-    #
-    # - 'discover' (default): a driver-planned offsets-only job finds the
-    #   mega doc_ids first (discover_mega_ids — reads ONLY the int32 offset
-    #   leaf). The mega leg then scans with `doc_id IN (...)`, which pushes
-    #   into the Parquet reader and prunes at row-group granularity — the
-    #   "second full scan" becomes a read of just the row groups holding
-    #   mega docs. The normal leg's complement filter is a hash-set probe
-    #   per row (Catalyst InSet) instead of the round-2 shape's full
-    #   re-concatenation of every text byte in the corpus purely to compare
-    #   its length. Ids over DEFAULT_DISCOVER_CAP fall back to 'cost'.
-    #   (At fleet scale a STORED byte-length column subsumes discovery —
-    #   module docstring — but the discovery job IS the honest stand-in:
-    #   it reads the narrowest leaf, never bytes, never spans.)
-    # - 'cost': the round-2 distributed routing — both legs filter on the
-    #   sort-free span-text length (order-independent concat length ==
-    #   len(reassembled html) under the corpus contract). No driver job,
-    #   no id list; both scans read every text byte. Kept as the fallback
-    #   and for callers that cannot tolerate a job at plan time.
-    #
-    # Plan construction is deliberately terse: every intermediate Dataset
-    # costs a full Catalyst analyzer pass over the whole subtree (measured
-    # ~1s per extract_tables call in the round-2 shape — pure serial driver
-    # time that caps the N→4N scaling ratio).
-    mega_ids: list[str] | None = None
     if routing == "discover":
-        mega_ids = discover_mega_ids(
-            shuffled,
-            span_count_hint=mega_span_count_hint(mega_cost_threshold),
-            cap=discover_cap,
+        # size() of a NULL array is NULL (or -1 under legacy sizeOfNull) —
+        # coalesce to 0 so a null-spans doc rides the normal leg instead of
+        # failing BOTH predicates; null doc_id likewise must not vanish
+        # (the mega leg's IN/shuffle keys on doc_id, so it takes only
+        # non-null ids — discover_mega_ids applies the same carve-out)
+        n_spans = F.coalesce(
+            F.size(F.col("spans").getField("offset")), F.lit(0)
         )
-    if mega_ids is not None:
-        if not mega_ids:
-            # no skew tail at all: one leg, zero extra machinery
-            normal_filter, mega_filter = None, None
-        else:
-            is_mega = F.col("doc_id").isin(mega_ids)
-            # null doc_id makes In() NULL — such docs must still ride the
-            # normal leg, not vanish from both
-            normal_filter = F.col("doc_id").isNull() | ~is_mega
-            mega_filter = is_mega
+        hint = mega_span_count_hint(mega_cost_threshold)
+        normal_filter = F.col("doc_id").isNull() | (n_spans <= hint)
+        mega_filter = F.col("doc_id").isNotNull() & (n_spans > hint)
     else:
         route_len = F.length(
             F.coalesce(
@@ -280,52 +316,104 @@ def plan_extraction_legs(
         normal_filter = route_len <= mega_cost_threshold
         mega_filter = route_len > mega_cost_threshold
 
-    def reassembled(source: DataFrame) -> DataFrame:
-        return source.select(
-            F.col("doc_id"), html_reassembly_col("spans").alias("html")
-        )
+    return {
+        "config": config,
+        "documents": documents,
+        "shuffled": shuffled,
+        "num_partitions": num_partitions,
+        "mega_cost_threshold": mega_cost_threshold,
+        "tables_per_chunk": tables_per_chunk,
+        "routing": routing,
+        "discover_cap": discover_cap,
+        "normal_filter": normal_filter,
+        "mega_filter": mega_filter,
+    }
 
-    # Pass 1 — the bulk. Routed-out docs are filtered JVM-SIDE, so mega-doc
-    # bytes never cross the Arrow boundary just to be skipped. No cache, no
-    # materialization: pass 1 output flows straight to the consumer/sink.
-    # mega_policy='parse': a doc the routing proxy under-calls (byte-heavy,
-    # few spans) is parsed in place — one slow task, never a dropped doc.
-    normal_source = shuffled if normal_filter is None else shuffled.where(normal_filter)
-    normal_out = extract_tables(
-        reassembled(normal_source),
-        config,
-        mega_cost_threshold=mega_cost_threshold,
-        tables_per_chunk=tables_per_chunk,
+
+def _reassembled(source: DataFrame) -> DataFrame:
+    return source.select(
+        F.col("doc_id"), html_reassembly_col("spans").alias("html")
+    )
+
+
+def _plan_normal_leg(prep: dict) -> DataFrame:
+    """Pass 1 — the bulk. Fully lazy: no discovery job, no id list.
+
+    Routed-out docs are filtered JVM-SIDE, so mega-doc bytes never cross
+    the Arrow boundary just to be skipped. No cache, no materialization:
+    pass 1 output flows straight to the consumer/sink. mega_policy='parse':
+    a doc the routing proxy under-calls (byte-heavy, few spans) is parsed
+    in place — one slow task, never a dropped doc."""
+    if "single_source" in prep:
+        return extract_tables(
+            prep["single_source"], prep["config"], spread_small_inputs=False
+        )
+    return extract_tables(
+        _reassembled(prep["shuffled"].where(prep["normal_filter"])),
+        prep["config"],
+        mega_cost_threshold=prep["mega_cost_threshold"],
+        tables_per_chunk=prep["tables_per_chunk"],
         mega_policy="parse",
         spread_small_inputs=False,
         pre_reassembled=True,
         has_base=False,
     )
-    if mega_filter is None:
-        return normal_out, None
-    # Pass 2 — the skewed tail only: a second PRUNED scan (discovery mode:
-    # row-group-pruned by the pushed doc_id IN filter; cost mode: reads the
-    # corpus but keeps just the tail), split into chunk rows by a linear
-    # boundary scan, salted so one doc's chunks spread across the cluster,
-    # then extracted with global table ordinals. The shuffle here moves
-    # mega-doc bytes only — there is NO full-corpus shuffle anywhere in the
-    # plan.
-    mega_source = shuffled.where(mega_filter)
-    if mega_ids:
-        # The pruned scan inherits the corpus's partitioning (hundreds of
-        # tasks, nearly all empty after the IN filter) and the chunk kernel
-        # is a PYTHON stage — every empty partition still pays the worker
-        # task prologue. Compact to one partition per discovered doc first:
-        # this shuffle moves only the mega docs themselves, and the chunk
-        # split is per-doc serial anyway, so extra partitions buy nothing.
-        mega_source = mega_source.repartition(
-            min(num_partitions, len(mega_ids)), F.xxhash64("doc_id")
+
+
+def _plan_mega_leg(prep: dict) -> DataFrame | None:
+    """Pass 2 — the skewed tail only. Returns None when the leg is absent
+    (single-table mode, or discovery finds no mega docs at all).
+
+    Discovery mode runs the offsets-only id job HERE — not on the shared
+    planning path — so a threaded caller overlaps it with pass 1's launch.
+    The discovered id set is exactly the rows matching prep['mega_filter']
+    (same predicate, same null-id carve-out), so swapping the filter for
+    ``doc_id IN (ids)`` changes the scan's pruning, never the row set.
+
+    The leg: a second PRUNED scan (discovery: row-group-pruned by the
+    pushed doc_id IN filter; fallback/cost: reads the corpus but keeps just
+    the tail), split into chunk rows by a linear boundary scan, salted so
+    one doc's chunks spread across the cluster, then extracted with global
+    table ordinals. The shuffle here moves mega-doc bytes only — there is
+    NO full-corpus shuffle anywhere in the plan."""
+    if "single_source" in prep:
+        return None
+    shuffled = prep["shuffled"]
+    num_partitions = prep["num_partitions"]
+    mega_source = None
+    if prep["routing"] == "discover":
+        mega_ids = discover_mega_ids(
+            prep["documents"],
+            span_count_hint=mega_span_count_hint(prep["mega_cost_threshold"]),
+            cap=prep["discover_cap"],
         )
+        if mega_ids is not None:
+            if not mega_ids:
+                # no skew tail at all: the normal leg's complement predicate
+                # already admits every doc, so the mega leg simply vanishes
+                return None
+            # The pruned scan inherits the corpus's partitioning (hundreds
+            # of tasks, nearly all empty after the IN filter) and the chunk
+            # kernel is a PYTHON stage — every empty partition still pays
+            # the worker task prologue. Compact to one partition per
+            # discovered doc first: this shuffle moves only the mega docs
+            # themselves, and the chunk split is per-doc serial anyway, so
+            # extra partitions buy nothing.
+            mega_source = shuffled.where(
+                F.col("doc_id").isin(mega_ids)
+            ).repartition(
+                min(num_partitions, len(mega_ids)), F.xxhash64("doc_id")
+            )
+    if mega_source is None:
+        # cost routing, or discovery over cap: the lazy predicate scans the
+        # corpus but keeps just the tail — still the exact complement of
+        # the normal leg's filter
+        mega_source = shuffled.where(prep["mega_filter"])
     chunks = extract_tables(
-        reassembled(mega_source),
-        config,
-        mega_cost_threshold=mega_cost_threshold,
-        tables_per_chunk=tables_per_chunk,
+        _reassembled(mega_source),
+        prep["config"],
+        mega_cost_threshold=prep["mega_cost_threshold"],
+        tables_per_chunk=prep["tables_per_chunk"],
         mega_policy="chunk",
         spread_small_inputs=False,
         pre_reassembled=True,
@@ -344,14 +432,53 @@ def plan_extraction_legs(
         F.coalesce(F.element_at("spans", 1)["text"], F.lit("")).alias("html"),
         F.col("table_idx").alias("table_idx_base"),
     )
-    mega_out = extract_tables(
+    return extract_tables(
         salted_chunks(chunk_rows, num_partitions),
-        config,
+        prep["config"],
         spread_small_inputs=False,
         pre_reassembled=True,
         has_base=True,
     )
-    return normal_out, mega_out
+
+
+def run_extraction_concurrent(
+    documents: DataFrame,
+    config: ParserConfig | None = None,
+    *,
+    leg_action,
+    **plan_kwargs,
+) -> dict:
+    """Plan AND execute both extraction legs in concurrent driver threads.
+
+    The round-3 serial-path diet over ``plan_extraction_legs`` +
+    ``run_concurrent``: in the serial shape the discovery job plus BOTH
+    legs' Catalyst analysis finish before the first task launches —
+    measured ~0.5 s of driver wall at local[32]/sf0.1, a cost only the wide
+    configuration feels (at low core counts the box is saturated anyway),
+    i.e. exactly the shape the N→4N scaling rule punishes. Here each leg
+    plans itself inside its own thread: the normal leg's routing predicate
+    is lazy, so pass 1's scan tasks are launching while the mega thread is
+    still running id discovery and analyzing the chunk plan.
+
+    ``leg_action(name, df)`` (name in {'normal','mega'}) runs the leg's
+    action in that thread — count, write, collect. Returns
+    ``{'normal': result, 'mega': result}`` with ``'mega': None`` when the
+    leg is absent (single-table mode or an unskewed corpus). Errors in
+    either thread re-raise after both finish (run_concurrent contract)."""
+    prep = _prep_legs(documents, config, **plan_kwargs)
+    spark = documents.sparkSession
+
+    def normal_thunk():
+        return leg_action("normal", _plan_normal_leg(prep))
+
+    def mega_thunk():
+        mega = _plan_mega_leg(prep)
+        return None if mega is None else leg_action("mega", mega)
+
+    mega_res, normal_res = run_concurrent(
+        [mega_thunk, normal_thunk], spark=spark
+    )
+    return {"normal": normal_res, "mega": mega_res}
 
 
 def run_concurrent(actions, spark: SparkSession | None = None):
@@ -453,35 +580,27 @@ def run_job(
     if resume:
         documents = sink.remaining_documents(documents)
     run_id = sink.new_run_id()
-    normal_out, mega_out = plan_extraction_legs(documents, config, **plan_kwargs)
     # Materialize the extraction exactly once: write the data files, then
     # derive lineage by re-reading them (a cheap columnar aggregate) instead
     # of recomputing the whole extraction DAG. The snapshot commits only
     # after BOTH tables are on disk — crash at any earlier point leaves no
     # visible state ("lineage in the same transaction", SURVEY.md §4.3).
-    # The legs write as CONCURRENT jobs into sibling subdirectories (two
-    # independent commit protocols — no shared _temporary dir), mega first
-    # so its chunk stage grabs slots while pass 1 ramps: the chunk barrier
-    # leaves the union-plan result stage idle for its whole span otherwise
-    # (see plan_extraction_legs). Visibility is unchanged — nothing is
-    # committed until both writes finish.
+    # The legs PLAN THEMSELVES and write as CONCURRENT jobs into sibling
+    # subdirectories (two independent commit protocols — no shared
+    # _temporary dir): pass 1's write is launching while the mega thread is
+    # still running discovery (see run_extraction_concurrent). Visibility
+    # is unchanged — nothing is committed until both writes finish.
     data_path = sink.data_path(run_id)
-    if mega_out is None:
-        normal_out.write.mode("errorifexists").parquet(data_path)
-    else:
-        run_concurrent(
-            [
-                lambda: mega_out.write.mode("errorifexists").parquet(
-                    data_path.rstrip("/") + "/mega"
-                ),
-                lambda: normal_out.write.mode("errorifexists").parquet(
-                    data_path.rstrip("/") + "/normal"
-                ),
-            ],
-            spark=spark,
-        )
+
+    def write_leg(name: str, df: DataFrame):
+        df.write.mode("errorifexists").parquet(data_path.rstrip("/") + "/" + name)
+        return df.schema
+
+    res = run_extraction_concurrent(
+        documents, config, leg_action=write_leg, **plan_kwargs
+    )
     committed = (
-        spark.read.schema(normal_out.schema)
+        spark.read.schema(res["normal"])
         .option("recursiveFileLookup", "true")
         .parquet(data_path)
     )

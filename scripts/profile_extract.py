@@ -24,10 +24,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import SparkSession
 
 from html_table_spark.config import ParserConfig
-from html_table_spark.plans.pipeline import (
-    plan_extraction_legs,
-    run_concurrent,
-)
+from html_table_spark.plans.pipeline import run_extraction_concurrent
 from html_table_spark.sources.documents import read_documents
 
 CORES = int(sys.argv[1]) if len(sys.argv) > 1 else 32
@@ -63,25 +60,16 @@ def main() -> None:
     config = ParserConfig().all_tables()
 
     def extract_once(report=None):
-        # the bench/run_job shape: two concurrent leg jobs, mega first
-        normal, mega = plan_extraction_legs(docs, config)
+        # the bench/run_job shape: each leg plans itself in its own thread
+        def act(name, df):
+            t = time.monotonic()
+            n = df.filter("table_idx >= 0").count()
+            if report is not None:
+                report[name] = time.monotonic() - t
+            return n
 
-        def timed(name, df):
-            def act():
-                t = time.monotonic()
-                n = df.filter("table_idx >= 0").count()
-                w = time.monotonic() - t
-                if report is not None:
-                    report[name] = w
-                return n
-
-            return act
-
-        counts = run_concurrent(
-            [timed("mega_leg", mega), timed("normal_leg", normal)],
-            spark=spark,
-        )
-        return sum(counts)
+        counts = run_extraction_concurrent(docs, config, leg_action=act)
+        return sum(v for v in counts.values() if v is not None)
 
     # warm
     extract_once()
