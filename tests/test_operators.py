@@ -789,3 +789,64 @@ def test_connected_components_diameter_equals_max_iters(spark):
         for r in dedup.connected_components(pairs, max_iters=2).collect()
     }
     assert comp == {"n0": "n0", "n1": "n0", "n2": "n0"}
+
+
+def test_lit_vec_exact_roundtrip(spark):
+    """lit_vec/lit_mat fold doubles into ONE parsed literal; the values must
+    round-trip EXACTLY (repr is shortest-exact, Spark parses the same
+    grammar), including negatives, subnormals, and exponent forms."""
+    import math
+
+    vals = [
+        0.0,
+        -0.0,
+        1.5,
+        -2.75,
+        1e-300,
+        -3.141592653589793,
+        2.2250738585072014e-308,  # smallest normal double
+        5e-324,  # smallest subnormal
+        1.7976931348623157e308,  # largest finite
+        0.1,  # classic non-exact decimal
+    ]
+    row = spark.range(1).select(
+        similarity.lit_vec(vals).alias("v"),
+        similarity.lit_mat([vals, list(reversed(vals))]).alias("m"),
+    ).first()
+    assert list(row.v) == vals
+    assert [list(r) for r in row.m] == [vals, list(reversed(vals))]
+    # non-finite components must be rejected at construction, not run time
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError):
+            similarity.lit_vec([1.0, bad])
+    assert math.copysign(1.0, row.v[1]) == -1.0  # -0.0 keeps its sign
+
+
+def test_ivf_assign_matches_per_centroid_reference(spark):
+    """The matrix-literal argmax must pick the same centroid as a direct
+    per-centroid python computation (incl. the min-id tie rule)."""
+    import random
+
+    rng = random.Random(11)
+    dim = 6
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(30)
+    ]
+    # duplicate centroid vectors force ties -> lowest centroid id must win
+    cents = [(3, rows[0].embedding), (7, rows[0].embedding), (9, rows[5].embedding)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.vec_id: r.centroid_id
+        for r in similarity.ivf_assign(df, cents).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            (sum(x * x for x in a) ** 0.5) * (sum(x * x for x in b) ** 0.5)
+        )
+
+    for r in rows:
+        best = max(cents, key=lambda c: (cos(r.embedding, c[1]), -c[0]))
+        assert got[r.vec_id] == best[0], r.vec_id
