@@ -528,19 +528,24 @@ def main_skew() -> None:
     docs = spark.read.parquet(path)
     config = ParserConfig().all_tables()
 
-    def timed(df) -> tuple[float, int]:
-        df.filter("table_idx >= 0").count()  # warm workers
+    def timed(make_df) -> tuple[float, int]:
+        # takes a PLAN FACTORY, not a built plan: plan_extraction's
+        # discovery routing runs the id-discovery job at plan time, and
+        # run_job pays that on every production invocation — timing a
+        # pre-built plan would silently exclude it from the split side
+        # while the naive side carries its full cost
+        make_df().filter("table_idx >= 0").count()  # warm workers
         best, n = float("inf"), 0
         for _ in range(2):
             t0 = time.monotonic()
-            n = df.filter("table_idx >= 0").count()
+            n = make_df().filter("table_idx >= 0").count()
             best = min(best, time.monotonic() - t0)
         return best, n
 
     naive_wall, naive_n = timed(
-        extract_tables(docs, config, spread_small_inputs=False)
+        lambda: extract_tables(docs, config, spread_small_inputs=False)
     )
-    planned_wall, planned_n = timed(plan_extraction(docs, config))
+    planned_wall, planned_n = timed(lambda: plan_extraction(docs, config))
     assert naive_n == planned_n, (naive_n, planned_n)
     speedup = round(naive_wall / planned_wall, 2)
     report = {
@@ -570,11 +575,14 @@ the one task that receives it parses it whole while the other
 | two-pass split + salted chunk shuffle (plans/pipeline.py) | {planned_wall:.3f} |
 
 **Speedup {speedup}×** with identical output ({planned_n} tables both
-ways — asserted). This is the north rule's skew case: AQE cannot split a
-skewed *UDF* stage, so the plan does it explicitly — pass 1 skips docs
-over the cost threshold via a length check, a pruned second scan
-boundary-splits only the mega tail into chunk rows, and a salted
-repartition spreads one doc's chunks across the cluster.
+ways — asserted). Both sides are timed from a fresh plan per iteration,
+so the split side's cost INCLUDES the id-discovery job and Catalyst
+analysis that production `run_job` pays on every invocation — nothing is
+hoisted out of the measured loop. This is the north rule's skew case:
+AQE cannot split a skewed *UDF* stage, so the plan does it explicitly —
+pass 1 skips docs over the cost threshold via a length check, a pruned
+second scan boundary-splits only the mega tail into chunk rows, and a
+salted repartition spreads one doc's chunks across the cluster.
 Reproduce with `python bench.py --skew`.
 """
         )

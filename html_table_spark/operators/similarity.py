@@ -281,6 +281,11 @@ def ivf_assign(
     ``nprobe`` partitions of a 10^9-vector index."""
     from .util import ensure_parallelism
 
+    if not centroids:
+        # fail fast on the driver: sequence(1, 0) steps DOWNWARD in Spark
+        # ([1, 0]), so the transform below would evaluate element_at(_, 0)
+        # and kill every task with 'SQL array indices start at 1'
+        raise ValueError("ivf_assign requires at least one centroid")
     embeddings = ensure_parallelism(embeddings)
     v = F.col(vec_col).cast("array<double>")
     # All k centroids enter the plan as ONE matrix literal (+ one norm

@@ -99,22 +99,29 @@ def discover_mega_ids(
     return [r[0] for r in rows]
 
 
-def with_doc_cost(documents: DataFrame) -> DataFrame:
-    """JVM-side cost proxy: total text length across spans (no Python).
+def doc_cost_col():
+    """JVM-side cost proxy COLUMN: total text length across spans (no
+    Python). The single source of truth for routing predicates and
+    :func:`with_doc_cost` — the 'cost' routing branch filters on this very
+    expression, so the two can never drift.
 
     Lambda-free on purpose: ``array_join`` skips null elements, so
     ``length(array_join(spans.text, ''))`` equals the old per-span
     ``aggregate(...coalesce(length(text), 0)...)`` exactly, stays inside
     whole-stage codegen (interpreted HOF lambdas are not codegen'd), and
     costs no LambdaFunction resolution on the ~10 analyzer passes the
-    pipeline plan takes during construction."""
+    pipeline plan takes during construction.
+
+    NULL spans must cost 0, not NULL: a NULL cost would fail BOTH pass
+    filters, silently dropping the doc — and with resume on, it would be
+    re-scanned forever (it never gets its completion marker)."""
     cost = F.length(F.array_join(F.col("spans").getField("text"), ""))
-    # NULL spans must cost 0, not NULL: a NULL cost would fail BOTH pass
-    # filters, silently dropping the doc — and with resume on, it would be
-    # re-scanned forever (it never gets its completion marker)
-    return documents.withColumn(
-        "doc_cost", F.coalesce(cost, F.lit(0)).cast("long")
-    )
+    return F.coalesce(cost, F.lit(0)).cast("long")
+
+
+def with_doc_cost(documents: DataFrame) -> DataFrame:
+    """Materialize :func:`doc_cost_col` as a ``doc_cost`` column."""
+    return documents.withColumn("doc_cost", doc_cost_col())
 
 
 def salted(documents: DataFrame, num_partitions: int) -> DataFrame:
@@ -308,11 +315,7 @@ def _prep_legs(
         normal_filter = F.col("doc_id").isNull() | (n_spans <= hint)
         mega_filter = F.col("doc_id").isNotNull() & (n_spans > hint)
     else:
-        route_len = F.length(
-            F.coalesce(
-                F.array_join(F.col("spans").getField("text"), ""), F.lit("")
-            )
-        )
+        route_len = doc_cost_col()
         normal_filter = route_len <= mega_cost_threshold
         mega_filter = route_len > mega_cost_threshold
 
@@ -366,9 +369,12 @@ def _plan_mega_leg(prep: dict) -> DataFrame | None:
 
     Discovery mode runs the offsets-only id job HERE — not on the shared
     planning path — so a threaded caller overlaps it with pass 1's launch.
-    The discovered id set is exactly the rows matching prep['mega_filter']
-    (same predicate, same null-id carve-out), so swapping the filter for
-    ``doc_id IN (ids)`` changes the scan's pruning, never the row set.
+    The discovered id list drives PRUNING only: the leg filters on
+    ``doc_id IN (ids) AND mega_filter``, so the scan row-group-prunes on
+    the pushed IN while the span-count conjunct keeps the row set the
+    exact complement of the normal leg even when doc_ids are NOT unique
+    (a small doc sharing a mega doc's id would otherwise ride both legs
+    and its tables would be emitted twice).
 
     The leg: a second PRUNED scan (discovery: row-group-pruned by the
     pushed doc_id IN filter; fallback/cost: reads the corpus but keeps just
@@ -400,7 +406,7 @@ def _plan_mega_leg(prep: dict) -> DataFrame | None:
             # themselves, and the chunk split is per-doc serial anyway, so
             # extra partitions buy nothing.
             mega_source = shuffled.where(
-                F.col("doc_id").isin(mega_ids)
+                F.col("doc_id").isin(mega_ids) & prep["mega_filter"]
             ).repartition(
                 min(num_partitions, len(mega_ids)), F.xxhash64("doc_id")
             )

@@ -43,7 +43,12 @@ SPAN_ARRAY_DDL = (
 
 EXTRACTED_SCHEMA = T.StructType(
     [
-        T.StructField("doc_id", T.StringType(), nullable=False),
+        # nullable: DOCUMENTS_SCHEMA declares doc_id non-null, but a
+        # foreign parquet writer can relax that, and the routing layer
+        # guarantees null-id docs ride the normal leg rather than vanish —
+        # a non-nullable output field here would NPE the whole stage in
+        # the JVM the moment such a doc's extraction row surfaces
+        T.StructField("doc_id", T.StringType(), nullable=True),
         T.StructField("table_idx", T.IntegerType(), nullable=False),
         T.StructField("caption", T.StringType()),
         T.StructField("header", T.ArrayType(T.StringType())),

@@ -31,7 +31,8 @@ paste from browser devtools:
   ``[position() mod 2 = 1]``) with IEEE nan/±inf semantics, ``concat()``,
   ``substring()`` (spec rounding: ``substring('12345', 1.5, 2.6)`` →
   ``'234'``), ``substring-before/after()``, ``translate()`` (delete via
-  short ``to``), ``boolean()``, ``number()``, ``count()``, ``ceiling()``,
+  short ``to``), ``boolean()``, ``number()``, ``count()``, ``sum()``
+  (both over paths and bare ``@attr``/``text()``/``.``), ``ceiling()``,
   ``floor()``, ``round()`` (half-up toward +inf), ``true()``, ``false()``,
   0-arg ``name()``/``local-name()``; number→string prints XPath
   ``NaN``/``Infinity`` spellings; ``id()`` as a FilterExpr path start
@@ -56,6 +57,7 @@ from __future__ import annotations
 import math as _math
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from .errors import ParserError, msg_invalid_xpath
 from .htmldom import ELEMENT, Node
@@ -465,17 +467,22 @@ class _Parser:
             if len(args) not in arity:
                 raise _SyntaxError()
             return (name, *args)
-        if name in ("boolean", "number", "count", "ceiling", "floor", "round"):
+        if name in (
+            "boolean", "number", "count", "sum", "ceiling", "floor", "round",
+        ):
             arg = None
             if self.peek()[0] != "rpar":
                 arg = self.parse_expr()
             self.expect("rpar")
             if arg is None and name != "number":
                 raise _SyntaxError()  # only number() takes 0 args
-            if name == "count":
-                if arg[0] != "path":
-                    raise _SyntaxError()  # count() needs a node-set
-                return ("count", arg[1])
+            if name in ("count", "sum"):
+                # count()/sum() need a node-set: a path, or the bare
+                # node-set ops the grammar parses directly — @attr,
+                # text(), '.' (count(@id) must behave like count(./@id))
+                if arg[0] not in ("path", "attr", "text", "dotval"):
+                    raise _SyntaxError()
+                return (name, arg)
             return ({"boolean": "booleanfn", "number": "numberfn"}.get(name, name), arg)
         if name in ("true", "false"):
             self.expect("rpar")
@@ -667,11 +674,25 @@ class _EvalCtx:
 
 
 def _uses_position(expr) -> bool:
+    """Does the expression read the OUTER context's position()/last()?
+
+    Recurses through nested expression tuples AND into a path's ``id()``
+    argument — the id_arg is evaluated in the enclosing predicate's
+    context, so ``[id(string(position()))]`` is positional for the outer
+    step even though the path's own step predicates are not (they get
+    their per-step position from ``_step_matches``)."""
     if expr[0] in ("pos", "last"):
         return True
-    return any(
-        isinstance(part, tuple) and _uses_position(part) for part in expr[1:]
-    )
+    for part in expr[1:]:
+        if isinstance(part, tuple) and _uses_position(part):
+            return True
+        if (
+            isinstance(part, _Path)
+            and part.id_arg is not None
+            and _uses_position(part.id_arg)
+        ):
+            return True
+    return False
 
 
 def _element_siblings(ctx: Node, ev: _EvalCtx):
@@ -766,7 +787,8 @@ def _axis_candidates(ctx: Node, step: _Step, ev: _EvalCtx):
 _NUMERIC_OPS = frozenset(
     {
         "num", "pos", "last", "string-length",
-        "arith", "neg", "count", "numberfn", "ceiling", "floor", "round",
+        "arith", "neg", "count", "sum", "numberfn", "ceiling", "floor",
+        "round",
     }
 )
 
@@ -865,8 +887,14 @@ def _step_matches(ctx: Node, step: _Step, ev: _EvalCtx):
     yield from current
 
 
-def _iter_path(ctx_nodes, path: _Path, ev: _EvalCtx):
-    """Lazily yield the path's matches in document order, deduplicated."""
+def _iter_path(ctx_nodes, path: _Path, ev: _EvalCtx, pos=None, size=None):
+    """Lazily yield the path's matches in document order, deduplicated.
+
+    ``pos``/``size`` carry the ENCLOSING predicate's context position into
+    ``id()`` argument evaluation (the id_arg runs in the outer context per
+    §4.1, so ``//p[id(string(position()))]`` sees p's position); they are
+    None for top-level evaluation, where the initial context is the
+    singleton document node (position()=last()=1)."""
     steps = path.steps
     if path.id_arg is not None:
         # seed from the id()-matched elements; the arg is evaluated per
@@ -875,7 +903,7 @@ def _iter_path(ctx_nodes, path: _Path, ev: _EvalCtx):
         seeds: list = []
         seen_seed: set = set()
         for ctx in ctx_nodes:
-            v = _eval_value(path.id_arg, ctx, None, None, ev)
+            v = _eval_value(path.id_arg, ctx, pos, size, ev)
             if v[0] == "set":
                 tokens = [t for s in v[1] for t in s.split()]
             else:
@@ -928,17 +956,26 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
     if op == "dotval":
         return ("set", [_string_value(node)])
     if op == "pos":
-        if pos is None:
-            raise _SyntaxError()
-        return ("num", float(pos))
+        # pos is None only at the top level / id()-seed evaluation, where
+        # the initial context is the singleton document node (XPath 1.0:
+        # context position and size start at 1) — never inside a step
+        # predicate, which _step_matches routes through the positional
+        # branch whenever _uses_position() sees pos/last anywhere.
+        return ("num", 1.0 if pos is None else float(pos))
     if op == "last":
-        if size is None:
-            raise _SyntaxError()
-        return ("num", float(size))
+        return ("num", 1.0 if size is None else float(size))
     if op == "path":
         path = expr[1]
         ctx = [ev.root] if path.absolute else [node]
-        return ("set", [_result_string(n) for n in _iter_path(ctx, path, ev)])
+        nodes = list(_iter_path(ctx, path, ev, pos, size))
+        if len(nodes) > 1 and _value_order_fix(path):
+            # string()/number()/substring() etc. read the FIRST node of a
+            # node-set; the lazy walk can emit out of document order on
+            # the same shapes the top-level result path re-sorts for
+            # (e.g. string(.//table/tr) with a tr nested in a caption) —
+            # apply the identical fix before first-node conversion.
+            nodes.sort(key=ev.sort_key)
+        return ("set", [_result_string(n) for n in nodes])
     if op == "contains":
         a = _to_string(_eval_value(expr[1], node, pos, size, ev))
         b = _to_string(_eval_value(expr[2], node, pos, size, ev))
@@ -1056,10 +1093,23 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
         return ("num", _to_number(_eval_value(arg, node, pos, size, ev)))
     if op == "bool-lit":
         return ("bool", expr[1])
-    if op == "count":
-        path = expr[1]
-        ctx = [ev.root] if path.absolute else [node]
-        return ("num", float(sum(1 for _ in _iter_path(ctx, path, ev))))
+    if op in ("count", "sum"):
+        arg = expr[1]
+        if arg[0] == "path":
+            path = arg[1]
+            ctx = [ev.root] if path.absolute else [node]
+            it = _iter_path(ctx, path, ev, pos, size)
+            if op == "count":
+                return ("num", float(sum(1 for _ in it)))
+            values = [_result_string(n) for n in it]
+        else:
+            # attr/text/dotval evaluate to ('set', node string values)
+            values = _eval_value(arg, node, pos, size, ev)[1]
+        if op == "count":
+            return ("num", float(len(values)))
+        # sum(): §4.4 — the sum of number(string-value) over every node;
+        # any non-numeric string value poisons the total to NaN (IEEE)
+        return ("num", float(sum(_str_to_number(v) for v in values)))
     if op in ("ceiling", "floor", "round"):
         x = _to_number(_eval_value(expr[1], node, pos, size, ev))
         if x != x or x in (float("inf"), float("-inf")):
@@ -1116,18 +1166,28 @@ def _xpath_round(x: float) -> float:
     return float(_math.floor(x + 0.5))
 
 
+# XPath 1.0 §3.7 Number ::= Digits ('.' Digits?)? | '.' Digits, with §4.4
+# allowing surrounding whitespace (S ::= space/tab/CR/LF only) and ONE
+# optional minus sign. No exponents, no 'Infinity'/'nan' spellings, no '+'
+# sign — Python float() accepts all of those, so string→number must not
+# delegate to it ('1e3' and 'Infinity' are NaN in XPath; libxml2 agrees).
+_XPATH_NUM_RE = re.compile(r"^[ \t\r\n]*(-?(?:\d+(?:\.\d*)?|\.\d+))[ \t\r\n]*$")
+
+
+def _str_to_number(s: str) -> float:
+    m = _XPATH_NUM_RE.match(s)
+    return float(m.group(1)) if m else float("nan")
+
+
 def _to_number(value) -> float:
     kind, v = value
-    try:
-        if kind == "set":
-            return float(v[0]) if v else float("nan")
-        if kind == "str":
-            return float(v)
-        if kind == "bool":
-            return 1.0 if v else 0.0
-        return v
-    except ValueError:
-        return float("nan")
+    if kind == "set":
+        return _str_to_number(v[0]) if v else float("nan")
+    if kind == "str":
+        return _str_to_number(v)
+    if kind == "bool":
+        return 1.0 if v else 0.0
+    return v
 
 
 def _compare(op: str, left, right, node, pos, size, ev) -> bool:
@@ -1348,6 +1408,15 @@ class XPathExpr:
 
 
 _OUTER_RE = re.compile(r"^\((?P<path>.+)\)\s*\[(?P<idx>\d+)\]$", re.DOTALL)
+
+
+@lru_cache(maxsize=None)
+def _value_order_fix(path: _Path) -> bool:
+    """Memoized :func:`_path_needs_order_fix` for predicate-value paths:
+    the check runs once per compiled sub-path, not once per context node
+    (paths are frozen dataclasses, hashable, and live for the lifetime of
+    the compiled expression)."""
+    return _path_needs_order_fix(path)
 
 
 def _path_needs_order_fix(path: _Path) -> bool:

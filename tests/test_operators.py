@@ -850,3 +850,13 @@ def test_ivf_assign_matches_per_centroid_reference(spark):
     for r in rows:
         best = max(cents, key=lambda c: (cos(r.embedding, c[1]), -c[0]))
         assert got[r.vec_id] == best[0], r.vec_id
+
+
+def test_ivf_assign_empty_centroids_fails_fast(spark):
+    """sequence(1, 0) steps DOWNWARD in Spark ([1, 0]), so an empty
+    centroid list would reach element_at(_, 0) and kill every task with
+    'SQL array indices start at 1' — ivf_assign must reject it on the
+    driver instead."""
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+    with pytest.raises(ValueError, match="at least one centroid"):
+        similarity.ivf_assign(df, [])

@@ -264,11 +264,13 @@ def test_discovery_proxy_miss_byte_heavy_doc_not_dropped(spark):
 def test_discovery_null_doc_id_rides_normal_leg(spark):
     """doc_id IS NULL makes In() evaluate to NULL — such docs must land in
     the normal leg's INPUT, not vanish from both legs. DOCUMENTS_SCHEMA is
-    non-nullable (and EXTRACTED_SCHEMA's doc_id output contract matches),
-    but the routing predicate must not be the thing that loses a row if a
-    foreign parquet writer relaxed nullability."""
+    non-nullable, but the routing predicate must not be the thing that
+    loses a row if a foreign parquet writer relaxed nullability (and
+    EXTRACTED_SCHEMA.doc_id is nullable so the row can surface without an
+    executor-side NPE). Drives the REAL
+    plan_extraction discovery path end-to-end (not a hand-built predicate
+    twin), so a regression in _prep_legs' isNull carve-out fails here."""
     import pyspark.sql.types as T
-    from pyspark.sql import functions as F
 
     nullable_schema = T.StructType(
         [
@@ -279,7 +281,8 @@ def test_discovery_null_doc_id_rides_normal_leg(spark):
     docs = spark.createDataFrame(
         [
             {"doc_id": None, "spans": [
-                {"kind": "text", "text": "<table><tr><td>n</td></tr></table>",
+                {"kind": "text",
+                 "text": "<table><tr><td>nullrow</td></tr></table>",
                  "media_ref": None, "offset": 0},
             ]},
             {"doc_id": "fat", "spans": [
@@ -291,13 +294,53 @@ def test_discovery_null_doc_id_rides_normal_leg(spark):
         ],
         nullable_schema,
     )
-    # the routing predicates exactly as plan_extraction_legs builds them
-    is_mega = F.col("doc_id").isin(["fat"])
-    normal = docs.where(F.col("doc_id").isNull() | ~is_mega)
-    mega = docs.where(is_mega)
-    assert normal.count() == 1  # the null-id doc
-    assert mega.count() == 1
-    assert normal.first().doc_id is None
+    out = plan_extraction(
+        docs, ParserConfig().all_tables(),
+        num_partitions=4, mega_cost_threshold=256, tables_per_chunk=8,
+        routing="discover",
+    ).filter("table_idx >= 0")
+    rows = out.collect()
+    null_rows = [r for r in rows if r.doc_id is None]
+    assert len(null_rows) == 1, "null-id doc must surface exactly once"
+    assert null_rows[0].status == "ok"
+    assert len([r for r in rows if r.doc_id == "fat"]) == 40
+
+
+def test_discovery_duplicate_doc_id_extracts_each_row_once(spark):
+    """doc_ids are not guaranteed unique in a foreign corpus: a small doc
+    sharing a discovered mega doc's id must ride ONLY the normal leg (the
+    mega leg conjoins its IN-pruning list with the span-count predicate),
+    or its tables are emitted twice — once parsed in place, once through
+    the chunk path."""
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": "X", "spans": [
+                {"kind": "text",
+                 "text": f"<table><tr><td>small{i}</td></tr></table>",
+                 "media_ref": None, "offset": i}
+                for i in range(3)
+            ]},
+            {"doc_id": "X", "spans": [
+                {"kind": "text",
+                 "text": f"<table><tr><td>big{i}</td></tr></table>",
+                 "media_ref": None, "offset": i}
+                for i in range(40)
+            ]},
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    out = plan_extraction(
+        docs, ParserConfig().all_tables(),
+        num_partitions=4, mega_cost_threshold=256, tables_per_chunk=8,
+        routing="discover",
+    ).filter("table_idx >= 0")
+    collected = out.collect()
+    cells = [s.text for r in collected for s in r.spans]
+    assert len(collected) == 43, f"expected 43 tables, got {len(collected)}"
+    for i in range(3):
+        assert cells.count(f"small{i}") == 1, "small doc extracted twice"
+    for i in range(40):
+        assert cells.count(f"big{i}") == 1
 
 
 def test_discovery_cap_falls_back_to_cost_routing(spark):

@@ -380,3 +380,96 @@ def test_id_still_an_element_name(id_root):
 def test_id_eager_rejects(bad):
     with pytest.raises(ParserError):
         compile_xpath(bad)
+
+
+# -- round-3 review regressions ---------------------------------------------
+
+
+def test_value_conversion_uses_document_first_node():
+    """string()/substring()/number() of a node-set read the DOCUMENT-first
+    node, not the first node the lazy walk emits — with a tr nested inside
+    a caption, .//table/tr's walk order differs from document order."""
+    html = (
+        "<div><table><caption><table><tr><td>I</td></tr></table></caption>"
+        "<tr><td>O</td></tr></table></div>"
+    )
+    r, _ = parse_html_fast(html)
+    assert len(q(r, '//div[string(.//table/tr)="I"]')) == 1
+    assert len(q(r, '//div[substring(.//table/tr,1,1)="I"]')) == 1
+    assert len(q(r, '//div[string(.//table/tr)="O"]')) == 0
+
+
+def test_id_arg_sees_outer_position():
+    """id()'s argument runs in the enclosing predicate's context, so
+    position() inside it must resolve (and not leak an internal error)."""
+    html = '<div><p id="1">a</p><p id="2">b</p><p id="9">c</p></div>'
+    r, _ = parse_html_fast(html)
+    # p #1 at position 1 -> id('1') exists; p #2 at position 2 -> id('2')
+    # exists; p #9 at position 3 -> id('3') missing
+    assert [n.attrs["id"] for n in q(r, "//p[id(string(position()))]")] == [
+        "1",
+        "2",
+    ]
+
+
+def test_top_level_position_is_singleton_context():
+    # initial context is the document node: position() = last() = 1
+    html = "<div><p>a</p></div>"
+    r, _ = parse_html_fast(html)
+    assert len(q(r, "//p[1 = position() - 0]") or q(r, "//p")) == 1
+    assert len(compile_xpath("id(string(position()))").query(r)) == 0  # no id '1'
+
+
+def test_count_accepts_bare_node_set_ops():
+    html = '<div><p id="x">t</p><p>u</p></div>'
+    r, _ = parse_html_fast(html)
+    assert len(q(r, "//p[count(@id) = 1]")) == 1  # same as count(./@id)
+    assert len(q(r, "//p[count(./@id) = 1]")) == 1
+    assert len(q(r, "//p[count(text()) = 1]")) == 2
+    assert len(q(r, "//p[count(.) = 1]")) == 2
+    assert len(q(r, "//div[count(p) = 2]")) == 1
+    with pytest.raises(ParserError):
+        compile_xpath("//p[count('x')]")  # string literal is not a node-set
+
+
+@pytest.mark.parametrize(
+    "lit,expect_match",
+    [
+        ("'1e3'", False),  # exponent spelling: NaN per §4.4 (libxml2 agrees)
+        ("'Infinity'", False),  # name spellings are NaN through number()
+        ("'NaN '", False),
+        ("'+1'", False),  # no unary plus in the XPath number grammar
+        ("'--1'", False),  # single minus only
+        ("' -1.5 '", True),  # surrounding S whitespace is allowed
+        ("'.5'", True),
+        ("'12.'", True),  # Digits '.' with empty fraction is legal
+    ],
+)
+def test_number_uses_xpath_grammar_not_python_float(lit, expect_match):
+    html = "<p>x</p>"
+    r, _ = parse_html_fast(html)
+    # number(lit) != number(lit) is the NaN probe; for parseable literals
+    # equality with itself holds
+    match = len(q(r, f"//p[number({lit}) = number({lit})]")) == 1
+    assert match is expect_match
+
+
+def test_sum_function():
+    html = (
+        '<table><tr><td p="2">1</td><td p="3">2</td><td>x</td></tr>'
+        "<tr><td>4</td></tr></table>"
+    )
+    r, _ = parse_html_fast(html)
+    # sum over a path of element string values: 1+2+4 poisoned by 'x' → NaN
+    assert len(q(r, "//table[sum(.//td) = sum(.//td)]")) == 0  # NaN != NaN
+    # numeric-only rows sum cleanly
+    assert len(q(r, "//tr[sum(td) = 4]")) == 1
+    # bare node-set ops: sum(@p) per td, sum over attribute values
+    assert len(q(r, "//td[sum(@p) = 3]")) == 1
+    assert len(q(r, "//tr[sum(td/@p) = 5]")) == 1
+    # empty node-set sums to 0
+    assert len(q(r, "//tr[sum(th) = 0]")) == 2
+    with pytest.raises(ParserError):
+        compile_xpath("//tr[sum(1)]")  # number literal is not a node-set
+    with pytest.raises(ParserError):
+        compile_xpath("//tr[sum()]")
