@@ -271,11 +271,12 @@ def x_xpath_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = F.regexp_replace("text", r"^[^ ]+ ", "")
     html = F.concat(
         F.lit(
-            '<table class="nav small"><tr><td>menu</td></tr></table>'
+            '<table class="nav small" xml:lang="en-US">'
+            "<tr><td>menu</td></tr></table>"
             '<table class="data wide" id="t2"><tr><td>'
         ),
         w0,
-        F.lit('</td></tr></table><table class="data"><tr><td>'),
+        F.lit('</td></tr></table><table class="data" data-n="4"><tr><td>'),
         F.regexp_replace(rest, " ", "</td></tr><tr><td>"),
         F.lit("</td></tr></table>"),
     )
@@ -293,6 +294,11 @@ def x_xpath_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ancestor": "//td[ancestor::table[@id]]/ancestor::table[1]",
         "attr_step": "//table[following-sibling::table/@id]",
         "text_step": '//table[tr/td/text()="menu"]',
+        # round-3 function-library additions: UnionExpr in predicates,
+        # lang() (xml:lang ancestor walk), sum() over a node-set
+        "pred_union": "//table[@id | @nosuch]",
+        "lang": '//table[lang("en")]',
+        "sum_attr": "//table[sum(@data-n) = 4]",
     }
     parts = []
     for name, expr in selectors.items():
@@ -1417,6 +1423,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'attr_step', 'menu', CAST(0 AS INT) FROM w
             UNION ALL
             SELECT doc_id, 'text_step', 'menu', CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'pred_union', w0, CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'lang', 'menu', CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'sum_attr', unnest(rest),
+                   CAST(generate_subscripts(rest, 1) - 1 AS INT) FROM w
         """,
         "x_user_header": """
             WITH w AS (

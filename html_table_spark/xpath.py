@@ -34,7 +34,11 @@ paste from browser devtools:
   short ``to``), ``boolean()``, ``number()``, ``count()``, ``sum()``
   (both over paths and bare ``@attr``/``text()``/``.``), ``ceiling()``,
   ``floor()``, ``round()`` (half-up toward +inf), ``true()``, ``false()``,
-  0-arg ``name()``/``local-name()``; number→string prints XPath
+  0-arg ``name()``/``local-name()``/``namespace-uri()`` (constant ``''``
+  on namespace-free HTML trees), ``lang()`` (xml:lang ancestor walk, the
+  attribute libxml2's xmlNodeGetLang reads), UnionExpr in predicates
+  (``[a | b]``, document-order merged, usable in count()/sum());
+  number→string prints XPath
   ``NaN``/``Infinity`` spellings; ``id()`` as a FilterExpr path start
   (``id('t1')//tr``) and as a predicate node-set (libxml2 registers HTML
   ``@id`` as the ID attribute, first registration wins — xmlAddID)
@@ -393,11 +397,27 @@ class _Parser:
             else:
                 return node
 
+    _NODESET_OPS = ("path", "attr", "text", "dotval", "union")
+
     def parse_unary(self):
         if self.peek()[0] == "minus":
             self.next()
             return ("neg", self.parse_unary())
-        return self.parse_value()
+        node = self.parse_value()
+        # UnionExpr (§3.3) binds tighter than unary minus and the
+        # arithmetic operators: '//div[a | b]' is one node-set predicate.
+        # Operands must themselves be node-sets (a string/number in a
+        # union is a compile error in DOMXPath too).
+        if self.peek()[0] == "union":
+            parts = [node]
+            while self.peek()[0] == "union":
+                self.next()
+                parts.append(self.parse_value())
+            for part in parts:
+                if part[0] not in self._NODESET_OPS:
+                    raise _SyntaxError()
+            return ("union", *parts)
+        return node
 
     def parse_value(self):
         kind, value = self.peek()
@@ -442,6 +462,15 @@ class _Parser:
         if name in ("position", "last"):
             self.expect("rpar")
             return ("pos",) if name == "position" else ("last",)
+        if name == "lang":
+            arg = self.parse_expr()
+            self.expect("rpar")
+            return ("lang", arg)
+        if name == "namespace-uri":
+            # 0-arg form only; HTML-parsed trees carry no namespaces
+            # (libxml2 loadHTML leaves ns NULL), so this is the constant ''
+            self.expect("rpar")
+            return ("str", "")
         if name == "text":
             self.expect("rpar")
             return ("text",)
@@ -477,10 +506,10 @@ class _Parser:
             if arg is None and name != "number":
                 raise _SyntaxError()  # only number() takes 0 args
             if name in ("count", "sum"):
-                # count()/sum() need a node-set: a path, or the bare
-                # node-set ops the grammar parses directly — @attr,
-                # text(), '.' (count(@id) must behave like count(./@id))
-                if arg[0] not in ("path", "attr", "text", "dotval"):
+                # count()/sum() need a node-set: a path, a union of them,
+                # or the bare node-set ops the grammar parses directly —
+                # @attr, text(), '.' (count(@id) behaves like count(./@id))
+                if arg[0] not in self._NODESET_OPS:
                     raise _SyntaxError()
                 return (name, arg)
             return ({"boolean": "booleanfn", "number": "numberfn"}.get(name, name), arg)
@@ -940,6 +969,42 @@ def _iter_path(ctx_nodes, path: _Path, ev: _EvalCtx, pos=None, size=None):
 #         ('num', float) ('str', s) ('bool', b)
 
 
+def _eval_nodes(expr, node: Node, pos, size, ev: "_EvalCtx") -> list:
+    """Materialize a node-set expression as actual result nodes (elements
+    / :class:`XPathAttr` / :class:`XPathText`) — for operators that need
+    node identity and document order across branches (union)."""
+    op = expr[0]
+    if op == "path":
+        path = expr[1]
+        ctx = [ev.root] if path.absolute else [node]
+        return list(_iter_path(ctx, path, ev, pos, size))
+    if op == "attr":
+        attrs = node.attrs or {}
+        v = attrs.get(expr[1])
+        return [] if v is None else [XPathAttr(expr[1], v, node)]
+    if op == "text":
+        return [
+            XPathText(c, node, i)
+            for i, c in enumerate(node.children)
+            if type(c) is str
+        ]
+    if op == "dotval":
+        return [node]
+    # union: dedup by node identity, then one document-order sort — the
+    # FIRST node of the merged set must be the document-first across all
+    # branches, not the first branch's first
+    seen: set = set()
+    out: list = []
+    for part in expr[1:]:
+        for n in _eval_nodes(part, node, pos, size, ev):
+            k = _node_key(n)
+            if k not in seen:
+                seen.add(k)
+                out.append(n)
+    out.sort(key=ev.sort_key)
+    return out
+
+
 def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
     op = expr[0]
     if op == "num":
@@ -976,6 +1041,29 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
             # apply the identical fix before first-node conversion.
             nodes.sort(key=ev.sort_key)
         return ("set", [_result_string(n) for n in nodes])
+    if op == "union":
+        return (
+            "set",
+            [
+                _result_string(n)
+                for n in _eval_nodes(expr, node, pos, size, ev)
+            ],
+        )
+    if op == "lang":
+        # §4.3: true when the nearest self-or-ancestor xml:lang equals the
+        # argument or is a sublanguage of it (prefix before '-'),
+        # case-insensitive. libxml2's xmlNodeGetLang reads xml:lang ONLY —
+        # a plain HTML lang attribute does not count, matching DOMXPath
+        # over loadHTML.
+        want = _to_string(_eval_value(expr[1], node, pos, size, ev)).lower()
+        n = node
+        while n is not None:
+            v = (n.attrs or {}).get("xml:lang") if type(n) is Node else None
+            if v is not None:
+                v = v.lower()
+                return ("bool", bool(want) and (v == want or v.startswith(want + "-")))
+            n = None if n is ev.root else ev.parent(n)
+        return ("bool", False)
     if op == "contains":
         a = _to_string(_eval_value(expr[1], node, pos, size, ev))
         b = _to_string(_eval_value(expr[2], node, pos, size, ev))

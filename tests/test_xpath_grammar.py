@@ -473,3 +473,53 @@ def test_sum_function():
         compile_xpath("//tr[sum(1)]")  # number literal is not a node-set
     with pytest.raises(ParserError):
         compile_xpath("//tr[sum()]")
+
+
+def test_union_in_predicate():
+    html = (
+        '<div><section><a>1</a></section><section><b>2</b></section>'
+        '<section><c>3</c></section></div>'
+    )
+    r, _ = parse_html_fast(html)
+    # truth: sections having an <a> OR a <b> child
+    assert len(q(r, "//section[a | b]")) == 2
+    assert len(q(r, "//section[a | b | c]")) == 3
+    # document-first across branches: first node of (b | a) is still <a>
+    r2, _ = parse_html_fast("<div><a>x</a><b>y</b></div>")
+    assert len(q(r2, '//div[string(b | a) = "x"]')) == 1
+    # count/sum over a union
+    assert len(q(r, "//div[count(.//a | .//b) = 2]")) == 1
+    r3, _ = parse_html_fast("<div><a>1</a><b>2</b></div>")
+    assert len(q(r3, "//div[sum(a | b) = 3]")) == 1
+    # union with @attr operand
+    r4, _ = parse_html_fast('<p id="i" class="c">t</p>')
+    assert len(q(r4, "//p[count(@id | @class) = 2]")) == 1
+    # dedup: same node reached twice counts once
+    assert len(q(r3, "//div[count(a | a) = 1]")) == 1
+    with pytest.raises(ParserError):
+        compile_xpath("//p[a | 1]")  # number is not a node-set
+    with pytest.raises(ParserError):
+        compile_xpath('//p[a | "s"]')
+
+
+def test_lang_function():
+    html = (
+        '<div xml:lang="en-US"><p>a</p>'
+        '<span xml:lang="fr">b</span></div><i>c</i>'
+    )
+    r, _ = parse_html_fast(html)
+    assert len(q(r, '//p[lang("en")]')) == 1  # sublanguage prefix match
+    assert len(q(r, '//p[lang("en-us")]')) == 1  # case-insensitive
+    assert len(q(r, '//p[lang("fr")]')) == 0
+    assert len(q(r, '//span[lang("fr")]')) == 1  # nearest wins
+    assert len(q(r, '//i[lang("en")]')) == 0  # no xml:lang anywhere above
+    # plain HTML lang attribute does NOT count (xmlNodeGetLang parity)
+    r2, _ = parse_html_fast('<p lang="en">x</p>')
+    assert len(q(r2, '//p[lang("en")]')) == 0
+
+
+def test_namespace_uri_is_empty_on_html():
+    html = "<p>x</p>"
+    r, _ = parse_html_fast(html)
+    assert len(q(r, '//p[namespace-uri() = ""]')) == 1
+    assert len(q(r, '//p[namespace-uri() = "urn:x"]')) == 0
