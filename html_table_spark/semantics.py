@@ -344,10 +344,11 @@ def parse_document(html: str, config: ParserConfig) -> list[ExtractedTable]:
         ]
 
     selected = _compiled(config.table_expression).first(root)
-    if selected is None or type(selected) is not Node:
-        # None, or an attribute/text result (xpath.XPathAttr/XPathText):
-        # the reference gates on `instanceof DOMElement` (Parser.php:370),
-        # so non-element nodes get the not-found error, not not-a-table
+    if selected is None or type(selected) is not Node or selected.kind != ELEMENT:
+        # None, or an attribute/text/comment result (xpath.XPathAttr /
+        # XPathText / a COMMENT-kind Node): the reference gates on
+        # `instanceof DOMElement` (Parser.php:370), so non-element nodes
+        # get the not-found error, not not-a-table
         return [
             ExtractedTable(table_idx=0, status="error", error_msg=MSG_TABLE_NOT_FOUND)
         ]

@@ -16,10 +16,12 @@ paste from browser devtools:
   ``ancestor-or-self::``, ``following::``, ``preceding::`` (reverse axes
   count position() nearest-first per XPath 1.0 §2.4; results re-sort to
   document order)
-- attribute location steps (``//table/@id``, ``@*``) and ``text()`` node
-  tests as FINAL result steps — results are :class:`XPathAttr` /
-  :class:`XPathText` wrappers, which the selection layer maps to the
-  reference's not-a-DOMElement error exactly as ``Parser.php:370`` does
+- attribute location steps (``//table/@id``, ``@*``) and ``text()`` /
+  ``comment()`` node tests as FINAL result steps — results are
+  :class:`XPathAttr` / :class:`XPathText` wrappers (or COMMENT-kind
+  Nodes), which the selection layer maps to the reference's
+  not-a-DOMElement error exactly as ``Parser.php:370`` does; ``text()``
+  and ``comment()`` also work as predicate node-sets
 - predicates: positional (``[2]``), attribute equality (``[@id="x"]``),
   attribute existence (``[@id]``), relative-path existence (``[thead]``,
   ``[.//th]``), ``and`` / ``or`` / ``not()``, comparisons
@@ -44,10 +46,11 @@ paste from browser devtools:
   ``@id`` as the ID attribute, first registration wins — xmlAddID)
 - top-level union ``|`` and the ``(path)[N]`` document-order wrapper
 
-Everything outside the grammar (``namespace::`` axes, ``comment()`` result
-steps, attribute/text steps in non-final positions) raises
-:class:`ParserError` with the reference's eager-validation message, so
-misconfigurations surface on the driver, never inside a Spark task.
+Everything outside the grammar (``namespace::`` axes,
+``processing-instruction()`` node tests, attribute/text/comment steps in
+non-final positions) raises :class:`ParserError` with the reference's
+eager-validation message, so misconfigurations surface on the driver,
+never inside a Spark task.
 
 Results are element nodes in document order, deduplicated, matching
 ``DOMXPath::query``. Known divergence vs libxml2: adjacent text runs are
@@ -64,7 +67,7 @@ from dataclasses import dataclass, field
 from functools import lru_cache
 
 from .errors import ParserError, msg_invalid_xpath
-from .htmldom import ELEMENT, Node
+from .htmldom import COMMENT, ELEMENT, Node
 
 # ---------------------------------------------------------------------------
 # tokenizer
@@ -255,12 +258,12 @@ class _Parser:
         # at most numeric-positional predicates — enforced eagerly so a bad
         # expression fails on the driver, never inside a Spark task
         for i, s in enumerate(steps):
-            if s.axis == "attribute" or s.test == "text()":
+            if s.axis == "attribute" or s.test in ("text()", "comment()"):
                 if i != len(steps) - 1:
                     raise _SyntaxError()
                 if any(p[0] != "num" for p in s.preds):
                     raise _SyntaxError()
-                if s.test == "text()" and s.axis not in (
+                if s.test in ("text()", "comment()") and s.axis not in (
                     "child",
                     "descendant",
                     "descendant-or-self",
@@ -325,15 +328,18 @@ class _Parser:
                 raise _SyntaxError()
             return _Step("attribute", test, self._parse_preds())
         if self.peek()[0] == "lpar":
-            # node-test function: node() and text() supported (text runs are
-            # plain strings in this tree, surfaced as XPathText results);
-            # comment() results are not representable
+            # node-test functions: node(), text() (text runs are plain
+            # strings, surfaced as XPathText results), comment() (COMMENT-
+            # kind Nodes — selecting one maps to the reference's
+            # instanceof-DOMElement not-found error, like text()/@attr)
             self.next()
             self.expect("rpar")
             if test == "node":
                 test = "node()"
             elif test == "text":
                 test = "text()"
+            elif test == "comment":
+                test = "comment()"
             else:
                 raise _SyntaxError()
         return _Step(axis, test, self._parse_preds())
@@ -397,7 +403,7 @@ class _Parser:
             else:
                 return node
 
-    _NODESET_OPS = ("path", "attr", "text", "dotval", "union")
+    _NODESET_OPS = ("path", "attr", "text", "comment", "dotval", "union")
 
     def parse_unary(self):
         if self.peek()[0] == "minus":
@@ -466,6 +472,10 @@ class _Parser:
             arg = self.parse_expr()
             self.expect("rpar")
             return ("lang", arg)
+        if name == "comment":
+            # node-set of direct comment children, mirroring text()
+            self.expect("rpar")
+            return ("comment",)
         if name == "namespace-uri":
             # 0-arg form only; HTML-parsed trees carry no namespaces
             # (libxml2 loadHTML leaves ns NULL), so this is the constant ''
@@ -838,9 +848,21 @@ def _subtree_texts(ctx: Node):
             stack.extend((c, j) for j in range(len(c.children) - 1, -1, -1))
 
 
+def _subtree_comments(ctx: Node):
+    """All COMMENT nodes under ctx, document order."""
+    stack = list(reversed(ctx.children))
+    while stack:
+        c = stack.pop()
+        if type(c) is Node:
+            if c.kind == COMMENT:
+                yield c
+            elif c.kind == ELEMENT and c.children:
+                stack.extend(reversed(c.children))
+
+
 def _terminal_matches(ctx: Node, step: _Step, ev: _EvalCtx):
-    """attribute:: and text() result steps (grammar-validated: final step,
-    numeric-positional predicates only)."""
+    """attribute::, text() and comment() result steps (grammar-validated:
+    final step, numeric-positional predicates only)."""
     if step.axis == "attribute":
         attrs = ctx.attrs or {}
         if step.test == "*":
@@ -848,6 +870,15 @@ def _terminal_matches(ctx: Node, step: _Step, ev: _EvalCtx):
         else:
             v = attrs.get(step.test)
             cands = [] if v is None else [XPathAttr(step.test, v, ctx)]
+    elif step.test == "comment()":
+        if step.axis == "child":
+            cands = [
+                c
+                for c in ctx.children
+                if type(c) is Node and c.kind == COMMENT
+            ]
+        else:  # descendant / descendant-or-self: subtree, doc order
+            cands = list(_subtree_comments(ctx))
     elif step.axis == "child":
         cands = [
             XPathText(c, ctx, i)
@@ -875,15 +906,19 @@ def _node_key(n):
 
 
 def _result_string(n) -> str:
-    """XPath string value of any result node (element, attribute, text)."""
+    """XPath string value of any result node (element, attribute, text,
+    comment — a comment's string value is its data, which text_content
+    deliberately excludes)."""
     t = type(n)
     if t is XPathAttr or t is XPathText:
         return n.value
+    if n.kind == COMMENT:
+        return n.data or ""
     return _string_value(n)
 
 
 def _step_matches(ctx: Node, step: _Step, ev: _EvalCtx):
-    if step.axis == "attribute" or step.test == "text()":
+    if step.axis == "attribute" or step.test in ("text()", "comment()"):
         yield from _terminal_matches(ctx, step, ev)
         return
     candidates = _axis_candidates(ctx, step, ev)
@@ -988,6 +1023,12 @@ def _eval_nodes(expr, node: Node, pos, size, ev: "_EvalCtx") -> list:
             for i, c in enumerate(node.children)
             if type(c) is str
         ]
+    if op == "comment":
+        return [
+            c
+            for c in node.children
+            if type(c) is Node and c.kind == COMMENT
+        ]
     if op == "dotval":
         return [node]
     # union: dedup by node identity, then one document-order sort — the
@@ -1018,6 +1059,15 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
         return ("set", [])
     if op == "text":
         return ("set", [c for c in node.children if type(c) is str])
+    if op == "comment":
+        return (
+            "set",
+            [
+                c.data or ""
+                for c in node.children
+                if type(c) is Node and c.kind == COMMENT
+            ],
+        )
     if op == "dotval":
         return ("set", [_string_value(node)])
     if op == "pos":
@@ -1370,13 +1420,14 @@ def _compile_fast(path: _Path):
         "*",
         "node()",
         "text()",
+        "comment()",
     ):
         return None
     plan = []
     for i, s in enumerate(steps):
         if s.axis != ("descendant" if i == 0 else "child"):
             return None
-        if s.test in ("*", "node()", "text()"):
+        if s.test in ("*", "node()", "text()", "comment()"):
             return None
         attrs = _attr_eq_preds(s.preds)
         if attrs is None:

@@ -112,7 +112,7 @@ def test_first_is_lazy_prefix_of_query(root):
         "///x",                          # empty step
         "namespace::x",                  # unknown axis
         "1+2",                           # not a path
-        "//table/comment()",             # comment() result step
+        "//table/processing-instruction()",  # PI node test unsupported
         "//table/@id/..",                # attribute step must be final
         "//td/text()/b",                 # text() step must be final
         '//td/text()[@x]',               # only positional preds on text()
@@ -523,3 +523,46 @@ def test_namespace_uri_is_empty_on_html():
     r, _ = parse_html_fast(html)
     assert len(q(r, '//p[namespace-uri() = ""]')) == 1
     assert len(q(r, '//p[namespace-uri() = "urn:x"]')) == 0
+
+
+def test_comment_node_test():
+    html = (
+        "<div><!--first--><p>a<!--inner--></p>"
+        "<table><!--t--><tr><td>x</td></tr></table><!--last--></div>"
+    )
+    r, _ = parse_html_fast(html)
+    # result steps: child and descendant, doc order, positional preds
+    assert [n.data for n in q(r, "//comment()")] == [
+        "first", "inner", "t", "last",
+    ]
+    assert [n.data for n in q(r, "//div/comment()")] == ["first", "last"]
+    assert [n.data for n in q(r, "//div/comment()[2]")] == ["last"]
+    assert [n.data for n in q(r, "(//comment())[2]")] == ["inner"]
+    # predicate node-set forms: truth, comparison, count
+    assert len(q(r, "//p[comment()]")) == 1
+    assert len(q(r, '//p[comment() = "inner"]')) == 1
+    assert len(q(r, "//div[count(.//comment()) = 4]")) == 1
+    # grammar limits: final step only, numeric preds only, forward axes
+    for bad in (
+        "//comment()/tr",
+        "//comment()[@id]",
+        "//following-sibling::comment()",
+        "//processing-instruction()",
+    ):
+        with pytest.raises(ParserError):
+            compile_xpath(bad)
+
+
+def test_comment_selection_maps_to_not_found():
+    """Selecting a comment via tableXPathPosition mirrors the reference's
+    instanceof-DOMElement gate: not-found error, not not-a-table."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.errors import MSG_TABLE_NOT_FOUND
+    from html_table_spark.semantics import parse_document
+
+    out = parse_document(
+        "<div><!--c--><table><tr><td>x</td></tr></table></div>",
+        ParserConfig().table_xpath_position("//comment()"),
+    )
+    assert out[0].status == "error"
+    assert out[0].error_msg == MSG_TABLE_NOT_FOUND
