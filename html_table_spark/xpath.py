@@ -45,12 +45,22 @@ paste from browser devtools:
   (``id('t1')//tr``) and as a predicate node-set (libxml2 registers HTML
   ``@id`` as the ID attribute, first registration wins — xmlAddID)
 - top-level union ``|`` and the ``(path)[N]`` document-order wrapper
+- ``processing-instruction()`` node tests (optional target literal:
+  ``processing-instruction('php')``) — the tolerant tree keeps ``<?...>``
+  as PI child nodes exactly as libxml2's HTML parser does, so these
+  select real nodes; and the ``namespace::`` axis — HTML-parsed libxml2
+  trees carry exactly ONE namespace node per element (the implicit
+  ``xml`` binding; loadHTML never creates xmlns declarations), modeled
+  as an :class:`XPathNs` wrapper
 
-Everything outside the grammar (``namespace::`` axes,
-``processing-instruction()`` node tests, attribute/text/comment steps in
-non-final positions) raises :class:`ParserError` with the reference's
-eager-validation message, so misconfigurations surface on the driver,
-never inside a Spark task.
+Everything still outside the grammar (attribute/text/comment/PI steps in
+NON-FINAL positions, e.g. ``//table/@id/..``; general parenthesized path
+starts beyond the ``(path)[N]`` wrapper) raises :class:`ParserError` with
+the reference's eager-validation message, so misconfigurations surface on
+the driver, never inside a Spark task. ``$var`` references and prefixed
+``ns:tag`` names also fail here — matching the reference, whose eager
+``DOMXPath::query`` on an empty document rejects undefined variables and
+undefined namespace prefixes the same way (``Parser.php:73-80``).
 
 Results are element nodes in document order, deduplicated, matching
 ``DOMXPath::query``. Known divergence vs libxml2: adjacent text runs are
@@ -67,7 +77,7 @@ from dataclasses import dataclass, field
 from functools import lru_cache
 
 from .errors import ParserError, msg_invalid_xpath
-from .htmldom import COMMENT, ELEMENT, Node
+from .htmldom import COMMENT, ELEMENT, PI, Node
 
 # ---------------------------------------------------------------------------
 # tokenizer
@@ -137,6 +147,7 @@ _AXES = {
     "following",
     "preceding",
     "attribute",
+    "namespace",
 }
 
 # axes whose lazy walk order is not document order (reverse axes, parent
@@ -151,6 +162,7 @@ _ORDER_FIX_AXES = frozenset(
         "following",
         "preceding",
         "attribute",
+        "namespace",
     }
 )
 
@@ -158,8 +170,11 @@ _ORDER_FIX_AXES = frozenset(
 @dataclass(frozen=True)
 class _Step:
     axis: str  # member of _AXES
-    test: str  # tag name, '*', or 'node()'
+    test: str  # tag name, '*', 'node()', or a node-test function spelling
     preds: tuple = ()  # predicate expression ASTs, applied in sequence
+    # processing-instruction('target') filter; None = any target. Only
+    # meaningful when test == 'processing-instruction()'.
+    pi_target: str | None = None
 
 
 @dataclass(frozen=True)
@@ -257,13 +272,14 @@ class _Parser:
         # the FINAL location step (nothing navigates onward from them), with
         # at most numeric-positional predicates — enforced eagerly so a bad
         # expression fails on the driver, never inside a Spark task
+        non_element_tests = ("text()", "comment()", "processing-instruction()")
         for i, s in enumerate(steps):
-            if s.axis == "attribute" or s.test in ("text()", "comment()"):
+            if s.axis in ("attribute", "namespace") or s.test in non_element_tests:
                 if i != len(steps) - 1:
                     raise _SyntaxError()
                 if any(p[0] != "num" for p in s.preds):
                     raise _SyntaxError()
-                if s.test in ("text()", "comment()") and s.axis not in (
+                if s.test in non_element_tests and s.axis not in (
                     "child",
                     "descendant",
                     "descendant-or-self",
@@ -327,12 +343,29 @@ class _Parser:
             if self.peek()[0] == "lpar":
                 raise _SyntaxError()
             return _Step("attribute", test, self._parse_preds())
+        if axis == "namespace":
+            # namespace::xml / namespace::* / namespace::node() — one
+            # implicit xml-binding node per element on HTML-parsed trees
+            # (XPathNs results; non-elements, so selecting one maps to the
+            # reference's not-found error like @attr/text())
+            if self.peek()[0] == "lpar":
+                self.next()
+                self.expect("rpar")
+                if test != "node":
+                    raise _SyntaxError()
+                test = "node()"
+            return _Step("namespace", test, self._parse_preds())
         if self.peek()[0] == "lpar":
             # node-test functions: node(), text() (text runs are plain
             # strings, surfaced as XPathText results), comment() (COMMENT-
-            # kind Nodes — selecting one maps to the reference's
-            # instanceof-DOMElement not-found error, like text()/@attr)
+            # kind Nodes), processing-instruction() (PI-kind Nodes, kept by
+            # the tolerant tree exactly as libxml2's HTML parser keeps
+            # <?...>) — selecting any maps to the reference's
+            # instanceof-DOMElement not-found error, like text()/@attr
             self.next()
+            pi_target = None
+            if test == "processing-instruction" and self.peek()[0] == "str":
+                pi_target = self.next()[1][1:-1]
             self.expect("rpar")
             if test == "node":
                 test = "node()"
@@ -340,8 +373,11 @@ class _Parser:
                 test = "text()"
             elif test == "comment":
                 test = "comment()"
+            elif test == "processing-instruction":
+                test = "processing-instruction()"
             else:
                 raise _SyntaxError()
+            return _Step(axis, test, self._parse_preds(), pi_target)
         return _Step(axis, test, self._parse_preds())
 
     def _parse_preds(self) -> tuple:
@@ -403,7 +439,7 @@ class _Parser:
             else:
                 return node
 
-    _NODESET_OPS = ("path", "attr", "text", "comment", "dotval", "union")
+    _NODESET_OPS = ("path", "attr", "text", "comment", "pi", "dotval", "union")
 
     def parse_unary(self):
         if self.peek()[0] == "minus":
@@ -476,6 +512,13 @@ class _Parser:
             # node-set of direct comment children, mirroring text()
             self.expect("rpar")
             return ("comment",)
+        if name == "processing-instruction":
+            # node-set of direct PI children, optional target literal
+            target = None
+            if self.peek()[0] == "str":
+                target = self.next()[1][1:-1]
+            self.expect("rpar")
+            return ("pi", target)
         if name == "namespace-uri":
             # 0-arg form only; HTML-parsed trees carry no namespaces
             # (libxml2 loadHTML leaves ns NULL), so this is the constant ''
@@ -562,7 +605,7 @@ def _fuse_steps(steps: list[_Step]) -> tuple[_Step, ...]:
             and not any(_positional_pred(p) for p in steps[i + 1].preds)
         ):
             nxt = steps[i + 1]
-            fused.append(_Step("descendant", nxt.test, nxt.preds))
+            fused.append(_Step("descendant", nxt.test, nxt.preds, nxt.pi_target))
             i += 2
             continue
         fused.append(s)
@@ -608,6 +651,50 @@ class XPathText:
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"text({self.value!r})"
+
+
+_XML_NS_URI = "http://www.w3.org/XML/1998/namespace"
+
+
+class XPathNs:
+    """A namespace node result (``namespace::*``). HTML-parsed libxml2
+    trees bind exactly one namespace per element — the implicit ``xml``
+    prefix (loadHTML never turns ``xmlns`` attributes into declarations) —
+    so each element owns one such node. Not an element: the selection
+    layer maps these to the not-found error like :class:`XPathAttr`."""
+
+    __slots__ = ("owner",)
+
+    name = "xml"
+    value = _XML_NS_URI
+
+    def __init__(self, owner: Node):
+        self.owner = owner
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"namespace(xml={_XML_NS_URI!r})"
+
+
+def _pi_target(node: Node) -> str:
+    """PI target: the leading name of the ``<?...>`` content (libxml2
+    splits ``<?php echo 1 ?>`` into target ``php`` + data ``echo 1 ?``)."""
+    data = node.data or ""
+    i = 0
+    while i < len(data) and not data[i].isspace():
+        i += 1
+    return data[:i]
+
+
+def _pi_value(node: Node) -> str:
+    """PI string value: content after the target and the whitespace run
+    separating it (xmlNodeGetContent of a PI returns its data)."""
+    data = node.data or ""
+    i = 0
+    while i < len(data) and not data[i].isspace():
+        i += 1
+    while i < len(data) and data[i].isspace():
+        i += 1
+    return data[i:]
 
 
 def _children_elements(node: Node):
@@ -709,6 +796,10 @@ class _EvalCtx:
             return (self.ordinal(n.owner), 1, 0)
         if t is XPathText:
             return (self.ordinal(n.parent), 2, n.index)
+        if t is XPathNs:
+            # namespace nodes precede attribute nodes of the same element
+            # (XPath 1.0 §5: ns nodes before attr nodes in document order)
+            return (self.ordinal(n.owner), 1, -1)
         return (self.ordinal(n), 0, 0)
 
 
@@ -860,9 +951,22 @@ def _subtree_comments(ctx: Node):
                 stack.extend(reversed(c.children))
 
 
+def _subtree_pis(ctx: Node):
+    """All PI nodes under ctx, document order."""
+    stack = list(reversed(ctx.children))
+    while stack:
+        c = stack.pop()
+        if type(c) is Node:
+            if c.kind == PI:
+                yield c
+            elif c.kind == ELEMENT and c.children:
+                stack.extend(reversed(c.children))
+
+
 def _terminal_matches(ctx: Node, step: _Step, ev: _EvalCtx):
-    """attribute::, text() and comment() result steps (grammar-validated:
-    final step, numeric-positional predicates only)."""
+    """attribute::, namespace::, text(), comment() and
+    processing-instruction() result steps (grammar-validated: final step,
+    numeric-positional predicates only)."""
     if step.axis == "attribute":
         attrs = ctx.attrs or {}
         if step.test == "*":
@@ -870,6 +974,12 @@ def _terminal_matches(ctx: Node, step: _Step, ev: _EvalCtx):
         else:
             v = attrs.get(step.test)
             cands = [] if v is None else [XPathAttr(step.test, v, ctx)]
+    elif step.axis == "namespace":
+        # one implicit xml binding per element on HTML-parsed trees
+        if step.test in ("*", "node()", "xml"):
+            cands = [XPathNs(ctx)]
+        else:
+            cands = []
     elif step.test == "comment()":
         if step.axis == "child":
             cands = [
@@ -879,6 +989,15 @@ def _terminal_matches(ctx: Node, step: _Step, ev: _EvalCtx):
             ]
         else:  # descendant / descendant-or-self: subtree, doc order
             cands = list(_subtree_comments(ctx))
+    elif step.test == "processing-instruction()":
+        if step.axis == "child":
+            cands = [
+                c for c in ctx.children if type(c) is Node and c.kind == PI
+            ]
+        else:
+            cands = list(_subtree_pis(ctx))
+        if step.pi_target is not None:
+            cands = [c for c in cands if _pi_target(c) == step.pi_target]
     elif step.axis == "child":
         cands = [
             XPathText(c, ctx, i)
@@ -902,23 +1021,31 @@ def _node_key(n):
         return (id(n.owner), 1, n.name)
     if t is XPathText:
         return (id(n.parent), 2, n.index)
+    if t is XPathNs:
+        return (id(n.owner), 3, "xml")
     return id(n)
 
 
 def _result_string(n) -> str:
     """XPath string value of any result node (element, attribute, text,
     comment — a comment's string value is its data, which text_content
-    deliberately excludes)."""
+    deliberately excludes; a PI's is its content after the target)."""
     t = type(n)
-    if t is XPathAttr or t is XPathText:
+    if t is XPathAttr or t is XPathText or t is XPathNs:
         return n.value
     if n.kind == COMMENT:
         return n.data or ""
+    if n.kind == PI:
+        return _pi_value(n)
     return _string_value(n)
 
 
 def _step_matches(ctx: Node, step: _Step, ev: _EvalCtx):
-    if step.axis == "attribute" or step.test in ("text()", "comment()"):
+    if step.axis in ("attribute", "namespace") or step.test in (
+        "text()",
+        "comment()",
+        "processing-instruction()",
+    ):
         yield from _terminal_matches(ctx, step, ev)
         return
     candidates = _axis_candidates(ctx, step, ev)
@@ -1029,6 +1156,11 @@ def _eval_nodes(expr, node: Node, pos, size, ev: "_EvalCtx") -> list:
             for c in node.children
             if type(c) is Node and c.kind == COMMENT
         ]
+    if op == "pi":
+        cands = [c for c in node.children if type(c) is Node and c.kind == PI]
+        if expr[1] is not None:
+            cands = [c for c in cands if _pi_target(c) == expr[1]]
+        return cands
     if op == "dotval":
         return [node]
     # union: dedup by node identity, then one document-order sort — the
@@ -1067,6 +1199,11 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
                 for c in node.children
                 if type(c) is Node and c.kind == COMMENT
             ],
+        )
+    if op == "pi":
+        return (
+            "set",
+            [_pi_value(c) for c in _eval_nodes(expr, node, pos, size, ev)],
         )
     if op == "dotval":
         return ("set", [_string_value(node)])
@@ -1416,18 +1553,14 @@ def _compile_fast(path: _Path):
     steps = path.steps
     if path.id_arg is not None:
         return None  # id() seeding needs the generic walk
-    if not steps or steps[0].axis != "descendant" or steps[0].test in (
-        "*",
-        "node()",
-        "text()",
-        "comment()",
-    ):
+    _nontag = ("*", "node()", "text()", "comment()", "processing-instruction()")
+    if not steps or steps[0].axis != "descendant" or steps[0].test in _nontag:
         return None
     plan = []
     for i, s in enumerate(steps):
         if s.axis != ("descendant" if i == 0 else "child"):
             return None
-        if s.test in ("*", "node()", "text()", "comment()"):
+        if s.test in _nontag:
             return None
         attrs = _attr_eq_preds(s.preds)
         if attrs is None:

@@ -110,9 +110,8 @@ def test_first_is_lazy_prefix_of_query(root):
         "table[@",                       # dangling attr
         '//table[@id=]',                 # missing comparand
         "///x",                          # empty step
-        "namespace::x",                  # unknown axis
+        "bogus::x",                      # unknown axis
         "1+2",                           # not a path
-        "//table/processing-instruction()",  # PI node test unsupported
         "//table/@id/..",                # attribute step must be final
         "//td/text()/b",                 # text() step must be final
         '//td/text()[@x]',               # only positional preds on text()
@@ -547,10 +546,91 @@ def test_comment_node_test():
         "//comment()/tr",
         "//comment()[@id]",
         "//following-sibling::comment()",
-        "//processing-instruction()",
     ):
         with pytest.raises(ParserError):
             compile_xpath(bad)
+
+
+def test_processing_instruction_node_test():
+    """PI nodes are real childNodes on HTML-parsed trees (libxml2 keeps
+    <?...> as a PI; htmldom.py:242 mirrors it), so the node test selects
+    them — target filter, string value (content after target), predicate
+    node-set and count() forms all per XPath 1.0 §2.3/§4."""
+    html = (
+        "<div><?php echo 1 ?><p>a<?perl x ?></p>"
+        "<table><tr><td>x</td></tr></table><?xml-stylesheet href='s'?></div>"
+    )
+    r, _ = parse_html_fast(html)
+    pis = q(r, "//processing-instruction()")
+    assert [n.data for n in pis] == [
+        "php echo 1 ?", "perl x ?", "xml-stylesheet href='s'?",
+    ]
+    # target filter (Literal argument) and child-axis scoping
+    assert [n.data for n in q(r, "//processing-instruction('php')")] == [
+        "php echo 1 ?"
+    ]
+    assert [n.data for n in q(r, "//div/processing-instruction()")] == [
+        "php echo 1 ?", "xml-stylesheet href='s'?",
+    ]
+    assert [n.data for n in q(r, "//div/processing-instruction()[2]")] == [
+        "xml-stylesheet href='s'?"
+    ]
+    # predicate node-set forms: truth, target filter, string value, count
+    assert len(q(r, "//p[processing-instruction()]")) == 1
+    assert len(q(r, "//p[processing-instruction('perl')]")) == 1
+    assert len(q(r, "//p[processing-instruction('php')]")) == 0
+    assert len(q(r, "//p[processing-instruction() = 'x ?']")) == 1
+    assert len(q(r, "//div[count(.//processing-instruction()) = 3]")) == 1
+    # grammar limits mirror comment(): final step only, numeric preds,
+    # forward axes, at most one Literal argument
+    for bad in (
+        "//processing-instruction()/tr",
+        "//processing-instruction()[@id]",
+        "//ancestor::processing-instruction()",
+        '//processing-instruction("a", "b")',
+        "//processing-instruction(2)",
+    ):
+        with pytest.raises(ParserError):
+            compile_xpath(bad)
+
+
+def test_namespace_axis():
+    """HTML-parsed libxml2 trees carry exactly one namespace node per
+    element — the implicit xml binding (loadHTML creates no xmlns
+    declarations) — so namespace::* selects one node per context element
+    and namespace::xml / node() match it while other names do not."""
+    html = '<div><table id="a"><tr><td>1</td></tr></table><p>x</p></div>'
+    r, _ = parse_html_fast(html)
+    ns = q(r, "//table/namespace::*")
+    assert len(ns) == 1
+    assert ns[0].name == "xml"
+    assert ns[0].value == "http://www.w3.org/XML/1998/namespace"
+    assert len(q(r, "//table/namespace::xml")) == 1
+    assert len(q(r, "//table/namespace::node()")) == 1
+    assert len(q(r, "//table/namespace::foo")) == 0
+    # predicate forms: existence is vacuously true, value comparable
+    assert len(q(r, "//table[namespace::*]")) == 1
+    assert len(
+        q(r, '//p[namespace::xml = "http://www.w3.org/XML/1998/namespace"]')
+    ) == 1
+    # non-final namespace steps rejected like attribute steps
+    for bad in ("//namespace::*/tr", "//table/namespace::*[@id]"):
+        with pytest.raises(ParserError):
+            compile_xpath(bad)
+
+
+def test_pi_and_namespace_selection_map_to_not_found():
+    """Selecting a PI or namespace node via tableXPathPosition mirrors the
+    reference's instanceof-DOMElement gate (Parser.php:370)."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.errors import MSG_TABLE_NOT_FOUND
+    from html_table_spark.semantics import parse_document
+
+    html = "<div><?php x ?><table><tr><td>x</td></tr></table></div>"
+    for expr in ("//processing-instruction()", "//table/namespace::*"):
+        out = parse_document(html, ParserConfig().table_xpath_position(expr))
+        assert out[0].status == "error"
+        assert out[0].error_msg == MSG_TABLE_NOT_FOUND
 
 
 def test_comment_selection_maps_to_not_found():
