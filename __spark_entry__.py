@@ -272,7 +272,7 @@ def x_xpath_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit(
             '<table class="nav small" xml:lang="en-US">'
-            "<tr><td>menu</td></tr></table>"
+            "<tr><?php mark ?><td>menu</td></tr></table>"
             '<table class="data wide" id="t2"><tr><td>'
         ),
         w0,
@@ -299,6 +299,13 @@ def x_xpath_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred_union": "//table[@id | @nosuch]",
         "lang": '//table[lang("en")]',
         "sum_attr": "//table[sum(@data-n) = 4]",
+        # round-3 grammar closure: processing-instruction() node tests
+        # (the tolerant tree keeps <?...> as PI childNodes, libxml2
+        # parity) and the namespace:: axis (one implicit xml binding per
+        # element on HTML-parsed trees)
+        "pi_target": '//table[tr/processing-instruction("php")]',
+        "pi_none_first": "//table[not(.//processing-instruction())][1]",
+        "ns_axis": "//table[namespace::xml and @data-n]",
     }
     parts = []
     for name, expr in selectors.items():
@@ -1429,6 +1436,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'lang', 'menu', CAST(0 AS INT) FROM w
             UNION ALL
             SELECT doc_id, 'sum_attr', unnest(rest),
+                   CAST(generate_subscripts(rest, 1) - 1 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'pi_target', 'menu', CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'pi_none_first', w0, CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'ns_axis', unnest(rest),
                    CAST(generate_subscripts(rest, 1) - 1 AS INT) FROM w
         """,
         "x_user_header": """

@@ -53,8 +53,14 @@ paste from browser devtools:
   ``xml`` binding; loadHTML never creates xmlns declarations), modeled
   as an :class:`XPathNs` wrapper
 
-Everything still outside the grammar (attribute/text/comment/PI steps in
-NON-FINAL positions, e.g. ``//table/@id/..``; general parenthesized path
+- non-element steps followed by a parent/ancestor climb back to
+  elements: ``//@href/..``, ``//td/text()/ancestor::table``,
+  ``//comment()/..`` (XPath 1.0 §2.2 — an attribute's parent is its
+  owner element; continuations other than parent/ancestor from a
+  non-element node stay rejected)
+
+Everything still outside the grammar (sibling/self/child continuations
+from non-element nodes; general parenthesized path
 starts beyond the ``(path)[N]`` wrapper) raises :class:`ParserError` with
 the reference's eager-validation message, so misconfigurations surface on
 the driver, never inside a Spark task. ``$var`` references and prefixed
@@ -275,7 +281,15 @@ class _Parser:
         non_element_tests = ("text()", "comment()", "processing-instruction()")
         for i, s in enumerate(steps):
             if s.axis in ("attribute", "namespace") or s.test in non_element_tests:
-                if i != len(steps) - 1:
+                # a non-element step is legal as the FINAL step, or when
+                # the NEXT step climbs back to elements (parent/ancestor
+                # axes: //@href/.., //td/text()/ancestor::table) — every
+                # other continuation (child::, self::, siblings) from a
+                # non-element node stays rejected
+                if i != len(steps) - 1 and steps[i + 1].axis not in (
+                    "parent",
+                    "ancestor",
+                ):
                     raise _SyntaxError()
                 if any(p[0] != "num" for p in s.preds):
                     raise _SyntaxError()
@@ -722,14 +736,17 @@ def _string_value(node: Node) -> str:
 
 
 def _build_parent_map(root: Node) -> dict[int, Node]:
+    # maps ALL Node children (elements for ../ancestor:: walks, plus
+    # comment/PI nodes so //comment()/.. can climb back to the owner)
     parents: dict[int, Node] = {}
     stack = [root]
     while stack:
         n = stack.pop()
         for c in n.children:
-            if type(c) is Node and c.kind == ELEMENT:
+            if type(c) is Node:
                 parents[id(c)] = n
-                stack.append(c)
+                if c.kind == ELEMENT:
+                    stack.append(c)
     return parents
 
 
@@ -1040,7 +1057,51 @@ def _result_string(n) -> str:
     return _string_value(n)
 
 
-def _step_matches(ctx: Node, step: _Step, ev: _EvalCtx):
+def _climb_candidates(ctx, step: _Step, ev: _EvalCtx):
+    """parent::/ancestor:: candidates from a NON-ELEMENT context (wrapper
+    or comment/PI Node) — the only continuation the grammar allows after a
+    non-element step. XPath 1.0 §2.2: the parent of an attribute (and, by
+    the same modeling, a namespace node) is its owner element; a text/
+    comment/PI node's is its containing element. Candidates are elements
+    only, nearest-first on the ancestor axis, filtered by the node test."""
+    t = type(ctx)
+    if t is XPathAttr or t is XPathNs:
+        owner = ctx.owner
+    elif t is XPathText:
+        owner = ctx.parent
+    else:  # COMMENT / PI Node
+        owner = ev.parent(ctx)
+    if owner is None:
+        return
+    if step.axis == "parent":
+        chain = (owner,)
+    else:  # ancestor: owner plus its ancestors, nearest first
+        def _chain():
+            yield owner
+            yield from _ancestors(owner, ev)
+        chain = _chain()
+    test = step.test
+    for n in chain:
+        if test == "node()":
+            yield n
+        elif test == "*":
+            if n.kind == ELEMENT and n.tag != "#document":
+                yield n
+        elif n.kind == ELEMENT and n.tag == test:
+            yield n
+
+
+def _step_matches(ctx, step: _Step, ev: _EvalCtx):
+    if type(ctx) is not Node or ctx.kind != ELEMENT:
+        # non-element context from a preceding @attr/namespace/text()/
+        # comment()/processing-instruction() step: grammar-validated to be
+        # a parent/ancestor climb back to elements
+        candidates = _climb_candidates(ctx, step, ev)
+        if not step.preds:
+            yield from candidates
+            return
+        yield from _apply_preds(candidates, step, ev)
+        return
     if step.axis in ("attribute", "namespace") or step.test in (
         "text()",
         "comment()",
@@ -1052,6 +1113,10 @@ def _step_matches(ctx: Node, step: _Step, ev: _EvalCtx):
     if not step.preds:
         yield from candidates
         return
+    yield from _apply_preds(candidates, step, ev)
+
+
+def _apply_preds(candidates, step: _Step, ev: _EvalCtx):
     positional = any(_positional_pred(p) for p in step.preds)
     if not positional:
         for n in candidates:

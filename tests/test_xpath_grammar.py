@@ -112,8 +112,8 @@ def test_first_is_lazy_prefix_of_query(root):
         "///x",                          # empty step
         "bogus::x",                      # unknown axis
         "1+2",                           # not a path
-        "//table/@id/..",                # attribute step must be final
-        "//td/text()/b",                 # text() step must be final
+        "//td/text()/b",                 # no child continuation from text()
+        "//@id/following-sibling::td",   # no sibling continuation either
         '//td/text()[@x]',               # only positional preds on text()
         "",                              # empty expression
     ],
@@ -615,6 +615,47 @@ def test_namespace_axis():
     ) == 1
     # non-final namespace steps rejected like attribute steps
     for bad in ("//namespace::*/tr", "//table/namespace::*[@id]"):
+        with pytest.raises(ParserError):
+            compile_xpath(bad)
+
+
+def test_nonelement_parent_ancestor_climb():
+    """Non-element steps may continue through parent/ancestor axes back to
+    elements (XPath 1.0 §2.2: an attribute's parent is its owner element;
+    a text/comment/PI node's is its containing element) — the devtools
+    shapes //@href/.. and //td/text()/ancestor::table. Any other
+    continuation from a non-element node stays an eager reject."""
+    html = (
+        '<div><table id="a"><tr><td class="x">1<!--c--></td><td>2</td></tr>'
+        '</table><table><tr><td href="h">3</td></tr></table><?php z ?></div>'
+    )
+    r, _ = parse_html_fast(html)
+
+    def tags(expr):
+        return [n.tag for n in q(r, expr)]
+
+    assert [
+        (n.tag, n.attrs.get("class")) for n in q(r, "//@class/..")
+    ] == [("td", "x")]
+    assert tags("//@href/parent::td") == ["td"]
+    assert [
+        (n.tag, n.attrs.get("id")) for n in q(r, "//@class/ancestor::table")
+    ] == [("table", "a")]
+    assert tags("//td/text()/ancestor::table") == ["table", "table"]
+    assert tags("//text()/..") == ["td", "td", "td"]
+    assert tags("//comment()/..") == ["td"]
+    assert tags("//processing-instruction()/..") == ["div"]
+    assert tags("//table/namespace::*/..") == ["table", "table"]
+    assert tags("//@href/../..") == ["tr"]  # onward steps are normal again
+    assert [
+        (n.tag, n.attrs.get("id")) for n in q(r, "//@class/ancestor::*[@id]")
+    ] == [("table", "a")]
+    for bad in (
+        "//@id/following-sibling::td",
+        "//text()/self::node()",
+        "//@id/td",
+        "//comment()/descendant::p",
+    ):
         with pytest.raises(ParserError):
             compile_xpath(bad)
 
