@@ -344,11 +344,18 @@ def parse_document(html: str, config: ParserConfig) -> list[ExtractedTable]:
         ]
 
     selected = _compiled(config.table_expression).first(root)
-    if selected is None or type(selected) is not Node or selected.kind != ELEMENT:
-        # None, or an attribute/text/comment result (xpath.XPathAttr /
-        # XPathText / a COMMENT-kind Node): the reference gates on
-        # `instanceof DOMElement` (Parser.php:370), so non-element nodes
-        # get the not-found error, not not-a-table
+    if (
+        selected is None
+        or type(selected) is not Node
+        or selected.kind != ELEMENT
+        or selected.tag == "#document"
+    ):
+        # None, or an attribute/text/comment/PI/namespace result, or the
+        # synthetic #document container (reachable via parent climbs:
+        # //table/.., //comment()/..): the reference gates on
+        # `instanceof DOMElement` (Parser.php:370) and a DOMDocument is
+        # not a DOMElement, so non-element nodes get the not-found error,
+        # not not-a-table
         return [
             ExtractedTable(table_idx=0, status="error", error_msg=MSG_TABLE_NOT_FOUND)
         ]

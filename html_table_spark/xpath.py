@@ -689,23 +689,24 @@ class XPathNs:
         return f"namespace(xml={_XML_NS_URI!r})"
 
 
+_PI_TARGET_RE = re.compile(r"[A-Za-z_:][A-Za-z0-9._:\-]*")
+
+
 def _pi_target(node: Node) -> str:
-    """PI target: the leading name of the ``<?...>`` content (libxml2
-    splits ``<?php echo 1 ?>`` into target ``php`` + data ``echo 1 ?``)."""
-    data = node.data or ""
-    i = 0
-    while i < len(data) and not data[i].isspace():
-        i += 1
-    return data[:i]
+    """PI target: the leading XML Name of the ``<?...>`` content (libxml2
+    splits ``<?php echo 1 ?>`` into target ``php`` + data ``echo 1 ?``).
+    Name-parsed, not whitespace-split: ``<?php?>`` has target ``php`` —
+    ``?`` is not a Name character, so a space-less PI must not leak the
+    trailing junk into its target."""
+    m = _PI_TARGET_RE.match(node.data or "")
+    return m.group() if m else ""
 
 
 def _pi_value(node: Node) -> str:
     """PI string value: content after the target and the whitespace run
     separating it (xmlNodeGetContent of a PI returns its data)."""
     data = node.data or ""
-    i = 0
-    while i < len(data) and not data[i].isspace():
-        i += 1
+    i = len(_pi_target(node))
     while i < len(data) and data[i].isspace():
         i += 1
     return data[i:]
@@ -750,13 +751,33 @@ def _build_parent_map(root: Node) -> dict[int, Node]:
     return parents
 
 
-def _doc_order_map(root: Node) -> dict[int, int]:
-    order: dict[int, int] = {id(root): 0}
-    i = 1
-    for n in _descendants(root):
+def _doc_order_map(root: Node) -> tuple[dict[int, int], dict[int, int]]:
+    """(ordinal, subtree_end) over ALL Node kinds in one DFS pre-order
+    pass. Comment/PI nodes get real ordinals — union merges and node-set
+    first-node reads must interleave them with elements in document order,
+    not dump them at the end. ``subtree_end[e]`` is the largest ordinal
+    inside element e's subtree, so the following:: axis stays a single
+    comparison even though non-element nodes make the element count
+    smaller than the subtree's ordinal width."""
+    order: dict[int, int] = {}
+    end: dict[int, int] = {}
+    i = 0
+    stack: list = [(root, True)]
+    while stack:
+        n, entering = stack.pop()
+        if not entering:
+            end[id(n)] = i - 1
+            continue
         order[id(n)] = i
         i += 1
-    return order
+        if n.kind == ELEMENT and n.children:
+            stack.append((n, False))
+            stack.extend(
+                (c, True) for c in reversed(n.children) if type(c) is Node
+            )
+        else:
+            end[id(n)] = order[id(n)]
+    return order, end
 
 
 class _EvalCtx:
@@ -801,7 +822,14 @@ class _EvalCtx:
     def ordinal(self, node: Node) -> int:
         if self._order is None:
             self._order = _doc_order_map(self.root)
-        return self._order.get(id(node), 1 << 60)
+        return self._order[0].get(id(node), 1 << 60)
+
+    def subtree_end(self, node: Node) -> int:
+        """Largest ordinal inside node's subtree (== its own ordinal for
+        leaves and non-elements) — the following:: axis boundary."""
+        if self._order is None:
+            self._order = _doc_order_map(self.root)
+        return self._order[1].get(id(node), 1 << 60)
 
     def sort_key(self, n):
         """Document-order key covering attribute/text results: attributes
@@ -902,7 +930,7 @@ def _axis_candidates(ctx: Node, step: _Step, ev: _EvalCtx):
         # document order, everything after ctx's subtree; DFS pre-order
         # makes the subtree a contiguous ordinal range, so "after" is a
         # single ordinal comparison against the subtree's end
-        end = ev.ordinal(ctx) + sum(1 for _ in _descendants(ctx))
+        end = ev.subtree_end(ctx)
         nodes = (n for n in _descendants(ev.root) if ev.ordinal(n) > end)
     else:  # preceding: before ctx in document order, ancestors excluded,
         # generated nearest-first (reverse axis)
@@ -956,28 +984,21 @@ def _subtree_texts(ctx: Node):
             stack.extend((c, j) for j in range(len(c.children) - 1, -1, -1))
 
 
-def _subtree_comments(ctx: Node):
-    """All COMMENT nodes under ctx, document order."""
+def _subtree_kind(ctx: Node, kind: int):
+    """All Nodes of ``kind`` (COMMENT or PI) under ctx, document order."""
     stack = list(reversed(ctx.children))
     while stack:
         c = stack.pop()
         if type(c) is Node:
-            if c.kind == COMMENT:
+            if c.kind == kind:
                 yield c
             elif c.kind == ELEMENT and c.children:
                 stack.extend(reversed(c.children))
 
 
-def _subtree_pis(ctx: Node):
-    """All PI nodes under ctx, document order."""
-    stack = list(reversed(ctx.children))
-    while stack:
-        c = stack.pop()
-        if type(c) is Node:
-            if c.kind == PI:
-                yield c
-            elif c.kind == ELEMENT and c.children:
-                stack.extend(reversed(c.children))
+def _child_kind(ctx: Node, kind: int) -> list:
+    """Direct Node children of ``kind``, document order."""
+    return [c for c in ctx.children if type(c) is Node and c.kind == kind]
 
 
 def _terminal_matches(ctx: Node, step: _Step, ev: _EvalCtx):
@@ -997,22 +1018,12 @@ def _terminal_matches(ctx: Node, step: _Step, ev: _EvalCtx):
             cands = [XPathNs(ctx)]
         else:
             cands = []
-    elif step.test == "comment()":
+    elif step.test in ("comment()", "processing-instruction()"):
+        kind = COMMENT if step.test == "comment()" else PI
         if step.axis == "child":
-            cands = [
-                c
-                for c in ctx.children
-                if type(c) is Node and c.kind == COMMENT
-            ]
+            cands = _child_kind(ctx, kind)
         else:  # descendant / descendant-or-self: subtree, doc order
-            cands = list(_subtree_comments(ctx))
-    elif step.test == "processing-instruction()":
-        if step.axis == "child":
-            cands = [
-                c for c in ctx.children if type(c) is Node and c.kind == PI
-            ]
-        else:
-            cands = list(_subtree_pis(ctx))
+            cands = list(_subtree_kind(ctx, kind))
         if step.pi_target is not None:
             cands = [c for c in cands if _pi_target(c) == step.pi_target]
     elif step.axis == "child":
@@ -1216,13 +1227,9 @@ def _eval_nodes(expr, node: Node, pos, size, ev: "_EvalCtx") -> list:
             if type(c) is str
         ]
     if op == "comment":
-        return [
-            c
-            for c in node.children
-            if type(c) is Node and c.kind == COMMENT
-        ]
+        return _child_kind(node, COMMENT)
     if op == "pi":
-        cands = [c for c in node.children if type(c) is Node and c.kind == PI]
+        cands = _child_kind(node, PI)
         if expr[1] is not None:
             cands = [c for c in cands if _pi_target(c) == expr[1]]
         return cands
@@ -1257,14 +1264,7 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
     if op == "text":
         return ("set", [c for c in node.children if type(c) is str])
     if op == "comment":
-        return (
-            "set",
-            [
-                c.data or ""
-                for c in node.children
-                if type(c) is Node and c.kind == COMMENT
-            ],
-        )
+        return ("set", [c.data or "" for c in _child_kind(node, COMMENT)])
     if op == "pi":
         return (
             "set",

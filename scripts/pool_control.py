@@ -58,7 +58,7 @@ def _corpus_files(sf_dir: str) -> list[str]:
     return files
 
 
-def _worker_init() -> None:
+def _worker_init(barrier) -> None:
     # pay imports + kernel warm-up before timing starts (Spark legs time
     # against a warmed worker pool; the control must too)
     global _EXTRACT
@@ -73,10 +73,11 @@ def _worker_init() -> None:
     )
     for _ in _EXTRACT(iter([warm])):
         pass
-
-
-def _warm_noop(_i: int) -> None:
-    return None
+    # real rendezvous: EVERY worker (and the parent, the +1 party) has
+    # finished importing before any timed work starts — a noop-task round
+    # is not a barrier, since one fast worker can drain all the noops
+    # while the others are still paying imports inside the timed window
+    barrier.wait()
 
 
 def _process_file(path: str) -> tuple[int, int]:
@@ -105,11 +106,11 @@ def main_leg(cores: int) -> None:
     files = _corpus_files(sf_dir)
     # dynamic balancing: shards come off a shared queue, so the mega-doc
     # shards can't straggle a statically-assigned worker (chunksize=1)
-    with mp.Pool(processes=cores, initializer=_worker_init) as pool:
-        # barrier: every worker has finished its initializer (imports +
-        # kernel warm-up) before the clock starts, mirroring the Spark
-        # legs' steady-state warmed worker pool
-        pool.map(_warm_noop, range(cores * 4), chunksize=1)
+    barrier = mp.Barrier(cores + 1)
+    with mp.Pool(
+        processes=cores, initializer=_worker_init, initargs=(barrier,)
+    ) as pool:
+        barrier.wait()  # all workers warmed before the clock starts
         started = time.monotonic()
         docs = 0
         tables = 0
