@@ -687,3 +687,58 @@ def test_comment_selection_maps_to_not_found():
     )
     assert out[0].status == "error"
     assert out[0].error_msg == MSG_TABLE_NOT_FOUND
+
+
+def test_pi_target_is_name_parsed():
+    """PI targets are XML Names, not whitespace-split prefixes: a
+    space-less PI like ``<?php?>`` has target ``php`` — ``?`` is not a
+    Name character, so the trailing junk must not leak into the target
+    (libxml2 name-parses the target, then skips whitespace before the
+    data begins)."""
+    html = "<div><?php?><p>a</p></div>"
+    r, _ = parse_html_fast(html)
+    assert [n.data for n in q(r, "//processing-instruction()")] == ["php?"]
+    assert len(q(r, "//processing-instruction('php')")) == 1
+    assert len(q(r, "//processing-instruction('php?')")) == 0
+    # string value = content after the Name-parsed target (here just the
+    # leftover "?": nothing was whitespace-separated)
+    assert len(q(r, "//div[processing-instruction() = '?']")) == 1
+
+
+def test_union_merges_all_node_kinds_in_document_order():
+    """Comment/PI nodes carry real document-order ordinals, so a union of
+    mixed node kinds interleaves them with elements instead of dumping
+    non-elements after every element."""
+    html = "<div><!--a--><p>x</p><!--b--><span>y</span></div>"
+    r, _ = parse_html_fast(html)
+    got = [
+        (n.tag or "", n.data or "")
+        for n in q(r, "//comment() | //p | //span")
+    ]
+    assert got == [("", "a"), ("p", ""), ("", "b"), ("span", "")]
+
+
+def test_following_axis_skips_nonelement_subtree_entries():
+    """following:: starts AFTER the context's whole subtree even when the
+    subtree contains comment/PI nodes — the boundary is the subtree-end
+    ordinal, not the context ordinal plus its element count."""
+    html = "<div><p><!--in-->x<?pi y?></p><span>y</span></div>"
+    r, _ = parse_html_fast(html)
+    assert [n.tag for n in q(r, "//p/following::*")] == ["span"]
+
+
+def test_document_selection_maps_to_not_found():
+    """A parent climb landing on the synthetic #document container mirrors
+    the reference's instanceof-DOMElement gate (Parser.php:370): a
+    DOMDocument is not a DOMElement, so the selector yields the not-found
+    error, not not-a-table."""
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.errors import MSG_TABLE_NOT_FOUND
+    from html_table_spark.semantics import parse_document
+
+    out = parse_document(
+        "<html><body><table><tr><td>x</td></tr></table></body></html>",
+        ParserConfig().table_xpath_position("//html/.."),
+    )
+    assert out[0].status == "error"
+    assert out[0].error_msg == MSG_TABLE_NOT_FOUND
