@@ -315,6 +315,63 @@ def _wait_for_quiet(max_wait_s: int = 600, threshold: float = 0.10) -> None:
         time.sleep(10)
 
 
+def record_and_merge_sweep(
+    sf: str, results: dict[int, dict], partial: bool = False
+) -> tuple[dict, dict]:
+    """Append a raw sweep to SCALING_RUNS.jsonl and ratchet it into
+    scaling_best.json, regenerating BASELINE.md once every pair leg exists.
+
+    THE one implementation of the merge discipline — `main_scaling` (full
+    sweeps) and `scripts/converge_legs.py` (partial, focused sweeps) both
+    call it, so the rules can never diverge between the two writers. Merge
+    ONLY same-revision same-corpus legs: mixing bests across code revisions
+    manufactures a sweep no single build ever ran (round-2 lesson, commit
+    d70ddb9), and mixing scale factors merges throughput over different
+    corpora — either way the evidence starts from scratch. Returns
+    ``(merged, effs)`` with effs computed for every SCALING_PAIRS pair
+    whose both legs are present."""
+    bench_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    rec: dict = {"ts": time.time(), "sf": sf}
+    if partial:
+        rec["partial"] = True
+    rec["results"] = results
+    with open(os.path.join(bench_dir, "SCALING_RUNS.jsonl"), "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    best_path = os.path.join(bench_dir, "scaling_best.json")
+    rev = _code_rev()
+    merged = {}
+    if os.path.exists(best_path):
+        with open(best_path) as fh:
+            prev = json.load(fh)
+        if prev.get("rev") == rev and prev.get("sf") == sf:
+            merged = {int(k): v for k, v in prev.get("results", {}).items()}
+    for cores, r in results.items():
+        if cores not in merged or r["docs_per_sec"] > merged[cores]["docs_per_sec"]:
+            merged[cores] = r
+    with open(best_path, "w") as fh:
+        json.dump(
+            {
+                "rev": rev,
+                "sf": sf,
+                "results": {str(k): v for k, v in sorted(merged.items())},
+            },
+            fh,
+            indent=1,
+        )
+    effs = {}
+    for n_cores, n4_cores in SCALING_PAIRS:
+        if n_cores in merged and n4_cores in merged:
+            effs[(n_cores, n4_cores)] = round(
+                merged[n4_cores]["docs_per_sec"]
+                / (4.0 * merged[n_cores]["docs_per_sec"]),
+                3,
+            )
+    if len(effs) == len(SCALING_PAIRS):
+        _write_bench_md(sf, merged, effs)
+    return merged, effs
+
+
 def main_scaling() -> None:
     sf = _sf_of(SF_DIR)
     corpus_path(sf)  # pre-materialize so all runs share the cached corpus
@@ -353,51 +410,8 @@ def main_scaling() -> None:
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                 best = r
         results[cores] = best
-    # persist raw sweep evidence + merge with the best pinned measurement
-    # ever recorded per config (same code revision discipline is on the
-    # committer): one >15-min sweep almost always catches background
-    # activity in SOME leg; the per-config best across recorded sweeps is
-    # the honest steady-state number on this shared box
-    bench_dir = os.path.join(REPO, "BENCH")
-    os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "SCALING_RUNS.jsonl"), "a") as fh:
-        fh.write(
-            json.dumps({"ts": time.time(), "sf": sf, "results": results}) + "\n"
-        )
-    best_path = os.path.join(bench_dir, "scaling_best.json")
-    rev = _code_rev()
-    merged = {}
-    if os.path.exists(best_path):
-        with open(best_path) as fh:
-            prev = json.load(fh)
-        # merge ONLY same-revision same-corpus legs: mixing bests across
-        # code revisions manufactures a sweep no single build ever ran
-        # (round-2 lesson, commit d70ddb9), and mixing scale factors merges
-        # throughput over different corpora — either way the evidence
-        # starts from scratch
-        if prev.get("rev") == rev and prev.get("sf") == sf:
-            merged = {int(k): v for k, v in prev.get("results", {}).items()}
-    for cores, r in results.items():
-        if cores not in merged or r["docs_per_sec"] > merged[cores]["docs_per_sec"]:
-            merged[cores] = r
-    with open(best_path, "w") as fh:
-        json.dump(
-            {
-                "rev": rev,
-                "sf": sf,
-                "results": {str(k): v for k, v in sorted(merged.items())},
-            },
-            fh,
-            indent=1,
-        )
-    results = merged
-    effs = {}
+    results, effs = record_and_merge_sweep(sf, results)
     queries = {}
-    for n_cores, n4_cores in SCALING_PAIRS:
-        n, n4 = results[n_cores], results[n4_cores]
-        effs[(n_cores, n4_cores)] = round(
-            n4["docs_per_sec"] / (4.0 * n["docs_per_sec"]), 3
-        )
     for cores, r in results.items():
         queries[f"extract_local{cores}_docs_per_sec"] = r["docs_per_sec"]
         queries[f"extract_local{cores}_tables_per_sec"] = r["tables_per_sec"]
@@ -412,7 +426,6 @@ def main_scaling() -> None:
         "sf": _sf_num(sf),
     }
     print(json.dumps(report))
-    _write_bench_md(sf, results, effs)
 
 
 def _eff_summary(effs: dict) -> str:

@@ -51,7 +51,12 @@ def apply() -> bool:
             try:
                 st = os.stat(path)
                 return (st.st_mtime_ns, st.st_size)
-            except OSError:
+            except (OSError, TypeError):
+                # TypeError: the defensive getattr(self, "archive", None)
+                # default feeds None here when a zipimporter(-subclass)
+                # lacks a usable .archive — degrade to stock behavior
+                # instead of crashing every task prologue's
+                # importlib.invalidate_caches()
                 return None
 
         def invalidate_caches(self):  # noqa: ANN001 — stdlib signature

@@ -21,7 +21,16 @@ paste from browser devtools:
   :class:`XPathAttr` / :class:`XPathText` wrappers (or COMMENT-kind
   Nodes), which the selection layer maps to the reference's
   not-a-DOMElement error exactly as ``Parser.php:370`` does; ``text()``
-  and ``comment()`` also work as predicate node-sets
+  and ``comment()`` also work as predicate node-sets. The bare ``node()``
+  test on the element axes (child/descendant/sibling/following/preceding)
+  enumerates ELEMENT nodes only — a deliberate narrowing: ``node()``
+  appears overwhelmingly as the ``//`` desugar (collapsed at parse time,
+  so element-only is exact there), and mixed-kind enumeration would let
+  later steps anchor on text/comment contexts the step grammar otherwise
+  forbids. Select non-element nodes with the explicit ``text()`` /
+  ``comment()`` / ``processing-instruction()`` tests instead; DOMXPath's
+  ``count(//p/following::node())`` therefore over-counts vs this engine
+  when comments/text intervene (pinned in test_xpath_grammar.py)
 - predicates: positional (``[2]``), attribute equality (``[@id="x"]``),
   attribute existence (``[@id]``), relative-path existence (``[thead]``,
   ``[.//th]``), ``and`` / ``or`` / ``not()``, comparisons
@@ -1500,10 +1509,15 @@ def _num_str(x: float) -> str:
 
 def _xpath_round(x: float) -> float:
     """XPath 1.0 round(): floor(x + 0.5) — half-up toward +inf (so
-    round(-0.5) is -0, round(2.5) is 3), NaN/±inf pass through."""
+    round(-0.5) is -0, round(2.5) is 3), NaN/±inf pass through. For x in
+    [-0.5, -0] floor(x + 0.5) is +0.0, losing the sign §4.4 mandates —
+    ``1 div round(-0.5)`` must be -Infinity — so restore it explicitly."""
     if x != x or x in (float("inf"), float("-inf")):
         return x
-    return float(_math.floor(x + 0.5))
+    r = float(_math.floor(x + 0.5))
+    if r == 0.0 and _math.copysign(1.0, x) < 0:
+        return -0.0
+    return r
 
 
 # XPath 1.0 §3.7 Number ::= Digits ('.' Digits?)? | '.' Digits, with §4.4
@@ -1747,12 +1761,15 @@ class XPathExpr:
 _OUTER_RE = re.compile(r"^\((?P<path>.+)\)\s*\[(?P<idx>\d+)\]$", re.DOTALL)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=512)
 def _value_order_fix(path: _Path) -> bool:
     """Memoized :func:`_path_needs_order_fix` for predicate-value paths:
     the check runs once per compiled sub-path, not once per context node
-    (paths are frozen dataclasses, hashable, and live for the lifetime of
-    the compiled expression)."""
+    (paths are frozen dataclasses, hashable). Bounded: an unbounded cache
+    would pin every distinct _Path (and its predicate AST) for process
+    lifetime, outliving the 256-entry compiled-expression cache in
+    semantics.py; the predicate is pure, so eviction only costs a
+    recompute."""
     return _path_needs_order_fix(path)
 
 

@@ -15,14 +15,14 @@ if len(sys.argv) > 2 and sys.argv[1] == "--leg":
     cores = int(sys.argv[2])
     open_cost_mb = int(sys.argv[3])
 
-    from html_table_spark.session import get_spark
     from pyspark.sql import functions as F
 
-    spark = get_spark("gran", master=f"local[{cores}]",
-                      shuffle_partitions=max(8, cores))
-    spark.conf.set  # session-level conf is too late for files.*; set below
-    spark.stop()
-    # rebuild with the conf baked in
+    # spark.sql.files.* confs are read at scan planning and cannot be set
+    # on an already-built session, so this experiment hand-builds its own
+    # session with the sweep value baked in. The fixed confs below are a
+    # SNAPSHOT of session.get_spark's values at experiment time (1024/64MB
+    # Arrow batches, 32m partitions) — if session.py tuning changes, re-run
+    # rather than trusting recorded numbers.
     from pyspark.sql import SparkSession
     spark = (
         SparkSession.builder.appName("gran")

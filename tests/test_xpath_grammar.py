@@ -742,3 +742,29 @@ def test_document_selection_maps_to_not_found():
     )
     assert out[0].status == "error"
     assert out[0].error_msg == MSG_TABLE_NOT_FOUND
+
+
+def test_round_negative_zero_sign():
+    """XPath 1.0 §4.4: round(x) for x in [-0.5, -0] is NEGATIVE zero, so
+    division by it yields -Infinity. floor(x + 0.5) alone loses the sign
+    (it returns +0.0), flipping the comparison below."""
+    r, _ = parse_html_fast("<table><tr><td>1</td></tr></table>")
+    assert len(q(r, "//table[1 div round(-0.5) < 0]")) == 1
+    assert len(q(r, "//table[1 div round(-0.4) < 0]")) == 1
+    assert len(q(r, "//table[1 div round(0.4) > 0]")) == 1
+    assert len(q(r, "//table[round(-0.6) = -1]")) == 1
+    assert len(q(r, "//table[round(2.5) = 3]")) == 1
+
+
+def test_node_test_enumerates_elements_only_documented_narrowing():
+    """Pins the module-docstring narrowing: the bare node() test on the
+    element axes yields ELEMENT nodes only (comments/PIs/text need the
+    explicit node-test functions). DOMXPath would count the comment too:
+    count(//p/following::node()) is 2 there, 1 here."""
+    r, _ = parse_html_fast("<div><p>x</p><!--c--><b>y</b></div>")
+    following = q(r, "//p/following::node()")
+    assert [n.tag for n in following] == ["b"]
+    preceding = q(r, "//b/preceding::node()")
+    assert [n.tag for n in preceding] == ["p"]
+    # the explicit tests still reach the non-element kinds
+    assert len(q(r, "//div/comment()")) == 1
