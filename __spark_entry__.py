@@ -306,6 +306,14 @@ def x_xpath_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pi_target": '//table[tr/processing-instruction("php")]',
         "pi_none_first": "//table[not(.//processing-instruction())][1]",
         "ns_axis": "//table[namespace::xml and @data-n]",
+        # round-3 closure of the node() narrowing: the bare node() test
+        # now matches EVERY node kind (text/comment/PI/element) with full
+        # predicate support and arbitrary continuations from non-element
+        # contexts — each selector keys on the PI inside the nav table's
+        # tr, invisible to an element-only walk (xpath.py mixed-kind walk)
+        "node_count": "//table[count(.//node()) = 4]",
+        "node_pos_pi": "//table[tr/node()[1][self::processing-instruction()]]",
+        "pi_sibling": "//table[tr/processing-instruction()/following-sibling::td]",
     }
     parts = []
     for name, expr in selectors.items():
@@ -1444,6 +1452,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'ns_axis', unnest(rest),
                    CAST(generate_subscripts(rest, 1) - 1 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'node_count', 'menu', CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'node_pos_pi', 'menu', CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'pi_sibling', 'menu', CAST(0 AS INT) FROM w
         """,
         "x_user_header": """
             WITH w AS (

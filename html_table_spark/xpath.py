@@ -17,20 +17,19 @@ paste from browser devtools:
   count position() nearest-first per XPath 1.0 §2.4; results re-sort to
   document order)
 - attribute location steps (``//table/@id``, ``@*``) and ``text()`` /
-  ``comment()`` node tests as FINAL result steps — results are
-  :class:`XPathAttr` / :class:`XPathText` wrappers (or COMMENT-kind
-  Nodes), which the selection layer maps to the reference's
-  not-a-DOMElement error exactly as ``Parser.php:370`` does; ``text()``
-  and ``comment()`` also work as predicate node-sets. The bare ``node()``
-  test on the element axes (child/descendant/sibling/following/preceding)
-  enumerates ELEMENT nodes only — a deliberate narrowing: ``node()``
-  appears overwhelmingly as the ``//`` desugar (collapsed at parse time,
-  so element-only is exact there), and mixed-kind enumeration would let
-  later steps anchor on text/comment contexts the step grammar otherwise
-  forbids. Select non-element nodes with the explicit ``text()`` /
-  ``comment()`` / ``processing-instruction()`` tests instead; DOMXPath's
-  ``count(//p/following::node())`` therefore over-counts vs this engine
-  when comments/text intervene (pinned in test_xpath_grammar.py)
+  ``comment()`` node tests on ANY element axis (child/descendant/
+  sibling/following/preceding/self) — results are :class:`XPathAttr` /
+  :class:`XPathText` wrappers (or COMMENT-kind Nodes), which the
+  selection layer maps to the reference's not-a-DOMElement error exactly
+  as ``Parser.php:370`` does; ``text()`` and ``comment()`` also work as
+  predicate node-sets. The bare ``node()`` test enumerates EVERY node
+  kind — elements, text runs, comments, PIs — matching DOMXPath
+  (``//div/node()[2]`` counts the text run; ``count(//p/
+  following::node())`` counts intervening comments), with full predicate
+  support on the mixed node-sets. Only the synthetic
+  ``descendant-or-self::node()`` steps the ``//`` separator inserts walk
+  elements-only (identical results — the child:: step that follows one
+  matches nothing on a text/comment context — at element-walk cost)
 - predicates: positional (``[2]``), attribute equality (``[@id="x"]``),
   attribute existence (``[@id]``), relative-path existence (``[thead]``,
   ``[.//th]``), ``and`` / ``or`` / ``not()``, comparisons
@@ -62,33 +61,37 @@ paste from browser devtools:
   ``xml`` binding; loadHTML never creates xmlns declarations), modeled
   as an :class:`XPathNs` wrapper
 
-- non-element steps followed by a parent/ancestor climb back to
-  elements: ``//@href/..``, ``//td/text()/ancestor::table``,
-  ``//comment()/..`` (XPath 1.0 §2.2 — an attribute's parent is its
-  owner element; continuations other than parent/ancestor from a
-  non-element node stay rejected)
+- arbitrary step continuations from non-element nodes (XPath 1.0
+  §2.2/§5): parent/ancestor climbs (``//@href/..``,
+  ``//td/text()/ancestor::table``, ``//comment()/..`` — an attribute's
+  parent is its owner element), sibling axes from text/comment/PI
+  contexts (attribute/namespace nodes have no siblings), self::,
+  document-order following::/preceding:: (an attribute node sits after
+  its element's start and before its content, so its following axis
+  includes the owner's subtree), and the vacuously-empty axes (child/
+  descendant/attribute from a node with no children or attributes)
 
-Everything still outside the grammar (sibling/self/child continuations
-from non-element nodes; general parenthesized path
-starts beyond the ``(path)[N]`` wrapper) raises :class:`ParserError` with
-the reference's eager-validation message, so misconfigurations surface on
+Everything still outside the grammar (general parenthesized path starts
+beyond the ``(path)[N]`` wrapper) raises :class:`ParserError` with the
+reference's eager-validation message, so misconfigurations surface on
 the driver, never inside a Spark task. ``$var`` references and prefixed
 ``ns:tag`` names also fail here — matching the reference, whose eager
 ``DOMXPath::query`` on an empty document rejects undefined variables and
 undefined namespace prefixes the same way (``Parser.php:73-80``).
 
-Results are element nodes in document order, deduplicated, matching
-``DOMXPath::query``. Known divergence vs libxml2: adjacent text runs are
-merged at parse time, so ``text()`` predicates see one merged run where DOM
-might see several — observable only with CDATA-ish splits the tolerant
-tokenizer never produces.
+Results are nodes in document order, deduplicated, matching
+``DOMXPath::query`` — text runs consume document-order ordinals in the
+same DFS as elements, so mixed-kind sorts are exact. Known divergence vs
+libxml2: adjacent text runs are merged at parse time, so ``text()``
+predicates see one merged run where DOM might see several — observable
+only with CDATA-ish splits the tolerant tokenizer never produces.
 """
 
 from __future__ import annotations
 
 import math as _math
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 from functools import lru_cache
 
 from .errors import ParserError, msg_invalid_xpath
@@ -190,6 +193,12 @@ class _Step:
     # processing-instruction('target') filter; None = any target. Only
     # meaningful when test == 'processing-instruction()'.
     pi_target: str | None = None
+    # True only on the synthetic descendant-or-self::node() steps the '//'
+    # separator inserts: a text/comment context contributes nothing to the
+    # child:: step that always follows one, so the desugar step enumerates
+    # ELEMENTS only — pure walk savings with identical results. EXPLICIT
+    # node() steps enumerate every node kind (DOMXPath parity).
+    elements_only: bool = False
 
 
 @dataclass(frozen=True)
@@ -264,7 +273,7 @@ class _Parser:
         elif kind == "dslash":
             self.next()
             absolute = True
-            steps.append(_Step("descendant-or-self", "node()"))
+            steps.append(_Step("descendant-or-self", "node()", elements_only=True))
         elif kind == "dot":
             self.next()
             steps.append(_Step("self", "node()"))
@@ -278,36 +287,7 @@ class _Parser:
         while not self._at_path_end():
             self._path_sep(steps)
             steps.append(self.parse_step())
-        self._validate_terminal_steps(steps)
         return _Path(steps=_fuse_steps(steps), absolute=absolute)
-
-    @staticmethod
-    def _validate_terminal_steps(steps: list[_Step]) -> None:
-        # attribute and text() steps select non-element nodes: legal only as
-        # the FINAL location step (nothing navigates onward from them), with
-        # at most numeric-positional predicates — enforced eagerly so a bad
-        # expression fails on the driver, never inside a Spark task
-        non_element_tests = ("text()", "comment()", "processing-instruction()")
-        for i, s in enumerate(steps):
-            if s.axis in ("attribute", "namespace") or s.test in non_element_tests:
-                # a non-element step is legal as the FINAL step, or when
-                # the NEXT step climbs back to elements (parent/ancestor
-                # axes: //@href/.., //td/text()/ancestor::table) — every
-                # other continuation (child::, self::, siblings) from a
-                # non-element node stays rejected
-                if i != len(steps) - 1 and steps[i + 1].axis not in (
-                    "parent",
-                    "ancestor",
-                ):
-                    raise _SyntaxError()
-                if any(p[0] != "num" for p in s.preds):
-                    raise _SyntaxError()
-                if s.test in non_element_tests and s.axis not in (
-                    "child",
-                    "descendant",
-                    "descendant-or-self",
-                ):
-                    raise _SyntaxError()
 
     def _parse_id_path(self) -> _Path:
         """``id(expr)`` FilterExpr path start (XPath 1.0 §3.3/§4.1), with an
@@ -320,7 +300,6 @@ class _Parser:
         while not self._at_path_end():
             self._path_sep(steps)
             steps.append(self.parse_step())
-        self._validate_terminal_steps(steps)
         return _Path(steps=_fuse_steps(steps), absolute=False, id_arg=arg)
 
     def _at_path_end(self) -> bool:
@@ -329,7 +308,7 @@ class _Parser:
     def _path_sep(self, steps: list[_Step]) -> None:
         kind, _ = self.next()
         if kind == "dslash":
-            steps.append(_Step("descendant-or-self", "node()"))
+            steps.append(_Step("descendant-or-self", "node()", elements_only=True))
         elif kind != "slash":
             raise _SyntaxError()
 
@@ -550,6 +529,16 @@ class _Parser:
         if name == "text":
             self.expect("rpar")
             return ("text",)
+        if name == "node":
+            # node() in EXPRESSION position is the location path
+            # child::node() (a node test, not a function call — §3.7
+            # excludes NodeType names from FunctionName), so count(node())
+            # counts every child of the context node
+            self.expect("rpar")
+            return (
+                "path",
+                _Path(steps=(_Step("child", "node()"),), absolute=False),
+            )
         if name in ("normalize-space", "string-length", "string"):
             arg = None
             if self.peek()[0] != "rpar":
@@ -608,13 +597,29 @@ class _Parser:
         return args
 
 
+# next-step axes from which a text/comment/PI context can contribute
+# NOTHING (no children, no attributes): walking only elements through the
+# synthetic '//' descendant-or-self::node() step is then result-identical
+_ELEMENTS_ONLY_SAFE_AXES = frozenset(
+    {"child", "descendant", "descendant-or-self", "attribute", "namespace"}
+)
+
+
 def _fuse_steps(steps: list[_Step]) -> tuple[_Step, ...]:
     """Collapse ``descendant-or-self::node()`` + ``child::X`` pairs (the
     ``//X`` desugaring) into a single ``descendant::X`` step when X carries
     no positional logic — one DFS instead of a generator per tree node, the
     shape every hot-path expression uses. Positional predicates keep the
     two-step form because ``//X[n]`` counts per parent, while
-    ``descendant::X[n]`` counts per context."""
+    ``descendant::X[n]`` counts per context.
+
+    Also demotes the parse-time ``elements_only`` mark on synthetic ``//``
+    steps whose NEXT step could match through a non-element context —
+    ``//ancestor::p`` on ``<p>x</p>`` must reach p via the text node's
+    ancestor axis, and ``//..`` must yield parents of text-only elements —
+    so only continuations that are vacuously empty from non-elements
+    (child/descendant/attribute/namespace, or self:: with an element name
+    test) keep the element-only walk."""
     fused: list[_Step] = []
     i = 0
     while i < len(steps):
@@ -631,6 +636,23 @@ def _fuse_steps(steps: list[_Step]) -> tuple[_Step, ...]:
             fused.append(_Step("descendant", nxt.test, nxt.preds, nxt.pi_target))
             i += 2
             continue
+        if s.elements_only:
+            nxt = steps[i + 1] if i + 1 < len(steps) else None
+            safe = nxt is not None and (
+                nxt.axis in _ELEMENTS_ONLY_SAFE_AXES
+                or (
+                    nxt.axis == "self"
+                    and nxt.test
+                    not in (
+                        "node()",
+                        "text()",
+                        "comment()",
+                        "processing-instruction()",
+                    )
+                )
+            )
+            if not safe:
+                s = _dc_replace(s, elements_only=False)
         fused.append(s)
         i += 1
     return tuple(fused)
@@ -737,6 +759,72 @@ def _descendants(node: Node):
                 stack.extend(n.children[::-1])
 
 
+def _children_all(ctx: Node):
+    """Every child of ctx — any kind — in document order, text runs wrapped
+    as :class:`XPathText`."""
+    for i, c in enumerate(ctx.children):
+        yield XPathText(c, ctx, i) if type(c) is str else c
+
+
+def _subtree_all(ctx: Node):
+    """Every node of ANY kind under ctx (exclusive), document order, text
+    runs wrapped — the mixed-kind counterpart of :func:`_descendants`."""
+    stack = [(ctx, i) for i in range(len(ctx.children) - 1, -1, -1)]
+    while stack:
+        parent, i = stack.pop()
+        c = parent.children[i]
+        if type(c) is str:
+            yield XPathText(c, parent, i)
+        else:
+            yield c
+            if c.kind == ELEMENT and c.children:
+                stack.extend((c, j) for j in range(len(c.children) - 1, -1, -1))
+
+
+def _test_match(n, test: str, pi_target: str | None = None) -> bool:
+    """Node-test match for a candidate of ANY kind (element/comment/PI
+    Node or :class:`XPathText` wrapper). Name tests and ``*`` match
+    elements only — the principal node type of the element axes — and the
+    synthetic ``#document`` container is not an element to DOMXPath."""
+    if test == "node()":
+        return True
+    if type(n) is XPathText:
+        return test == "text()"
+    k = n.kind
+    if test == "*":
+        return k == ELEMENT and n.tag != "#document"
+    if test == "text()":
+        return False  # text runs arrive wrapped; Node kinds never match
+    if test == "comment()":
+        return k == COMMENT
+    if test == "processing-instruction()":
+        return k == PI and (pi_target is None or _pi_target(n) == pi_target)
+    return k == ELEMENT and n.tag == test
+
+
+def _node_index(ctx: Node, parent: Node) -> int:
+    """ctx's child index within parent (identity scan)."""
+    for i, c in enumerate(parent.children):
+        if c is ctx:
+            return i
+    return -1
+
+
+def _mixed_siblings(ctx: Node, parent: Node | None, index: int):
+    """(preceding, following) siblings of ANY kind around the child at
+    ``index`` of ``parent``, each list in document order, text wrapped."""
+    if parent is None or index < 0:
+        return [], []
+    before: list = []
+    after: list = []
+    for i, c in enumerate(parent.children):
+        if i == index:
+            continue
+        out = after if i > index else before
+        out.append(XPathText(c, parent, i) if type(c) is str else c)
+    return before, after
+
+
 def _string_value(node: Node) -> str:
     """XPath string() of an element: concatenated descendant text in
     document order (delegates to ``Node.text_content``, which runs the
@@ -760,33 +848,47 @@ def _build_parent_map(root: Node) -> dict[int, Node]:
     return parents
 
 
-def _doc_order_map(root: Node) -> tuple[dict[int, int], dict[int, int]]:
-    """(ordinal, subtree_end) over ALL Node kinds in one DFS pre-order
-    pass. Comment/PI nodes get real ordinals — union merges and node-set
-    first-node reads must interleave them with elements in document order,
-    not dump them at the end. ``subtree_end[e]`` is the largest ordinal
-    inside element e's subtree, so the following:: axis stays a single
-    comparison even though non-element nodes make the element count
-    smaller than the subtree's ordinal width."""
+def _doc_order_map(
+    root: Node,
+) -> tuple[dict[int, int], dict[int, int], dict[tuple[int, int], int]]:
+    """(ordinal, subtree_end, text_ordinal) over ALL node kinds in one DFS
+    pre-order pass. Comment/PI nodes get real ordinals — union merges and
+    node-set first-node reads must interleave them with elements in
+    document order, not dump them at the end — and text runs consume
+    ordinals too (keyed ``(id(parent), child index)``, since runs are
+    plain strings), so mixed-kind sorts and the following::/preceding::
+    boundaries are EXACT document order (round 2 documented the text key
+    as element-approximate; the mixed node() test made that observable).
+    ``subtree_end[e]`` is the largest ordinal inside element e's subtree,
+    so the following:: axis stays a single comparison even though
+    non-element nodes make the element count smaller than the subtree's
+    ordinal width."""
     order: dict[int, int] = {}
     end: dict[int, int] = {}
+    text_order: dict[tuple[int, int], int] = {}
     i = 0
-    stack: list = [(root, True)]
+    # stack entries: (node, -1) = enter, (node, -2) = exit marker,
+    # (parent, child_index >= 0) = text run
+    stack: list = [(root, -1)]
     while stack:
-        n, entering = stack.pop()
-        if not entering:
+        n, mark = stack.pop()
+        if mark == -2:
             end[id(n)] = i - 1
+            continue
+        if mark >= 0:
+            text_order[(id(n), mark)] = i
+            i += 1
             continue
         order[id(n)] = i
         i += 1
         if n.kind == ELEMENT and n.children:
-            stack.append((n, False))
-            stack.extend(
-                (c, True) for c in reversed(n.children) if type(c) is Node
-            )
+            stack.append((n, -2))
+            for j in range(len(n.children) - 1, -1, -1):
+                c = n.children[j]
+                stack.append((c, -1) if type(c) is Node else (n, j))
         else:
             end[id(n)] = order[id(n)]
-    return order, end
+    return order, end, text_order
 
 
 class _EvalCtx:
@@ -840,16 +942,36 @@ class _EvalCtx:
             self._order = _doc_order_map(self.root)
         return self._order[1].get(id(node), 1 << 60)
 
+    def text_ordinal(self, parent: Node, index: int) -> int:
+        """Document-order ordinal of the text run at parent.children[index]
+        (text runs consume ordinals in the same DFS as elements)."""
+        if self._order is None:
+            self._order = _doc_order_map(self.root)
+        return self._order[2].get((id(parent), index), 1 << 60)
+
+    def res_ord(self, n) -> int:
+        """Ordinal of any result node kind — attribute/namespace wrappers
+        sit at their owner's start position (XPath 1.0 §5: after the
+        element, before its content — strict > / < comparisons against an
+        element's own ordinal therefore include its content subtree)."""
+        t = type(n)
+        if t is XPathText:
+            return self.text_ordinal(n.parent, n.index)
+        if t is XPathAttr or t is XPathNs:
+            return self.ordinal(n.owner)
+        return self.ordinal(n)
+
     def sort_key(self, n):
-        """Document-order key covering attribute/text results: attributes
-        sort immediately after their owner element, text runs after their
-        parent by child index (approximate against deeper elements in mixed
-        unions — exact within any one result type)."""
+        """Document-order key covering every result kind: attributes sort
+        immediately after their owner element's start (namespace nodes
+        first, §5), text runs at their own DFS ordinal — EXACT against
+        nested elements in mixed unions since the text runs consume
+        ordinals in the same pass."""
         t = type(n)
         if t is XPathAttr:
             return (self.ordinal(n.owner), 1, 0)
         if t is XPathText:
-            return (self.ordinal(n.parent), 2, n.index)
+            return (self.text_ordinal(n.parent, n.index), 2, 0)
         if t is XPathNs:
             # namespace nodes precede attribute nodes of the same element
             # (XPath 1.0 §5: ns nodes before attr nodes in document order)
@@ -908,6 +1030,21 @@ def _ancestors(ctx: Node, ev: _EvalCtx):
 
 
 def _axis_candidates(ctx: Node, step: _Step, ev: _EvalCtx):
+    """Axis candidates from an ELEMENT context. Name and ``*`` tests walk
+    elements only (the hot path, untouched); ``node()`` walks elements
+    only on the synthetic ``//``-desugar steps (identical results — the
+    child:: step that follows one matches nothing on a text/comment
+    context) and every node kind otherwise; the explicit ``text()`` /
+    ``comment()`` / ``processing-instruction()`` tests route through the
+    same mixed-kind walk."""
+    test = step.test
+    if (test == "node()" and not step.elements_only) or test in (
+        "text()",
+        "comment()",
+        "processing-instruction()",
+    ):
+        yield from _axis_candidates_mixed(ctx, step, ev)
+        return
     axis = step.axis
     if axis == "child":
         nodes = _children_elements(ctx)
@@ -950,7 +1087,6 @@ def _axis_candidates(ctx: Node, step: _Step, ev: _EvalCtx):
             if ev.ordinal(n) < ev.ordinal(ctx) and id(n) not in anc
         ]
         nodes = iter(before[::-1])
-    test = step.test
     if test == "node()":
         yield from nodes
     elif test == "*":
@@ -963,6 +1099,62 @@ def _axis_candidates(ctx: Node, step: _Step, ev: _EvalCtx):
         for n in nodes:
             if n.kind == ELEMENT and n.tag == test:
                 yield n
+
+
+def _axis_candidates_mixed(ctx: Node, step: _Step, ev: _EvalCtx):
+    """Mixed-kind axis walk from an ELEMENT context: enumerates elements,
+    text runs (wrapped), comments and PIs in axis order, then filters by
+    the step's node test — the DOMXPath semantics of an explicit
+    ``node()`` / ``text()`` / ``comment()`` / ``processing-instruction()``
+    test on any element axis. Reverse axes generate nearest-first so
+    positional predicates count per XPath 1.0 §2.4; the order-fix sort
+    restores document order afterwards (text ordinals are exact)."""
+    axis = step.axis
+    if axis == "child":
+        nodes = _children_all(ctx)
+    elif axis == "descendant":
+        nodes = _subtree_all(ctx)
+    elif axis == "descendant-or-self":
+        def chain():
+            yield ctx
+            yield from _subtree_all(ctx)
+        nodes = chain()
+    elif axis == "self":
+        nodes = iter((ctx,))
+    elif axis == "parent":
+        # parents are always elements (or the #document root)
+        p = ev.parent(ctx) if ctx is not ev.root else None
+        nodes = iter(()) if p is None else iter((p,))
+    elif axis == "ancestor":
+        nodes = _ancestors(ctx, ev)
+    elif axis == "ancestor-or-self":
+        def chain_self():
+            yield ctx
+            yield from _ancestors(ctx, ev)
+        nodes = chain_self()
+    elif axis in ("following-sibling", "preceding-sibling"):
+        parent = ev.parent(ctx) if ctx is not ev.root else None
+        index = -1 if parent is None else _node_index(ctx, parent)
+        before, after = _mixed_siblings(ctx, parent, index)
+        nodes = iter(after) if axis == "following-sibling" else iter(before[::-1])
+    elif axis == "following":
+        end = ev.subtree_end(ctx)
+        nodes = (n for n in _subtree_all(ev.root) if ev.res_ord(n) > end)
+    else:  # preceding: nearest-first, element ancestors excluded (text/
+        # comment/PI nodes are never ancestors)
+        anc = {id(a) for a in _ancestors(ctx, ev)}
+        me = ev.ordinal(ctx)
+        before = [
+            n
+            for n in _subtree_all(ev.root)
+            if ev.res_ord(n) < me
+            and (type(n) is XPathText or id(n) not in anc)
+        ]
+        nodes = iter(before[::-1])
+    test, target = step.test, step.pi_target
+    for n in nodes:
+        if _test_match(n, test, target):
+            yield n
 
 
 # top-level ops whose VALUE is a number — per XPath 1.0 §2.4 a
@@ -981,72 +1173,27 @@ def _positional_pred(p) -> bool:
     return p[0] in _NUMERIC_OPS or _uses_position(p)
 
 
-def _subtree_texts(ctx: Node):
-    """All text runs under ctx as (parent, index, value), document order."""
-    stack = [(ctx, i) for i in range(len(ctx.children) - 1, -1, -1)]
-    while stack:
-        parent, i = stack.pop()
-        c = parent.children[i]
-        if type(c) is str:
-            yield parent, i, c
-        elif c.kind == ELEMENT and c.children:
-            stack.extend((c, j) for j in range(len(c.children) - 1, -1, -1))
-
-
-def _subtree_kind(ctx: Node, kind: int):
-    """All Nodes of ``kind`` (COMMENT or PI) under ctx, document order."""
-    stack = list(reversed(ctx.children))
-    while stack:
-        c = stack.pop()
-        if type(c) is Node:
-            if c.kind == kind:
-                yield c
-            elif c.kind == ELEMENT and c.children:
-                stack.extend(reversed(c.children))
-
-
-def _child_kind(ctx: Node, kind: int) -> list:
-    """Direct Node children of ``kind``, document order."""
+def _child_kind(ctx, kind: int) -> list:
+    """Direct Node children of ``kind``, document order; empty for a
+    non-element context (wrappers and comment/PI nodes have no children)."""
+    if type(ctx) is not Node or ctx.kind != ELEMENT:
+        return []
     return [c for c in ctx.children if type(c) is Node and c.kind == kind]
 
 
-def _terminal_matches(ctx: Node, step: _Step, ev: _EvalCtx):
-    """attribute::, namespace::, text(), comment() and
-    processing-instruction() result steps (grammar-validated: final step,
-    numeric-positional predicates only)."""
+def _attr_ns_matches(ctx: Node, step: _Step):
+    """attribute:: / namespace:: candidates from an element context
+    (predicates are applied by the caller, like every other axis)."""
     if step.axis == "attribute":
         attrs = ctx.attrs or {}
         if step.test == "*":
-            cands = [XPathAttr(k, v, ctx) for k, v in attrs.items()]
-        else:
-            v = attrs.get(step.test)
-            cands = [] if v is None else [XPathAttr(step.test, v, ctx)]
-    elif step.axis == "namespace":
-        # one implicit xml binding per element on HTML-parsed trees
-        if step.test in ("*", "node()", "xml"):
-            cands = [XPathNs(ctx)]
-        else:
-            cands = []
-    elif step.test in ("comment()", "processing-instruction()"):
-        kind = COMMENT if step.test == "comment()" else PI
-        if step.axis == "child":
-            cands = _child_kind(ctx, kind)
-        else:  # descendant / descendant-or-self: subtree, doc order
-            cands = list(_subtree_kind(ctx, kind))
-        if step.pi_target is not None:
-            cands = [c for c in cands if _pi_target(c) == step.pi_target]
-    elif step.axis == "child":
-        cands = [
-            XPathText(c, ctx, i)
-            for i, c in enumerate(ctx.children)
-            if type(c) is str
-        ]
-    else:  # descendant / descendant-or-self text(): subtree runs, doc order
-        cands = [XPathText(c, p, i) for p, i, c in _subtree_texts(ctx)]
-    for p in step.preds:  # numeric-only (position() = number, §2.4)
-        want = p[1]
-        cands = [c for i, c in enumerate(cands) if i + 1 == want]
-    return cands
+            return [XPathAttr(k, v, ctx) for k, v in attrs.items()]
+        v = attrs.get(step.test)
+        return [] if v is None else [XPathAttr(step.test, v, ctx)]
+    # one implicit xml binding per element on HTML-parsed trees
+    if step.test in ("*", "node()", "xml"):
+        return [XPathNs(ctx)]
+    return []
 
 
 def _node_key(n):
@@ -1077,59 +1224,115 @@ def _result_string(n) -> str:
     return _string_value(n)
 
 
-def _climb_candidates(ctx, step: _Step, ev: _EvalCtx):
-    """parent::/ancestor:: candidates from a NON-ELEMENT context (wrapper
-    or comment/PI Node) — the only continuation the grammar allows after a
-    non-element step. XPath 1.0 §2.2: the parent of an attribute (and, by
-    the same modeling, a namespace node) is its owner element; a text/
-    comment/PI node's is its containing element. Candidates are elements
-    only, nearest-first on the ancestor axis, filtered by the node test."""
+def _ctx_attrs(node) -> dict:
+    """Attribute map of a predicate CONTEXT node — empty for the
+    non-element kinds (wrappers, comment/PI nodes carry no attributes)."""
+    if type(node) is Node and node.kind == ELEMENT:
+        return node.attrs or {}
+    return {}
+
+
+def _context_element(node, ev: "_EvalCtx"):
+    """Nearest element to climb ancestor-sensitive functions (lang())
+    from: the context itself when it is one, else the owner element
+    (attribute/namespace wrappers) or containing element (text wrappers,
+    comment/PI nodes)."""
+    t = type(node)
+    if t is Node:
+        return node if node.kind == ELEMENT else ev.parent(node)
+    if t is XPathText:
+        return node.parent
+    return node.owner  # XPathAttr / XPathNs
+
+
+def _nonelement_candidates(ctx, step: _Step, ev: _EvalCtx):
+    """Step candidates from a NON-ELEMENT context (attribute/namespace/
+    text wrappers, comment/PI Nodes). XPath 1.0 §2.2/§5: such nodes have
+    no children and no attributes (child/descendant/attribute/namespace
+    axes are empty); their parent is the owner element (attribute/
+    namespace) or the containing element (text/comment/PI); attribute and
+    namespace nodes additionally have NO siblings. The following::/
+    preceding:: axes compare document-order ordinals — an attribute node
+    sits after its element's start and before the element's content (§5),
+    so its following axis INCLUDES the owner's content subtree."""
+    axis, test, target = step.axis, step.test, step.pi_target
     t = type(ctx)
     if t is XPathAttr or t is XPathNs:
-        owner = ctx.owner
+        owner, index = ctx.owner, None
     elif t is XPathText:
-        owner = ctx.parent
+        owner, index = ctx.parent, ctx.index
     else:  # COMMENT / PI Node
         owner = ev.parent(ctx)
+        index = None if owner is None else _node_index(ctx, owner)
+    if axis in ("child", "descendant", "attribute", "namespace"):
+        return
+    if axis in ("self", "descendant-or-self"):
+        if _test_match(ctx, test, target):
+            yield ctx
+        return
     if owner is None:
         return
-    if step.axis == "parent":
-        chain = (owner,)
-    else:  # ancestor: owner plus its ancestors, nearest first
-        def _chain():
-            yield owner
-            yield from _ancestors(owner, ev)
-        chain = _chain()
-    test = step.test
-    for n in chain:
-        if test == "node()":
-            yield n
-        elif test == "*":
-            if n.kind == ELEMENT and n.tag != "#document":
+    if axis in ("parent", "ancestor", "ancestor-or-self"):
+        if axis == "ancestor-or-self" and _test_match(ctx, test, target):
+            yield ctx
+        if axis == "parent":
+            chain = iter((owner,))
+        else:  # owner plus its ancestors, nearest first
+
+            def _chain():
+                yield owner
+                yield from _ancestors(owner, ev)
+
+            chain = _chain()
+        for n in chain:
+            if _test_match(n, test, target):
                 yield n
-        elif n.kind == ELEMENT and n.tag == test:
+        return
+    if axis in ("following-sibling", "preceding-sibling"):
+        if t is XPathAttr or t is XPathNs:
+            return  # §2.2: attribute/namespace nodes have no siblings
+        before, after = _mixed_siblings(ctx, owner, index)
+        nodes = after if axis == "following-sibling" else before[::-1]
+        for n in nodes:
+            if _test_match(n, test, target):
+                yield n
+        return
+    # following / preceding: ordinal comparison over the whole document
+    if t is XPathAttr or t is XPathNs:
+        my_ord = ev.ordinal(owner)
+    elif t is XPathText:
+        my_ord = ev.text_ordinal(owner, index)
+    else:
+        my_ord = ev.ordinal(ctx)
+    if axis == "following":
+        for n in _subtree_all(ev.root):
+            if ev.res_ord(n) > my_ord and _test_match(n, test, target):
+                yield n
+        return
+    # preceding, nearest first; the ancestor chain (owner upwards — a
+    # non-element node's ancestors are its parent's ancestor-or-self set)
+    # is excluded per §2.2
+    anc = {id(owner)} | {id(a) for a in _ancestors(owner, ev)}
+    before = [
+        n
+        for n in _subtree_all(ev.root)
+        if ev.res_ord(n) < my_ord
+        and (type(n) is XPathText or id(n) not in anc)
+    ]
+    for n in before[::-1]:
+        if _test_match(n, test, target):
             yield n
 
 
 def _step_matches(ctx, step: _Step, ev: _EvalCtx):
     if type(ctx) is not Node or ctx.kind != ELEMENT:
         # non-element context from a preceding @attr/namespace/text()/
-        # comment()/processing-instruction() step: grammar-validated to be
-        # a parent/ancestor climb back to elements
-        candidates = _climb_candidates(ctx, step, ev)
-        if not step.preds:
-            yield from candidates
-            return
-        yield from _apply_preds(candidates, step, ev)
-        return
-    if step.axis in ("attribute", "namespace") or step.test in (
-        "text()",
-        "comment()",
-        "processing-instruction()",
-    ):
-        yield from _terminal_matches(ctx, step, ev)
-        return
-    candidates = _axis_candidates(ctx, step, ev)
+        # comment()/processing-instruction()/node() step
+        candidates = _nonelement_candidates(ctx, step, ev)
+    elif step.axis in ("attribute", "namespace"):
+        candidates = iter(_attr_ns_matches(ctx, step))
+    else:
+        candidates = _axis_candidates(ctx, step, ev)
     if not step.preds:
         yield from candidates
         return
@@ -1226,10 +1429,12 @@ def _eval_nodes(expr, node: Node, pos, size, ev: "_EvalCtx") -> list:
         ctx = [ev.root] if path.absolute else [node]
         return list(_iter_path(ctx, path, ev, pos, size))
     if op == "attr":
-        attrs = node.attrs or {}
+        attrs = _ctx_attrs(node)
         v = attrs.get(expr[1])
         return [] if v is None else [XPathAttr(expr[1], v, node)]
     if op == "text":
+        if type(node) is not Node or node.kind != ELEMENT:
+            return []
         return [
             XPathText(c, node, i)
             for i, c in enumerate(node.children)
@@ -1266,11 +1471,13 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
     if op == "str":
         return ("str", expr[1])
     if op == "attr":
-        attrs = node.attrs or {}
+        attrs = _ctx_attrs(node)
         if expr[1] in attrs:
             return ("set", [attrs[expr[1]]])
         return ("set", [])
     if op == "text":
+        if type(node) is not Node or node.kind != ELEMENT:
+            return ("set", [])
         return ("set", [c for c in node.children if type(c) is str])
     if op == "comment":
         return ("set", [c.data or "" for c in _child_kind(node, COMMENT)])
@@ -1280,7 +1487,7 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
             [_pi_value(c) for c in _eval_nodes(expr, node, pos, size, ev)],
         )
     if op == "dotval":
-        return ("set", [_string_value(node)])
+        return ("set", [_result_string(node)])
     if op == "pos":
         # pos is None only at the top level / id()-seed evaluation, where
         # the initial context is the singleton document node (XPath 1.0:
@@ -1317,7 +1524,7 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
         # a plain HTML lang attribute does not count, matching DOMXPath
         # over loadHTML.
         want = _to_string(_eval_value(expr[1], node, pos, size, ev)).lower()
-        n = node
+        n = _context_element(node, ev)
         while n is not None:
             v = (n.attrs or {}).get("xml:lang") if type(n) is Node else None
             if v is not None:
@@ -1336,7 +1543,7 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
     if op == "normalize-space":
         arg = expr[1]
         s = (
-            _string_value(node)
+            _result_string(node)
             if arg is None
             else _to_string(_eval_value(arg, node, pos, size, ev))
         )
@@ -1344,7 +1551,7 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
     if op == "string-length":
         arg = expr[1]
         s = (
-            _string_value(node)
+            _result_string(node)
             if arg is None
             else _to_string(_eval_value(arg, node, pos, size, ev))
         )
@@ -1352,7 +1559,7 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
     if op == "stringfn":
         arg = expr[1]
         s = (
-            _string_value(node)
+            _result_string(node)
             if arg is None
             else _to_string(_eval_value(arg, node, pos, size, ev))
         )
@@ -1438,7 +1645,7 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
     if op == "numberfn":
         arg = expr[1]
         if arg is None:
-            return ("num", _to_number(("str", _string_value(node))))
+            return ("num", _to_number(("str", _result_string(node))))
         return ("num", _to_number(_eval_value(arg, node, pos, size, ev)))
     if op == "bool-lit":
         return ("bool", expr[1])
@@ -1469,7 +1676,17 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
             return ("num", float(_math.floor(x)))
         return ("num", _xpath_round(x))
     if op == "namefn":
-        tag = node.tag if type(node) is Node and node.kind == ELEMENT else ""
+        # §4.1 name(): element → tag, attribute → its name, PI → its
+        # target, namespace node → its prefix; text/comment nodes (and the
+        # synthetic #document container) have no expanded-name → ''
+        t = type(node)
+        if t is XPathAttr:
+            return ("str", node.name)
+        if t is XPathNs:
+            return ("str", "xml")
+        if t is Node and node.kind == PI:
+            return ("str", _pi_target(node))
+        tag = node.tag if t is Node and node.kind == ELEMENT else ""
         return ("str", "" if tag.startswith("#") else tag)
     if op == "not":
         return ("bool", not _truth(expr[1], node, pos, size, ev))

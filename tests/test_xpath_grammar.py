@@ -112,9 +112,6 @@ def test_first_is_lazy_prefix_of_query(root):
         "///x",                          # empty step
         "bogus::x",                      # unknown axis
         "1+2",                           # not a path
-        "//td/text()/b",                 # no child continuation from text()
-        "//@id/following-sibling::td",   # no sibling continuation either
-        '//td/text()[@x]',               # only positional preds on text()
         "",                              # empty expression
     ],
 )
@@ -541,14 +538,19 @@ def test_comment_node_test():
     assert len(q(r, "//p[comment()]")) == 1
     assert len(q(r, '//p[comment() = "inner"]')) == 1
     assert len(q(r, "//div[count(.//comment()) = 4]")) == 1
-    # grammar limits: final step only, numeric preds only, forward axes
-    for bad in (
-        "//comment()/tr",
-        "//comment()[@id]",
-        "//following-sibling::comment()",
-    ):
-        with pytest.raises(ParserError):
-            compile_xpath(bad)
+    # continuations and rich predicates are legal (DOMXPath accepts them)
+    # with the §2.2 semantics: comments have no children and no attributes
+    assert q(r, "//comment()/tr") == []
+    assert q(r, "//comment()[@id]") == []
+    # '//'-anchored sibling axis: every comment with a preceding sibling
+    # ('first' and 't' open their parents, so they are excluded)
+    assert [n.data for n in q(r, "//following-sibling::comment()")] == [
+        "inner", "last",
+    ]
+    # sibling axes from a comment context walk the containing element
+    assert [n.tag for n in q(r, "//div/comment()[1]/following-sibling::*")] == [
+        "p", "table",
+    ]
 
 
 def test_processing_instruction_node_test():
@@ -581,12 +583,13 @@ def test_processing_instruction_node_test():
     assert len(q(r, "//p[processing-instruction('php')]")) == 0
     assert len(q(r, "//p[processing-instruction() = 'x ?']")) == 1
     assert len(q(r, "//div[count(.//processing-instruction()) = 3]")) == 1
-    # grammar limits mirror comment(): final step only, numeric preds,
-    # forward axes, at most one Literal argument
+    # continuations/predicates are legal with §2.2 semantics (PIs have no
+    # children or attributes; ancestors are always elements)
+    assert q(r, "//processing-instruction()/tr") == []
+    assert q(r, "//processing-instruction()[@id]") == []
+    assert q(r, "//ancestor::processing-instruction()") == []
+    # true syntax errors stay rejected: at most one Literal argument
     for bad in (
-        "//processing-instruction()/tr",
-        "//processing-instruction()[@id]",
-        "//ancestor::processing-instruction()",
         '//processing-instruction("a", "b")',
         "//processing-instruction(2)",
     ):
@@ -613,18 +616,20 @@ def test_namespace_axis():
     assert len(
         q(r, '//p[namespace::xml = "http://www.w3.org/XML/1998/namespace"]')
     ) == 1
-    # non-final namespace steps rejected like attribute steps
-    for bad in ("//namespace::*/tr", "//table/namespace::*[@id]"):
-        with pytest.raises(ParserError):
-            compile_xpath(bad)
+    # continuations/predicates are legal with §2.2 semantics: namespace
+    # nodes have no children and no attributes
+    assert q(r, "//namespace::*/tr") == []
+    assert q(r, "//table/namespace::*[@id]") == []
 
 
 def test_nonelement_parent_ancestor_climb():
     """Non-element steps may continue through parent/ancestor axes back to
     elements (XPath 1.0 §2.2: an attribute's parent is its owner element;
     a text/comment/PI node's is its containing element) — the devtools
-    shapes //@href/.. and //td/text()/ancestor::table. Any other
-    continuation from a non-element node stays an eager reject."""
+    shapes //@href/.. and //td/text()/ancestor::table. Every other
+    continuation now evaluates with §2.2 semantics too: child/descendant
+    from a non-element is empty, attributes have no siblings, text keeps
+    its element siblings."""
     html = (
         '<div><table id="a"><tr><td class="x">1<!--c--></td><td>2</td></tr>'
         '</table><table><tr><td href="h">3</td></tr></table><?php z ?></div>'
@@ -650,14 +655,20 @@ def test_nonelement_parent_ancestor_climb():
     assert [
         (n.tag, n.attrs.get("id")) for n in q(r, "//@class/ancestor::*[@id]")
     ] == [("table", "a")]
-    for bad in (
-        "//@id/following-sibling::td",
-        "//text()/self::node()",
-        "//@id/td",
-        "//comment()/descendant::p",
-    ):
-        with pytest.raises(ParserError):
-            compile_xpath(bad)
+    # formerly-rejected continuations, now evaluated per §2.2:
+    assert q(r, "//@id/following-sibling::td") == []  # attrs have no siblings
+    assert q(r, "//@id/td") == []                     # ...or children
+    assert q(r, "//comment()/descendant::p") == []    # ...comments neither
+    # self:: from a text context yields the text node itself
+    from html_table_spark.xpath import XPathText
+
+    selfs = q(r, "//text()/self::node()")
+    assert [t.value for t in selfs] == ["1", "2", "3"]
+    assert all(isinstance(t, XPathText) for t in selfs)
+    # sibling walk from a text context reaches the comment beside it
+    assert [c.data for c in q(r, "//td/text()/following-sibling::comment()")] == [
+        "c"
+    ]
 
 
 def test_pi_and_namespace_selection_map_to_not_found():
@@ -756,15 +767,67 @@ def test_round_negative_zero_sign():
     assert len(q(r, "//table[round(2.5) = 3]")) == 1
 
 
-def test_node_test_enumerates_elements_only_documented_narrowing():
-    """Pins the module-docstring narrowing: the bare node() test on the
-    element axes yields ELEMENT nodes only (comments/PIs/text need the
-    explicit node-test functions). DOMXPath would count the comment too:
-    count(//p/following::node()) is 2 there, 1 here."""
-    r, _ = parse_html_fast("<div><p>x</p><!--c--><b>y</b></div>")
-    following = q(r, "//p/following::node()")
-    assert [n.tag for n in following] == ["b"]
-    preceding = q(r, "//b/preceding::node()")
-    assert [n.tag for n in preceding] == ["p"]
-    # the explicit tests still reach the non-element kinds
-    assert len(q(r, "//div/comment()")) == 1
+def test_node_test_enumerates_every_node_kind():
+    """The bare node() test matches EVERY node kind — elements, text runs,
+    comments, PIs — exactly as DOMXPath does (this replaces the round-2/3
+    element-only narrowing the module docstring used to pin):
+    count(//p/following::node()) counts the intervening comment."""
+    from html_table_spark.htmldom import COMMENT
+    from html_table_spark.xpath import XPathText
+
+    def kinds(nodes):
+        out = []
+        for n in nodes:
+            if isinstance(n, XPathText):
+                out.append(("text", n.value))
+            elif n.kind == COMMENT:
+                out.append(("comment", n.data))
+            else:
+                out.append(("el", n.tag))
+        return out
+
+    r, _ = parse_html_fast("<div>a<p>x</p><!--c--><b>y</b></div>")
+    assert kinds(q(r, "//div/node()")) == [
+        ("text", "a"), ("el", "p"), ("comment", "c"), ("el", "b"),
+    ]
+    # positional predicates count the mixed set (§2.4)
+    assert kinds(q(r, "//div/node()[2]")) == [("el", "p")]
+    assert kinds(q(r, "//div/node()[last()]")) == [("el", "b")]
+    # document axes interleave the kinds in exact document order
+    assert kinds(q(r, "//p/following::node()")) == [
+        ("comment", "c"), ("el", "b"), ("text", "y"),
+    ]
+    assert kinds(q(r, "//b/preceding::node()")) == [
+        ("text", "a"), ("el", "p"), ("text", "x"), ("comment", "c"),
+    ]
+    assert len(q(r, "//div[count(.//p/following::node()) = 3]")) == 1
+    # //node() is every node below the root; '.' still selects any kind
+    assert kinds(q(r, "//node()")) == [
+        ("el", "div"), ("text", "a"), ("el", "p"), ("text", "x"),
+        ("comment", "c"), ("el", "b"), ("text", "y"),
+    ]
+    # general predicates evaluate on non-element contexts: string value,
+    # self:: path tests, name()
+    assert kinds(q(r, '//div/node()[normalize-space(.) = "a"]')) == [
+        ("text", "a")
+    ]
+    assert kinds(q(r, "//div/node()[self::p]")) == [("el", "p")]
+    assert kinds(q(r, '//div/node()[name() = "p"]')) == [("el", "p")]
+    # count(node()) in expression position is the child::node() path
+    assert len(q(r, "//div[count(node()) = 4]")) == 1
+
+
+def test_mixed_union_exact_document_order():
+    """Text runs consume document-order ordinals in the same DFS as
+    elements, so a union mixing text and nested elements sorts exactly:
+    the run AFTER a nested <p> must come back after it (the round-2 key
+    sorted all of a parent's text by (parent, index) and would emit 'c'
+    before the p)."""
+    from html_table_spark.xpath import XPathText
+
+    r, _ = parse_html_fast("<div>a<p>b</p>c</div>")
+    got = [
+        n.value if isinstance(n, XPathText) else n.tag
+        for n in q(r, "//div/text() | //p")
+    ]
+    assert got == ["a", "p", "c"]
