@@ -314,6 +314,10 @@ def x_xpath_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node_count": "//table[count(.//node()) = 4]",
         "node_pos_pi": "//table[tr/node()[1][self::processing-instruction()]]",
         "pi_sibling": "//table[tr/processing-instruction()/following-sibling::td]",
+        # round-3 FilterExpr path starts (§3.3): the general parenthesized
+        # form with a non-literal predicate and a trailing step — outside
+        # the (path)[N] wrapper the reference generates itself
+        "filter_start": "(//table[@class] | //p)[last()]/self::table",
     }
     parts = []
     for name, expr in selectors.items():
@@ -1458,6 +1462,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'node_pos_pi', 'menu', CAST(0 AS INT) FROM w
             UNION ALL
             SELECT doc_id, 'pi_sibling', 'menu', CAST(0 AS INT) FROM w
+            UNION ALL
+            SELECT doc_id, 'filter_start', unnest(rest),
+                   CAST(generate_subscripts(rest, 1) - 1 AS INT) FROM w
         """,
         "x_user_header": """
             WITH w AS (

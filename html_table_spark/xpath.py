@@ -44,7 +44,8 @@ paste from browser devtools:
   short ``to``), ``boolean()``, ``number()``, ``count()``, ``sum()``
   (both over paths and bare ``@attr``/``text()``/``.``), ``ceiling()``,
   ``floor()``, ``round()`` (half-up toward +inf), ``true()``, ``false()``,
-  0-arg ``name()``/``local-name()``/``namespace-uri()`` (constant ``''``
+  ``name()``/``local-name()`` (0-arg context form and 1-arg
+  document-first-node form) and ``namespace-uri()`` (constant ``''``
   on namespace-free HTML trees), ``lang()`` (xml:lang ancestor walk, the
   attribute libxml2's xmlNodeGetLang reads), UnionExpr in predicates
   (``[a | b]``, document-order merged, usable in count()/sum());
@@ -52,7 +53,10 @@ paste from browser devtools:
   ``NaN``/``Infinity`` spellings; ``id()`` as a FilterExpr path start
   (``id('t1')//tr``) and as a predicate node-set (libxml2 registers HTML
   ``@id`` as the ID attribute, first registration wins — xmlAddID)
-- top-level union ``|`` and the ``(path)[N]`` document-order wrapper
+- top-level union ``|`` and general parenthesized FilterExpr path starts
+  (XPath 1.0 §3.3) — ``(//a | //b)[last()]/tr``, ``(tr/td)[2]`` inside
+  predicates, ``count((//td)[position() < 3])`` — with the ``(path)[N]``
+  document-order wrapper kept as the fast literal-index form
 - ``processing-instruction()`` node tests (optional target literal:
   ``processing-instruction('php')``) — the tolerant tree keeps ``<?...>``
   as PI child nodes exactly as libxml2's HTML parser does, so these
@@ -71,10 +75,9 @@ paste from browser devtools:
   includes the owner's subtree), and the vacuously-empty axes (child/
   descendant/attribute from a node with no children or attributes)
 
-Everything still outside the grammar (general parenthesized path starts
-beyond the ``(path)[N]`` wrapper) raises :class:`ParserError` with the
-reference's eager-validation message, so misconfigurations surface on
-the driver, never inside a Spark task. ``$var`` references and prefixed
+Everything still outside the grammar raises :class:`ParserError` with
+the reference's eager-validation message, so misconfigurations surface
+on the driver, never inside a Spark task. ``$var`` references and prefixed
 ``ns:tag`` names also fail here — matching the reference, whose eager
 ``DOMXPath::query`` on an empty document rejects undefined variables and
 undefined namespace prefixes the same way (``Parser.php:73-80``).
@@ -202,6 +205,19 @@ class _Step:
 
 
 @dataclass(frozen=True)
+class _FilterStart:
+    """A parenthesized FilterExpr path start (XPath 1.0 §3.3):
+    ``(//a | //b)[2]/tr``. The inner union evaluates first, merged and
+    deduplicated in document order; the predicates then filter that set
+    with FORWARD positions (§3.3 — FilterExpr predicates count in
+    document order regardless of the axes inside the parentheses); any
+    trailing steps walk from the survivors."""
+
+    paths: tuple[_Path, ...]
+    preds: tuple = ()
+
+
+@dataclass(frozen=True)
 class _Path:
     steps: tuple[_Step, ...]
     absolute: bool  # True → evaluate from the document root
@@ -211,6 +227,10 @@ class _Path:
     # keep the FIRST registration, xmlAddID semantics) and `absolute` is
     # irrelevant; `steps` may be empty (bare ``id('x')``).
     id_arg: object = None
+    # parenthesized FilterExpr path start, or None. Like id_arg, the seed
+    # nodes come from the filter; `absolute` is irrelevant (each inner
+    # path carries its own flag); `steps` may be empty.
+    filter_start: _FilterStart | None = None
 
 
 # Expr AST: nested tuples
@@ -261,6 +281,8 @@ class _Parser:
     def parse_path(self) -> _Path:
         if self.peek() == ("name", "id") and self.peek(1)[0] == "lpar":
             return self._parse_id_path()
+        if self.peek()[0] == "lpar":
+            return self._parse_filter_path()
         steps: list[_Step] = []
         absolute = False
         need_step = True
@@ -288,6 +310,56 @@ class _Parser:
             self._path_sep(steps)
             steps.append(self.parse_step())
         return _Path(steps=_fuse_steps(steps), absolute=absolute)
+
+    def _parse_filter_path(self) -> _Path:
+        """``(union)[preds]/steps`` FilterExpr path start (XPath 1.0 §3.3):
+        ``(//table)[2]/tr``, ``(//a | //b)[last()]``, ``(tr/td)[2]``."""
+        self.next()  # '('
+        inner = self.parse_expr()
+        self.expect("rpar")
+        paths = self._expr_to_paths(inner)
+        preds = self._parse_preds()
+        steps: list[_Step] = []
+        while not self._at_path_end():
+            self._path_sep(steps)
+            steps.append(self.parse_step())
+        return _Path(
+            steps=_fuse_steps(steps),
+            absolute=False,
+            filter_start=_FilterStart(paths, preds),
+        )
+
+    @classmethod
+    def _expr_to_paths(cls, expr) -> tuple[_Path, ...]:
+        """The node-set paths of a parenthesized FilterExpr primary — a
+        path, a union of node-sets, or one of the bare node-set ops the
+        value grammar parses directly (``(@href)[1]``, ``(text())[2]``,
+        ``(.)``); anything non-node-set is a compile error in DOMXPath
+        too."""
+        op = expr[0]
+        if op == "path":
+            return (expr[1],)
+        if op == "union":
+            out: list[_Path] = []
+            for part in expr[1:]:
+                out.extend(cls._expr_to_paths(part))
+            return tuple(out)
+        if op == "attr":
+            return (_Path(steps=(_Step("attribute", expr[1]),), absolute=False),)
+        if op == "text":
+            return (_Path(steps=(_Step("child", "text()"),), absolute=False),)
+        if op == "comment":
+            return (_Path(steps=(_Step("child", "comment()"),), absolute=False),)
+        if op == "pi":
+            return (
+                _Path(
+                    steps=(_Step("child", "processing-instruction()", (), expr[1]),),
+                    absolute=False,
+                ),
+            )
+        if op == "dotval":
+            return (_Path(steps=(_Step("self", "node()"),), absolute=False),)
+        raise _SyntaxError()
 
     def _parse_id_path(self) -> _Path:
         """``id(expr)`` FilterExpr path start (XPath 1.0 §3.3/§4.1), with an
@@ -478,6 +550,24 @@ class _Parser:
             self.next()
             node = self.parse_expr()
             self.expect("rpar")
+            if self.peek()[0] in ("lbrak", "slash", "dslash"):
+                # parenthesized FilterExpr continued by predicates or a
+                # trailing path inside an expression: count((//td)[2]),
+                # //table[(tr/td)[2] = "x"]
+                paths = self._expr_to_paths(node)
+                preds = self._parse_preds()
+                steps: list[_Step] = []
+                while not self._at_path_end():
+                    self._path_sep(steps)
+                    steps.append(self.parse_step())
+                return (
+                    "path",
+                    _Path(
+                        steps=_fuse_steps(steps),
+                        absolute=False,
+                        filter_start=_FilterStart(paths, preds),
+                    ),
+                )
             return node
         if kind == "name" and self.peek(1)[0] == "lpar":
             if value == "id":
@@ -582,10 +672,16 @@ class _Parser:
             self.expect("rpar")
             return ("bool-lit", name == "true")
         if name in ("name", "local-name"):
-            # 0-arg form (context node); no namespaces in tolerant HTML, so
+            # 0-arg (context node) or 1-arg (document-first node of the
+            # set, §4.1); no namespaces in tolerant HTML, so
             # local-name() == name()
+            arg = None
+            if self.peek()[0] != "rpar":
+                arg = self.parse_expr()
+                if arg[0] not in self._NODESET_OPS:
+                    raise _SyntaxError()
             self.expect("rpar")
-            return ("namefn",)
+            return ("namefn", arg)
         raise _SyntaxError()
 
     def _parse_args(self):
@@ -992,12 +1088,22 @@ def _uses_position(expr) -> bool:
     for part in expr[1:]:
         if isinstance(part, tuple) and _uses_position(part):
             return True
-        if (
-            isinstance(part, _Path)
-            and part.id_arg is not None
-            and _uses_position(part.id_arg)
-        ):
+        if isinstance(part, _Path) and _path_uses_outer_position(part):
             return True
+    return False
+
+
+def _path_uses_outer_position(path: _Path) -> bool:
+    """Does the path's SEEDING read the enclosing context's position()?
+    Only id() arguments do (they evaluate in the outer context, §4.1) —
+    including id() starts nested inside a FilterExpr's inner paths.
+    FilterExpr predicates establish their own positions and don't count."""
+    if path.id_arg is not None and _uses_position(path.id_arg):
+        return True
+    if path.filter_start is not None:
+        return any(
+            _path_uses_outer_position(sp) for sp in path.filter_start.paths
+        )
     return False
 
 
@@ -1339,20 +1445,14 @@ def _step_matches(ctx, step: _Step, ev: _EvalCtx):
     yield from _apply_preds(candidates, step, ev)
 
 
-def _apply_preds(candidates, step: _Step, ev: _EvalCtx):
-    positional = any(_positional_pred(p) for p in step.preds)
-    if not positional:
-        for n in candidates:
-            if all(_truth(p, n, None, None, ev) for p in step.preds):
-                yield n
-        return
-    # positional predicates need the per-context node-set: filter the list
-    # predicate by predicate, recomputing position()/last() each round.
-    # XPath 1.0 §2.4: a predicate whose VALUE is a number means
-    # position() = number — so [last()] keeps the last node per context,
-    # not "last() is nonzero therefore everything"
-    current = list(candidates)
-    for p in step.preds:
+def _filter_nodeset(current: list, preds: tuple, ev: _EvalCtx) -> list:
+    """Apply predicates over a materialized node list, recomputing
+    position()/last() each round. XPath 1.0 §2.4: a predicate whose VALUE
+    is a number means position() = number — so [last()] keeps the last
+    node, not "last() is nonzero therefore everything". Positions count
+    in the list's order: axis order for step predicates, document order
+    for FilterExpr predicates (§3.3)."""
+    for p in preds:
         size = len(current)
         kept = []
         for i, n in enumerate(current):
@@ -1363,7 +1463,18 @@ def _apply_preds(candidates, step: _Step, ev: _EvalCtx):
             elif _truth_value(v):
                 kept.append(n)
         current = kept
-    yield from current
+    return current
+
+
+def _apply_preds(candidates, step: _Step, ev: _EvalCtx):
+    positional = any(_positional_pred(p) for p in step.preds)
+    if not positional:
+        for n in candidates:
+            if all(_truth(p, n, None, None, ev) for p in step.preds):
+                yield n
+        return
+    # positional predicates need the per-context node-set materialized
+    yield from _filter_nodeset(list(candidates), step.preds, ev)
 
 
 def _iter_path(ctx_nodes, path: _Path, ev: _EvalCtx, pos=None, size=None):
@@ -1375,6 +1486,34 @@ def _iter_path(ctx_nodes, path: _Path, ev: _EvalCtx, pos=None, size=None):
     None for top-level evaluation, where the initial context is the
     singleton document node (position()=last()=1)."""
     steps = path.steps
+    if path.filter_start is not None:
+        # FilterExpr seeding (§3.3): per context node, evaluate the inner
+        # union (absolute inner paths ignore the context), merge and dedup
+        # in document order, apply the filter predicates with FORWARD
+        # positions, then walk any trailing steps from the survivors
+        fs = path.filter_start
+        seeds: list = []
+        seen_seed: set = set()
+        for ctx in ctx_nodes:
+            merged: list = []
+            mseen: set = set()
+            for sp in fs.paths:
+                sub_ctx = [ev.root] if sp.absolute else [ctx]
+                for n in _iter_path(sub_ctx, sp, ev, pos, size):
+                    k = _node_key(n)
+                    if k not in mseen:
+                        mseen.add(k)
+                        merged.append(n)
+            merged.sort(key=ev.sort_key)
+            for n in _filter_nodeset(merged, fs.preds, ev):
+                k = _node_key(n)
+                if k not in seen_seed:
+                    seen_seed.add(k)
+                    seeds.append(n)
+        if not steps:
+            yield from seeds
+            return
+        ctx_nodes = seeds
     if path.id_arg is not None:
         # seed from the id()-matched elements; the arg is evaluated per
         # context node (so id(@ref) works), node-set args union every
@@ -1678,7 +1817,13 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
     if op == "namefn":
         # §4.1 name(): element → tag, attribute → its name, PI → its
         # target, namespace node → its prefix; text/comment nodes (and the
-        # synthetic #document container) have no expanded-name → ''
+        # synthetic #document container) have no expanded-name → ''. The
+        # 1-arg form reads the DOCUMENT-first node of the set ('' if empty)
+        if expr[1] is not None:
+            nodes = _eval_nodes(expr[1], node, pos, size, ev)
+            if not nodes:
+                return ("str", "")
+            node = min(nodes, key=ev.sort_key) if len(nodes) > 1 else nodes[0]
         t = type(node)
         if t is XPathAttr:
             return ("str", node.name)
@@ -1847,8 +1992,8 @@ def _compile_fast(path: _Path):
     identical yield order to the generic walk). Returns None when the path
     needs the generic machinery."""
     steps = path.steps
-    if path.id_arg is not None:
-        return None  # id() seeding needs the generic walk
+    if path.id_arg is not None or path.filter_start is not None:
+        return None  # id()/FilterExpr seeding needs the generic walk
     _nontag = ("*", "node()", "text()", "comment()", "processing-instruction()")
     if not steps or steps[0].axis != "descendant" or steps[0].test in _nontag:
         return None
@@ -2012,6 +2157,11 @@ def _path_needs_order_fix(path: _Path) -> bool:
         # two id() seeds can nest (id element inside another): the outer
         # seed's walk results all emit before the inner seed's, which may
         # precede in document order — same shape as non-final descendants
+        return True
+    if path.filter_start is not None:
+        # FilterExpr seeds can nest the same way when trailing steps walk
+        # from them, and multi-context predicate evaluation emits seeds
+        # per-context — one eager sort covers both
         return True
     last = len(path.steps) - 1
     for i, step in enumerate(path.steps):

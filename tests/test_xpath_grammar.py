@@ -303,7 +303,7 @@ def test_function_library(fn_root, expr, expect):
         "//table[count()]",
         "//table[+1]",               # no unary plus in XPath 1.0
         "//table[translate(1, 2)]",  # arity
-        "//table[name(x)]",          # only the 0-arg form is supported
+        '//table[name("s")]',        # name() arg must be a node-set
         "//table[true(1)]",
     ],
 )
@@ -815,6 +815,62 @@ def test_node_test_enumerates_every_node_kind():
     assert kinds(q(r, '//div/node()[name() = "p"]')) == [("el", "p")]
     # count(node()) in expression position is the child::node() path
     assert len(q(r, "//div[count(node()) = 4]")) == 1
+
+
+def test_filter_expr_path_starts():
+    """General parenthesized FilterExpr path starts (XPath 1.0 §3.3),
+    beyond the literal (path)[N] wrapper: the inner union merges in
+    document order, predicates filter with FORWARD positions, trailing
+    steps walk from the survivors — usable at the top level and inside
+    predicates/count()."""
+    html = (
+        '<table id="a"><tr><td>1</td><td>2</td></tr></table>'
+        '<p id="p1">x</p>'
+        '<table id="b"><tr><td>3</td></tr></table>'
+    )
+    r, _ = parse_html_fast(html)
+
+    def ids(expr):
+        return [(n.attrs or {}).get("id") for n in q(r, expr)]
+
+    def texts(expr):
+        return [n.text_content() for n in q(r, expr)]
+
+    assert texts("(//table)[2]/tr/td") == ["3"]
+    assert texts("(//table)[1]//td") == ["1", "2"]
+    assert ids("(//p | //table)[last()]") == ["b"]
+    assert ids("(//p | //table)[1]") == ["a"]  # document-first across branches
+    assert texts("(//td)[position() > 1]") == ["2", "3"]
+    assert texts("((//table)[2]/tr/td)[1]") == ["3"]  # nests
+    # attribute results from a filtered set
+    from html_table_spark.xpath import XPathAttr
+
+    attrs = q(r, "(//table/@id)[2]")
+    assert [a.value for a in attrs] == ["b"] and isinstance(attrs[0], XPathAttr)
+    # FilterExpr inside predicates: relative inner paths use the predicate
+    # context; bare node-set ops parenthesize too
+    assert ids('//table[(tr/td)[2] = "2"]') == ["a"]
+    assert ids('//table[(@id)[1] = "b"]') == ["b"]
+    assert ids("//table[count((.//td)[position() < 2]) = 1]") == ["a", "b"]
+    # non-node-set primaries stay compile errors (DOMXPath parity)
+    for bad in ('("s")[1]', "(1+2)/tr", "(true())[1]"):
+        with pytest.raises(ParserError):
+            compile_xpath(bad)
+
+
+def test_name_function_one_arg():
+    """name(node-set) / local-name(node-set) read the DOCUMENT-first node
+    of the set (§4.1); empty set → ''. The 0-arg context form and the
+    per-kind results (attribute name, PI target) are unchanged."""
+    html = '<div id="d"><?php x ?><p>a</p><b>c</b></div>'
+    r, _ = parse_html_fast(html)
+    assert len(q(r, '//div[name(p) = "p"]')) == 1
+    assert len(q(r, '//div[local-name(*) = "p"]')) == 1  # doc-first of {p,b}
+    assert len(q(r, '//div[name(@id) = "id"]')) == 1
+    assert len(q(r, '//div[name(processing-instruction()) = "php"]')) == 1
+    assert len(q(r, '//div[name(nosuch) = ""]')) == 1  # empty set → ''
+    with pytest.raises(ParserError):
+        compile_xpath('//div[name("str")]')  # non-node-set argument
 
 
 def test_mixed_union_exact_document_order():
