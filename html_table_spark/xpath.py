@@ -107,7 +107,7 @@ from .htmldom import COMMENT, ELEMENT, PI, Node
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<num>\d+(?:\.\d*)?|\.\d+)
   | (?P<dslash>//)
   | (?P<slash>/)
   | (?P<ddot>\.\.)

@@ -226,6 +226,22 @@ def test_number_valued_predicate_is_positional():
     assert [(n.attrs or {}).get("id") for n in q(r, "//table[string-length(@id)]")] == ["a"]
 
 
+def test_number_literal_dot_forms():
+    """XPath 1.0 §3.7: Number ::= Digits ('.' Digits?)? | '.' Digits —
+    both the leading-dot ('.5') and trailing-dot ('2.') spellings are
+    numbers, not a self-node abbreviation followed by digits."""
+    html = '<div><table id="a"></table><table id="b"></table><table id="c"></table></div>'
+    r, _ = parse_html_fast(html)
+    assert [(n.attrs or {}).get("id") for n in q(r, "(//table)[2.]")] == ["b"]
+    assert [(n.attrs or {}).get("id") for n in q(r, "(//table)[.5 + .5]")] == ["a"]
+    assert [(n.attrs or {}).get("id")
+            for n in q(r, "//table[position() - .5 > 1]")] == ["b", "c"]
+    # '.' not followed by a digit still tokenizes as the self abbreviation
+    assert len(q(r, "//table[. = '']")) == 3
+    with pytest.raises(ParserError):
+        compile_xpath("//table[1..2]")  # adjacent numbers, not a range
+
+
 # ---------------------------------------------------------------------------
 # round-3: XPath 1.0 §3.5 arithmetic + §4 core function library
 # ---------------------------------------------------------------------------
