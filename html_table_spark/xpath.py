@@ -75,9 +75,14 @@ paste from browser devtools:
   includes the owner's subtree), and the vacuously-empty axes (child/
   descendant/attribute from a node with no children or attributes)
 
-Everything still outside the grammar raises :class:`ParserError` with
-the reference's eager-validation message, so misconfigurations surface
-on the driver, never inside a Spark task. ``$var`` references and prefixed
+Top-level SCALAR expressions (``count(//td)``, ``//td = 3``) are valid
+XPath and pass the reference's eager validation — DOMXPath::query
+evaluates them without warning and coerces the non-nodeset result to an
+empty DOMNodeList — so they compile here to an empty node-set and the
+selection layer raises the same table-not-found error the reference
+does. Everything still outside the grammar raises :class:`ParserError`
+with the reference's eager-validation message, so misconfigurations
+surface on the driver, never inside a Spark task. ``$var`` references and prefixed
 ``ns:tag`` names also fail here — matching the reference, whose eager
 ``DOMXPath::query`` on an empty document rejects undefined variables and
 undefined namespace prefixes the same way (``Parser.php:73-80``).
@@ -2175,6 +2180,36 @@ def _path_needs_order_fix(path: _Path) -> bool:
     return False
 
 
+def _compile_scalar_fallback(expression: str, text: str) -> XPathExpr:
+    """Top-level expressions that are valid XPath 1.0 but not node-set
+    paths — ``count(//td)``, ``//td = 3``, ``string-length(//caption)`` —
+    are NOT eager-validation errors in the reference: PHP's
+    ``DOMXPath::query`` evaluates a scalar-valued expression without
+    warning and coerces the result to an EMPTY DOMNodeList
+    (``ext/dom/xpath.c`` forces ``XPATH_NODESET`` for query(), yielding a
+    zero-length list for non-nodeset results), so ``Parser.php:73-80``
+    accepts the expression and selection then fails with the
+    table-not-found error. Mirror that: if the full value grammar parses
+    the text as a scalar expression, compile to an empty node-set.
+    Node-set-valued expressions never land here (``parse_union`` accepts
+    every node-set form, including FilterExpr/id() starts), so a fallback
+    parse that yields a node-set op means the path grammar and the value
+    grammar disagree — treat it as invalid rather than silently dropping
+    real nodes."""
+    try:
+        parser = _Parser(_tokenize(text))
+        value = parser.parse_expr()
+        if not parser.at_end():
+            raise _SyntaxError()
+        if value[0] in _Parser._NODESET_OPS:
+            raise _SyntaxError()
+    except (_SyntaxError, IndexError, ValueError):
+        raise ParserError(msg_invalid_xpath(expression)) from None
+    return XPathExpr(
+        paths=(), outer_index=None, source=expression, needs_order_fix=False
+    )
+
+
 def compile_xpath(expression: str) -> XPathExpr:
     """Parse ``expression`` or raise ``ParserError`` (reference message,
     ``Parser.php:77``)."""
@@ -2190,7 +2225,11 @@ def compile_xpath(expression: str) -> XPathExpr:
         if not parser.at_end():
             raise _SyntaxError()
     except _SyntaxError:
-        raise ParserError(msg_invalid_xpath(expression)) from None
+        # Re-parse the ORIGINAL stripped text, not the _OUTER_RE-stripped
+        # inner: '(count(//td))[1]' must route through _expr_to_paths,
+        # which rejects predicates on scalars exactly as libxml2's eval
+        # type error (and hence the reference's eager validation) does.
+        return _compile_scalar_fallback(expression, expression.strip())
     except (IndexError, ValueError):
         raise ParserError(msg_invalid_xpath(expression)) from None
     # the fast-path automaton yields strict document order by itself, so

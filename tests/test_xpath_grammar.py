@@ -111,13 +111,26 @@ def test_first_is_lazy_prefix_of_query(root):
         '//table[@id=]',                 # missing comparand
         "///x",                          # empty step
         "bogus::x",                      # unknown axis
-        "1+2",                           # not a path
         "",                              # empty expression
+        "//td | count(//p)",             # union operand must be a node-set
+        "(count(//td))[1]",              # predicate on a scalar (eval type error)
     ],
 )
 def test_eager_validation_rejects(bad):
     with pytest.raises(ParserError):
         compile_xpath(bad)
+
+
+@pytest.mark.parametrize(
+    "expr",
+    ["count(//td)", "//td = 3", "1+2", "string(//p)", "not(//table)", "true()"],
+)
+def test_scalar_expression_selects_nothing(root, expr):
+    """Valid scalar-valued XPath passes the reference's eager validation —
+    DOMXPath::query coerces a non-nodeset result to an EMPTY DOMNodeList
+    without warning (ext/dom/xpath.c) — so selection proceeds and fails
+    with table-not-found, never ParserError."""
+    assert compile_xpath(expr).query(root) == []
 
 
 @pytest.mark.parametrize(
