@@ -139,7 +139,20 @@ def table_to_json(extracted: DataFrame) -> DataFrame:
     (pre-round-2 parquet) fall back to one-cell rows. Null-valued keys
     (``"caption": null``, null-filled cells) are kept, matching PHP
     json_encode (``ignoreNullFields=false``; Spark always keeps null map
-    values)."""
+    values).
+
+    PHP list-vs-object parity (round-3 VERDICT item 4): PHP coerces
+    canonical integer-string array keys to int keys, and ``json_encode``
+    emits a JSON *array* (not object) iff the keys are exactly
+    ``0..n-1`` in insertion order (``array_is_list``). ``combineArray``
+    inserts in header order, so a header of exactly
+    ``["0","1",...,"n-1"]`` makes every row serialize positionally —
+    e.g. an extracted header row whose cells are ``0,1,2``. Any other
+    numeric-string header (``["1","2"]`` offset, ``["0","2"]`` gapped,
+    ``["1","0"]`` reordered, ``["00","1"]`` non-canonical) keeps object
+    rows because the coerced keys are not a 0-based in-order list.
+    Rows on this path are still combineArray-projected (header width,
+    null-fill) — only the JSON shape changes."""
     cells = F.filter(F.col("spans"), lambda s: s["kind"] == "cell")
     texts = F.transform(cells, lambda s: s["text"])
     lens = F.col("row_lens")
@@ -173,8 +186,34 @@ def table_to_json(extracted: DataFrame) -> DataFrame:
             ),
         ),
     )
+    # combineArray-projected positional rows for the PHP list case
+    projected_rows = F.transform(
+        rows,
+        lambda row: F.transform(
+            F.sequence(F.lit(0), F.size(header) - F.lit(1)),
+            lambda j: F.get(row, j),
+        ),
+    )
+    # header == ["0","1",...,"n-1"] exactly: PHP int-key coercion turns
+    # these into keys 0..n-1 in insertion order → array_is_list → JSON
+    # array. int→string cast is canonical decimal, so "00"/"+1"/" 1"
+    # headers never compare equal and correctly stay objects.
+    header_is_php_list = header == F.transform(
+        F.sequence(F.lit(0), F.size(header) - F.lit(1)),
+        lambda i: i.cast("string"),
+    )
     opts = {"ignoreNullFields": "false"}
     js = F.when(
+        (F.size(header) > 0) & header_is_php_list,
+        F.to_json(
+            F.struct(
+                F.col("caption").alias("caption"),
+                header.alias("header"),
+                projected_rows.alias("rows"),
+            ),
+            opts,
+        ),
+    ).when(
         F.size(header) > 0,
         F.to_json(
             F.struct(

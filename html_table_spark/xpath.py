@@ -395,7 +395,7 @@ class _Parser:
         if kind == "axis":
             axis = value[:-2]
             if axis not in _AXES:
-                raise _SyntaxError()  # namespace::, unknown axes
+                raise _SyntaxError()  # unknown axis names (all 13 XPath 1.0 axes, incl. namespace::, are in _AXES)
             self.next()
             kind, value = self.peek()
         if kind == "ddot":
@@ -2195,13 +2195,37 @@ def _compile_scalar_fallback(expression: str, text: str) -> XPathExpr:
     every node-set form, including FilterExpr/id() starts), so a fallback
     parse that yields a node-set op means the path grammar and the value
     grammar disagree — treat it as invalid rather than silently dropping
-    real nodes."""
+    real nodes.
+
+    One carve-out: ``position()`` / ``last()`` used at the TOP level
+    (outside any predicate) have no context position — libxml2 raises
+    XPATH_INVALID_CTXT_POSITION when they are evaluated without one, so
+    ``DOMXPath::query`` emits a warning and the reference's eager
+    validation raises. Predicates carry their own context position, and
+    their sub-expressions live inside ``_Step.preds`` (not in the value
+    AST's tuple arms), so a tuple walk that skips ``('path', …)`` arms
+    sees exactly the context-position-free scope."""
+
+    def _uses_ctx_position(expr) -> bool:
+        if not isinstance(expr, tuple):
+            return False
+        if expr[0] in ("pos", "last"):
+            return True
+        if expr[0] == "path":
+            # predicates inside the path evaluate with their own
+            # context position; nothing else of a path is an expression
+            return False
+        return any(_uses_ctx_position(arm) for arm in expr[1:])
+
     try:
         parser = _Parser(_tokenize(text))
         value = parser.parse_expr()
         if not parser.at_end():
             raise _SyntaxError()
         if value[0] in _Parser._NODESET_OPS:
+            raise _SyntaxError()
+        if _uses_ctx_position(value):
+            # top-level position()/last(): XPATH_INVALID_CTXT_POSITION
             raise _SyntaxError()
     except (_SyntaxError, IndexError, ValueError):
         raise ParserError(msg_invalid_xpath(expression)) from None

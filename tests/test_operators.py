@@ -601,6 +601,53 @@ def test_table_to_json_reference_shape(spark):
     assert parsed2["caption"] is None
 
 
+def test_table_to_json_php_numeric_key_golden(spark):
+    """PHP json_encode list-vs-object golden (round-3 VERDICT item 4).
+
+    PHP coerces canonical integer-string array keys to ints (PHP manual,
+    "Arrays": "Strings containing valid decimal ints ... will be cast to
+    the int type"), and json_encode emits a JSON ARRAY iff the keys are
+    exactly 0..n-1 in insertion order (array_is_list). combineArray
+    (Parser.php:614-622) inserts in header order, so the JSON row shape
+    depends on the header names:
+
+      header ["0","1"]  → keys 0,1 in order   → list  → ["a","b"]
+      header ["1","2"]  → keys 1,2 (no 0)     → object {"1":..,"2":..}
+      header ["1","0"]  → keys out of order   → object {"1":..,"0":..}
+      header ["00","1"] → "00" stays a string → object {"00":..,"1":..}
+      header ["0","x"]  → mixed               → object {"0":..,"x":..}
+
+    No PHP runtime in this sandbox — the expectations are hand-encoded
+    from the documented public semantics above."""
+    import json as _json
+
+    from html_table_spark.config import ParserConfig
+    from html_table_spark.operators.extract import extract_tables
+    from html_table_spark.operators.tabular import table_to_json
+    from html_table_spark.sources.documents import documents_from_html
+
+    html = "<table><tr><td>a</td><td>b</td></tr></table>"
+
+    def js_for(header):
+        docs = documents_from_html(spark, [html], ["d"])
+        cfg = ParserConfig().with_table_header(header)
+        out = table_to_json(extract_tables(docs, cfg)).collect()
+        return _json.loads(out[0].js)
+
+    # sequential-from-zero numeric-string header → PHP list → JSON array
+    assert js_for(["0", "1"])["rows"] == [["a", "b"]]
+    # projection still applies on the list path: width 3 → null-fill
+    assert js_for(["0", "1", "2"])["rows"] == [["a", "b", None]]
+    # offset / reordered / non-canonical / mixed keys stay JSON objects
+    assert js_for(["1", "2"])["rows"] == [{"1": "a", "2": "b"}]
+    out_rev = js_for(["1", "0"])["rows"]
+    assert out_rev == [{"1": "a", "0": "b"}]
+    # insertion (header) order is preserved in the object, like PHP
+    assert list(out_rev[0]) == ["1", "0"]
+    assert js_for(["00", "1"])["rows"] == [{"00": "a", "1": "b"}]
+    assert js_for(["0", "x"])["rows"] == [{"0": "a", "x": "b"}]
+
+
 def test_simhash_four_band_recall_guarantee(spark):
     """Pigeonhole: 4 disjoint 16-bit bands find EVERY hamming<=3 pair —
     including pairs whose differing bits all fall inside the top 16 bits,

@@ -134,6 +134,42 @@ def test_scalar_expression_selects_nothing(root, expr):
 
 
 @pytest.mark.parametrize(
+    "expr",
+    [
+        "position()",                    # no context position at top level
+        "last()",
+        "position() + 1",
+        "count(//td) = position()",
+        "concat('x', string(last()))",
+        "not(last() > 2)",
+    ],
+)
+def test_top_level_context_position_rejected(expr):
+    """position()/last() OUTSIDE a predicate have no context position:
+    libxml2 raises XPATH_INVALID_CTXT_POSITION, DOMXPath::query warns, and
+    the reference's eager validation (Parser.php:73-80) raises — so the
+    scalar fallback must reject these instead of compiling to an empty
+    selection (round-4 ADVICE)."""
+    with pytest.raises(ParserError):
+        compile_xpath(expr)
+
+
+@pytest.mark.parametrize(
+    "expr,count",
+    [
+        # per-parent first table child: #a under #top, #c under the div
+        ("//table[position() = 1]", 2),
+        ("//td[last()]", 4),
+        ("//table[count(../p) = position()]", 1),
+    ],
+)
+def test_predicate_context_position_still_accepted(root, expr, count):
+    """The top-level rejection must NOT leak into predicates, which carry
+    their own context position."""
+    assert len(q(root, expr)) == count
+
+
+@pytest.mark.parametrize(
     "expr,expect",
     [
         # sibling axes (round-3 VERDICT item 3); reverse axes count
