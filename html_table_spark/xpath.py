@@ -1574,6 +1574,10 @@ def _eval_nodes(expr, node: Node, pos, size, ev: "_EvalCtx") -> list:
         return list(_iter_path(ctx, path, ev, pos, size))
     if op == "attr":
         attrs = _ctx_attrs(node)
+        if expr[1] == "*":
+            # @* in expression position: ALL attribute nodes, markup order
+            # (libxml2 stores attributes in declaration order)
+            return [XPathAttr(k, v, node) for k, v in attrs.items()]
         v = attrs.get(expr[1])
         return [] if v is None else [XPathAttr(expr[1], v, node)]
     if op == "text":
@@ -1616,6 +1620,9 @@ def _eval_value(expr, node: Node, pos, size, ev: _EvalCtx):
         return ("str", expr[1])
     if op == "attr":
         attrs = _ctx_attrs(node)
+        if expr[1] == "*":
+            # all attribute values (string values), markup order
+            return ("set", list(attrs.values()))
         if expr[1] in attrs:
             return ("set", [attrs[expr[1]]])
         return ("set", [])
@@ -1979,6 +1986,7 @@ def _attr_eq_preds(preds) -> list[tuple[str, str]] | None:
             p[0] == "cmp"
             and p[1] == "="
             and p[2][0] == "attr"
+            and p[2][1] != "*"  # [@*="v"] is any-attribute, not a lookup
             and p[3][0] == "str"
         ):
             out.append((p[2][1], p[3][1]))

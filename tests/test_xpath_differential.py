@@ -1,0 +1,535 @@
+"""XPath 1.0 differential oracle: ``xpath.py`` vs the JDK's built-in
+``javax.xml.xpath`` engine (Xalan-derived, full XPath 1.0), reached
+through the Spark JVM via py4j — round-3 VERDICT item 2.
+
+The verdict suggested lxml; lxml is not installed in this sandbox, and
+the JDK engine is an equally independent, spec-complete implementation
+(different codebase from both libxml2 and this repo). The bridge:
+
+- Fixtures are XML-CLEAN documents (lowercase tags, quoted attrs,
+  explicit end tags, no entities/CDATA/namespaces) built from a nested
+  Python structure, so the tolerant HTML parser and the JDK's XML
+  DocumentBuilder produce isomorphic trees — asserted node-for-node by
+  ``test_tree_parity`` before any XPath comparison is trusted.
+- Every element carries a generated ``sig`` attribute (present in the
+  SOURCE, hence identical in both trees): cross-engine node identity is
+  compared by signature instead of by structural climbs, keeping py4j
+  round trips per result node O(1) for elements.
+- Node-set results are compared as multisets (Xalan's NodeList order for
+  attribute nodes of one element is implementation-defined); DOCUMENT
+  ORDER of this repo's results is asserted separately against its own
+  ``sort_key`` — order regressions still fail, without depending on
+  Xalan's ordering quirks.
+- Scalar expressions are typed by the corpus author and compared via the
+  JDK's NUMBER/STRING/BOOLEAN result types (NaN==NaN; 1e-9 relative
+  tolerance on floats).
+
+Documented exclusions (not differential-able here, covered by unit
+tests instead):
+- ``id()``: the JDK resolves IDs only through a DTD; libxml2's
+  HTML-parsed trees treat ``@id`` as an ID attribute without one
+  (tests/test_xpath_grammar.py pins the reference behavior).
+- ``namespace::``/``lang()``: HTML-parsed libxml2 trees have the fixed
+  single implicit ``xml`` binding this repo mirrors; XML trees differ.
+- ``$var`` / ``ns:tag`` prefixes: eager ParserError parity with
+  DOMXPath::query, verified in the grammar tests.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from html_table_spark import xpath as X
+from html_table_spark.htmldom import (
+    COMMENT,
+    ELEMENT,
+    PI,
+    Node,
+    parse_html_fast,
+)
+
+# ---------------------------------------------------------------------------
+# fixture documents
+# ---------------------------------------------------------------------------
+# element = (tag, {attrs}, [children]); child = str | element
+#         | ("#comment", text) | ("#pi", target, data)
+
+HAND_1 = (
+    "doc", {}, [
+        ("div", {"id": "top", "class": "a x"}, [
+            ("p", {"class": "ax"}, ["alpha zebra"]),
+            ("p", {}, ["beta", ("b", {}, ["mid"]), "gamma"]),
+            ("#comment", "note-1"),
+            ("span", {"data-n": "2"}, ["s1"]),
+            ("span", {"data-n": "3"}, ["s2", ("b", {}, ["bb"])]),
+        ]),
+        ("table", {"id": "t1"}, [
+            ("caption", {}, ["cap"]),
+            ("tr", {}, [
+                ("td", {"id": "c1", "data-n": "1"}, ["one", ("b", {}, ["q"])]),
+                ("td", {"data-n": "4"}, ["two"]),
+            ]),
+            ("tr", {}, [
+                ("td", {}, [
+                    ("table", {"id": "t2"}, [
+                        ("tr", {}, [("td", {}, ["inner"])]),
+                    ]),
+                ]),
+                ("th", {"class": "hh"}, ["h1"]),
+            ]),
+        ]),
+        ("#pi", "tgt", "pi-data"),
+        ("u", {}, ["tail"]),
+        ("em", {}, [" z "]),
+    ],
+)
+
+HAND_2 = (
+    "doc", {}, [
+        ("div", {}, [
+            ("i", {"class": "a"}, ["i1"]),
+            ("i", {}, []),
+            ("#comment", "c2"),
+            ("i", {"class": "b c"}, ["i3"]),
+            ("div", {}, [
+                ("p", {"id": "deep"}, [
+                    "t1", ("#comment", "inner"), "t2",
+                    ("span", {"data-n": "5"}, ["five"]),
+                ]),
+            ]),
+        ]),
+        ("p", {"data-n": "-2"}, ["  spaced   text  "]),
+        ("table", {}, [
+            ("tr", {}, [("th", {}, ["a"]), ("th", {}, ["b"])]),
+            ("tr", {}, [("td", {"data-n": "10"}, ["1"]),
+                        ("td", {"data-n": "20"}, ["2"])]),
+            ("tr", {}, [("td", {}, []), ("td", {}, ["z", ("i", {}, ["zz"])])]),
+        ]),
+    ],
+)
+
+# structurally neutral tags only: table tags (and nested <p>) trigger the
+# tolerant parser's HTML implied-end rules, which an XML parser lacks —
+# table coverage lives in the hand fixtures where the nesting is valid
+_TAG_POOL = ["div", "span", "b", "i", "u", "em"]
+_WORDS = ["alpha", "beta", "gamma", "zebra", "quick", "zz", "q", " ", "x y"]
+_CLASSES = ["a", "b", "a x", "hh", "ax"]
+
+
+def _random_tree(seed: int):
+    """Deterministic pseudo-random fixture: nested elements, text runs,
+    comments, numeric attrs — the cross-product surface hand-written
+    fixtures can't enumerate."""
+    rng = random.Random(seed)
+    counter = [0]
+
+    def build(depth: int):
+        counter[0] += 1
+        tag = rng.choice(_TAG_POOL)
+        attrs = {}
+        if rng.random() < 0.4:
+            attrs["class"] = rng.choice(_CLASSES)
+        if rng.random() < 0.3:
+            attrs["data-n"] = str(rng.randint(-3, 9))
+        if rng.random() < 0.2:
+            attrs["id"] = f"r{seed}-{counter[0]}"
+        children = []
+        n_kids = rng.randint(0, 4 if depth < 4 else 0)
+        for _ in range(n_kids):
+            roll = rng.random()
+            if roll < 0.45:
+                children.append(build(depth + 1))
+            elif roll < 0.85:
+                children.append(rng.choice(_WORDS))
+            else:
+                children.append(("#comment", rng.choice(_WORDS)))
+        return (tag, attrs, children)
+
+    kids = [build(1) for _ in range(5)]
+    return ("doc", {}, kids)
+
+
+def _emit(tree) -> str:
+    """Serialize the structure to XML, stamping every element with a
+    unique ``sig`` attribute (in the SOURCE — both engines parse it)."""
+    out: list[str] = []
+    counter = [0]
+
+    def walk(node):
+        if isinstance(node, str):
+            out.append(node)
+            return
+        if node[0] == "#comment":
+            out.append(f"<!--{node[1]}-->")
+            return
+        if node[0] == "#pi":
+            out.append(f"<?{node[1]} {node[2]}?>")
+            return
+        tag, attrs, children = node
+        counter[0] += 1
+        sig = f"s{counter[0]:04d}"
+        attr_s = "".join(f' {k}="{v}"' for k, v in attrs.items())
+        out.append(f'<{tag} sig="{sig}"{attr_s}>')
+        for c in children:
+            walk(c)
+        out.append(f"</{tag}>")
+
+    walk(tree)
+    return "".join(out)
+
+
+FIXTURES = {
+    "hand1": _emit(HAND_1),
+    "hand2": _emit(HAND_2),
+    "rand1": _emit(_random_tree(1234)),
+    "rand2": _emit(_random_tree(99)),
+}
+
+
+# ---------------------------------------------------------------------------
+# engine bridges
+# ---------------------------------------------------------------------------
+
+
+class _Jdk:
+    """javax.xml.xpath bridge over the Spark session's JVM."""
+
+    def __init__(self, spark):
+        self.jvm = spark._jvm
+        dbf = self.jvm.javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        self.builder = dbf.newDocumentBuilder()
+        self.xp = self.jvm.javax.xml.xpath.XPathFactory.newInstance().newXPath()
+        XC = self.jvm.javax.xml.xpath.XPathConstants
+        self.NODESET, self.NUMBER = XC.NODESET, XC.NUMBER
+        self.STRING, self.BOOLEAN = XC.STRING, XC.BOOLEAN
+
+    def parse(self, xml: str):
+        bais = self.jvm.java.io.ByteArrayInputStream(bytearray(xml, "utf8"))
+        return self.builder.parse(bais)
+
+    def nodes(self, doc, expr: str) -> list:
+        res = self.xp.compile(expr).evaluate(doc, self.NODESET)
+        return [res.item(i) for i in range(res.getLength())]
+
+    def sig(self, jnode) -> str:
+        t = jnode.getNodeType()
+        if t == 9:  # DOCUMENT_NODE
+            return "#doc"
+        if t == 1:  # ELEMENT_NODE
+            return jnode.getAttribute("sig")
+        if t == 2:  # ATTRIBUTE_NODE
+            owner = jnode.getOwnerElement()
+            return f"{self.sig(owner)}@{jnode.getNodeName()}"
+        # text / comment / PI: parent sig + child index
+        parent = jnode.getParentNode()
+        kids = parent.getChildNodes()
+        for i in range(kids.getLength()):
+            if kids.item(i).isSameNode(jnode):
+                return f"{self.sig(parent)}:{i}"
+        raise AssertionError("node not found under its own parent")
+
+
+@pytest.fixture(scope="module")
+def jdk(spark):
+    return _Jdk(spark)
+
+
+@pytest.fixture(scope="module")
+def parsed(jdk):
+    """(my_root, jdk_doc, my parent/index map) per fixture."""
+    out = {}
+    for name, xml in FIXTURES.items():
+        root, errors = parse_html_fast(xml)
+        assert not errors, f"{name}: tolerant parse errors {errors}"
+        idx = {}
+
+        def walk(n):
+            for i, c in enumerate(n.children):
+                if type(c) is Node:
+                    idx[id(c)] = (n, i)
+                    walk(c)
+
+        walk(root)
+        out[name] = (root, jdk.parse(xml), idx)
+    return out
+
+
+def my_sig(root, idx, n) -> str:
+    t = type(n)
+    if t is Node:
+        if n is root:
+            return "#doc"
+        if n.kind == ELEMENT:
+            return n.attrs.get("sig", "#nosig")
+        parent, i = idx[id(n)]
+        return f"{my_sig(root, idx, parent)}:{i}"
+    if t is X.XPathAttr:
+        return f"{my_sig(root, idx, n.owner)}@{n.name}"
+    if t is X.XPathText:
+        return f"{my_sig(root, idx, n.parent)}:{n.index}"
+    raise AssertionError(f"unexpected result kind {n!r}")
+
+
+# ---------------------------------------------------------------------------
+# precondition: the two parsers build isomorphic trees
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_tree_parity(parsed, name):
+    root, jdoc, _ = parsed[name]
+
+    def compare(mine: Node, theirs, path: str):
+        kids = theirs.getChildNodes()
+        assert len(mine.children) == kids.getLength(), (
+            f"{name}{path}: child count {len(mine.children)} != "
+            f"{kids.getLength()}"
+        )
+        for i, c in enumerate(mine.children):
+            jc = kids.item(i)
+            jt = jc.getNodeType()
+            where = f"{path}/{i}"
+            if type(c) is str:
+                assert jt == 3, f"{name}{where}: text vs type {jt}"
+                assert c == jc.getNodeValue(), f"{name}{where}: text differs"
+            elif c.kind == COMMENT:
+                assert jt == 8, f"{name}{where}: comment vs type {jt}"
+            elif c.kind == PI:
+                assert jt == 7, f"{name}{where}: PI vs type {jt}"
+            else:
+                assert jt == 1, f"{name}{where}: element vs type {jt}"
+                assert c.tag == jc.getNodeName(), f"{name}{where}: tag"
+                jattrs = jc.getAttributes()
+                names = {
+                    jattrs.item(k).getNodeName(): jattrs.item(k).getNodeValue()
+                    for k in range(jattrs.getLength())
+                }
+                assert dict(c.attrs) == names, f"{name}{where}: attrs"
+                compare(c, jc, where)
+
+    compare(root, jdoc, "")
+
+
+# ---------------------------------------------------------------------------
+# node-set expression corpus
+# ---------------------------------------------------------------------------
+
+_AXES = [
+    "child", "descendant", "descendant-or-self", "self", "parent",
+    "ancestor", "ancestor-or-self", "following", "preceding",
+    "following-sibling", "preceding-sibling",
+]
+
+_PREDS = [
+    "1", "2", "last()", "last() - 1", "position() = 2", "position() > 1",
+    "position() < last()", "position() mod 2 = 1", "@id", "@class",
+    "@class = 'a x'", "not(@id)", "b", ".//i", "count(*) > 1",
+    "string-length(.) > 4", "contains(., 'z')", "starts-with(@class, 'a')",
+    "normalize-space(.) = 'q'", "self::td", "following-sibling::*",
+    "text()", "comment()", "(b | i)", "number(@data-n) > 2",
+    "@data-n * 2 >= 4", "concat(@id, '') != ''", "name() = 'td'",
+    "string(.) = string(preceding-sibling::*[1])",
+]
+
+
+def _nodeset_corpus() -> list[str]:
+    exprs: list[str] = []
+    for t in ["div", "p", "b", "td", "table", "i", "span"]:
+        exprs += [f"//{t}", f"/descendant::{t}", f"//{t}/*", f"//{t}/.."]
+    for axis in _AXES:
+        exprs += [
+            f"//td/{axis}::*",
+            f"//td/{axis}::node()",
+            f"//b/{axis}::span",
+            f"//i/{axis}::*[1]",
+            f"//td/{axis}::*[last()]",
+        ]
+    for pred in _PREDS:
+        exprs += [f"//td[{pred}]", f"//*[{pred}]", f"//span[{pred}]"]
+    exprs += [
+        # non-element final steps
+        "//*/@id", "//*/@*", "//td/@data-n", "//p/text()", "//table//text()",
+        "//div/comment()", "//*/comment()", "//doc/processing-instruction()",
+        "//doc/processing-instruction('tgt')", "//*/text()",
+        "//p/node()", "//td/node()",
+        # unions
+        "//b | //i", "//td/@id | //th/@class", "//p/text() | //p/b",
+        "//b[1] | //i[last()]", "//table | //table//table",
+        # chains / nesting / positional
+        "//table//td", "//table//td/b", "//table/tr/td[2]",
+        "//tr[td[2]]", "//tr[td[last()]]", "//table[.//tr[2]]",
+        "//td[../th]", "//td[1]/ancestor::table", "//td/ancestor-or-self::table",
+        "(//td)[2]", "(//td)[last()]", "(//b | //i)[2]", "(//td/@data-n)[1]",
+        "//div/p/following-sibling::*[1]", "//p/preceding-sibling::node()",
+        "//*[name() = 'table']//*[name() = 'td']",
+        "/doc/*", "/doc/div[1]/p", "/doc//span", "/", "/doc",
+        "//td/self::td", "//td/self::th", "//*[not(*)]",
+        "//*[text() and comment()]", "//*[* and not(@*)]",
+        "//*[sum(.//@data-n) > 3]", "//*[count(preceding::*) < 3]",
+        "//table/descendant::*[position() = count(ancestor::*)]",
+        "//*[substring(name(), 1, 1) = 't']",
+        "//*[translate(@class, 'abc', 'xyz') = 'x']",
+        "//span[@data-n = //td/@data-n]",
+        "//td[. = //th]", "//p[.. = /doc/div]",
+        "//*[string() = 'q']", "//*[boolean(@data-n)]",
+        # @* in expression position (round-4 differential catch)
+        "//*[* and not(@*)]", "//*[@* = 'a x']", "//*[count(@*) > 2]",
+        "//*[@*]", "//td[@* = 1]", "//*[not(@*)]",
+        "//*[floor(@data-n) = @data-n]",
+        "//*[@data-n < 0]", "//*[-@data-n > 1]",
+        "//*[@data-n div 2 = 1]", "//*[@data-n mod 2 = 0]",
+    ]
+    # the corpus is de-duplicated but order-stable for stable test ids
+    seen: set[str] = set()
+    uniq = []
+    for e in exprs:
+        if e not in seen:
+            seen.add(e)
+            uniq.append(e)
+    return uniq
+
+
+_NODESET_CORPUS = _nodeset_corpus()
+
+
+@pytest.mark.parametrize("expr", _NODESET_CORPUS)
+def test_nodeset_differential(parsed, jdk, expr):
+    for name, (root, jdoc, idx) in parsed.items():
+        mine = X.compile_xpath(expr).query(root)
+        my = [my_sig(root, idx, n) for n in mine]
+        theirs = [jdk.sig(n) for n in jdk.nodes(jdoc, expr)]
+        assert sorted(my) == sorted(theirs), (
+            f"{name} {expr!r}: mine={sorted(my)} jdk={sorted(theirs)}"
+        )
+        # document-order self-check (independent of Xalan's ordering)
+        ev = X._EvalCtx(root)
+        keys = [ev.sort_key(n) for n in mine]
+        assert keys == sorted(keys), f"{name} {expr!r}: result not in doc order"
+
+
+def test_corpus_size():
+    """The verdict asked for a 100+ expression differential corpus."""
+    assert len(_NODESET_CORPUS) >= 200
+    assert len(_SCALAR_CORPUS) >= 50
+
+
+# ---------------------------------------------------------------------------
+# scalar expression corpus (typed by author, compared via JDK result types)
+# ---------------------------------------------------------------------------
+
+_SCALAR_CORPUS: list[tuple[str, str]] = [
+    # numbers
+    ("num", "count(//td)"),
+    ("num", "count(//table//text())"),
+    ("num", "count(//*[@id])"),
+    ("num", "count(//b | //i)"),
+    ("num", "count(//*/@data-n)"),
+    ("num", "sum(//td/@data-n)"),
+    ("num", "sum(//*/@data-n)"),
+    ("num", "string-length(string(//p))"),
+    ("num", "string-length(normalize-space(//p))"),
+    ("num", "floor(sum(//td/@data-n) div 2)"),
+    ("num", "ceiling(count(//td) div 4)"),
+    ("num", "round(2.5)"),
+    ("num", "round(-2.5)"),
+    ("num", "round(-0.5)"),
+    ("num", "number('12.5')"),
+    ("num", "number(' 7 ')"),
+    ("num", "number('1e3')"),           # XPath numbers have no exponent: NaN
+    ("num", "number('Infinity')"),      # not an XPath number: NaN
+    ("num", "number('')"),
+    ("num", "number(true())"),
+    ("num", "7 mod 3"),
+    ("num", "-7 mod 3"),
+    ("num", "7 mod -3"),
+    ("num", "7 div 2"),
+    ("num", "1 div 0"),
+    ("num", "-1 div 0"),
+    ("num", "0 div 0"),
+    ("num", "2 + 3 * 4 - 1"),
+    ("num", "(2 + 3) * -2"),
+    ("num", "count(//td[@data-n > 1])"),
+    ("num", "number(//td/@data-n)"),    # first node in document order
+    ("num", "string-length(//p)"),
+    # strings
+    ("str", "name(//td)"),
+    ("str", "local-name(//*)"),
+    ("str", "name(//nosuchtag)"),
+    ("str", "string(//p)"),
+    ("str", "string(//nosuchtag)"),
+    ("str", "normalize-space(//p)"),
+    ("str", "normalize-space('  a  b  ')"),
+    ("str", "concat(name(//table), '-', string(count(//tr)))"),
+    ("str", "substring(string(//p), 2, 5)"),
+    ("str", "substring('12345', 1.5, 2.6)"),   # spec §4.2 rounding golden
+    ("str", "substring('12345', 0)"),
+    ("str", "substring-before('a-b-c', '-')"),
+    ("str", "substring-after('a-b-c', '-')"),
+    ("str", "substring-after('abc', 'z')"),
+    ("str", "translate('abcabc', 'ab', 'BA')"),
+    ("str", "translate('abc', 'abc', 'x')"),   # unmapped chars drop
+    ("str", "string(1 div 0)"),
+    ("str", "string(-1 div 0)"),
+    ("str", "string(0 div 0)"),
+    ("str", "string(2 + 2)"),
+    ("str", "string(0.5 + 0.25)"),
+    ("str", "string(//td[3])"),
+    ("str", "string(//td/@data-n)"),
+    # booleans
+    ("bool", "boolean(//nosuchtag)"),
+    ("bool", "boolean(//td)"),
+    ("bool", "not(//td[@id])"),
+    ("bool", "contains(string(//p), 'z')"),
+    ("bool", "starts-with(string(//p), 'al')"),
+    ("bool", "//td = //th"),
+    ("bool", "//td != //td"),
+    ("bool", "count(//td) > count(//th)"),
+    ("bool", "string(//b) = string(//i)"),
+    ("bool", "//td/@data-n = 4"),
+    ("bool", "//td/@data-n < //th"),
+    ("bool", "true() and false()"),
+    ("bool", "true() or false()"),
+    ("bool", "not(1 = 2) and 2 >= 2"),
+    ("bool", "'' = ''"),
+    ("bool", "0 = false()"),
+    ("bool", "'a' != 'b'"),
+]
+
+
+def _my_scalar(root, expr: str):
+    parser = X._Parser(X._tokenize(expr))
+    ast = parser.parse_expr()
+    assert parser.at_end()
+    ev = X._EvalCtx(root)
+    return X._eval_value(ast, root, None, None, ev)
+
+
+@pytest.mark.parametrize("kind,expr", _SCALAR_CORPUS)
+def test_scalar_differential(parsed, jdk, kind, expr):
+    for name, (root, jdoc, _) in parsed.items():
+        tagged = _my_scalar(root, expr)
+        compiled = jdk.xp.compile(expr)
+        if kind == "num":
+            mine = X._to_number(tagged)
+            theirs = float(compiled.evaluate(jdoc, jdk.NUMBER))
+            if math.isnan(mine) or math.isnan(theirs):
+                assert math.isnan(mine) and math.isnan(theirs), (
+                    f"{name} {expr!r}: {mine} vs {theirs}"
+                )
+            elif math.isinf(mine) or math.isinf(theirs):
+                assert mine == theirs, f"{name} {expr!r}: {mine} vs {theirs}"
+            else:
+                assert mine == pytest.approx(theirs, rel=1e-9, abs=1e-12), (
+                    f"{name} {expr!r}: {mine} vs {theirs}"
+                )
+        elif kind == "str":
+            mine = X._to_string(tagged)
+            theirs = compiled.evaluate(jdoc, jdk.STRING)
+            assert mine == theirs, f"{name} {expr!r}: {mine!r} vs {theirs!r}"
+        else:
+            mine = X._truth_value(tagged)
+            theirs = bool(compiled.evaluate(jdoc, jdk.BOOLEAN))
+            assert mine == theirs, f"{name} {expr!r}: {mine} vs {theirs}"
