@@ -32,6 +32,7 @@ Every query is value-checked against a DuckDB oracle (no rows-only checks):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -440,6 +441,9 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = spark.createDataFrame(synthesize_media_table(refs), MEDIA_SCHEMA)
     feats = extract_media_features(media)
+    # px_mean_bp: REAL pixel-mean (basis points of mean/255) for payloads
+    # the stdlib PNG decoder fully decoded (feature[16] is the real-pixel
+    # marker, round-4); NULL for header-only/fake tiers
     return enrich_media_spans(extracted, feats).select(
         "doc_id",
         F.col("table_idx").cast("int").alias("table_idx"),
@@ -448,6 +452,10 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
         F.col("n_frames").cast("int").alias("n_frames"),
+        F.when(
+            F.element_at("feature", 16) == 1.0,
+            F.round(F.element_at("feature", 1) * 10000).cast("int"),
+        ).alias("px_mean_bp"),
     )
 
 
@@ -1115,8 +1123,15 @@ def _media_features_values_sql() -> str:
     )
     feats = {}
     for m in synthesize_media_table(refs):
-        w, h, n, _ = _decode_meta(m["payload"], m["mime"])
-        feats[m["media_ref"]] = (w, h, n)
+        w, h, n, feat = _decode_meta(m["payload"], m["mime"])
+        # px_mean_bp mirrors the Spark-side ROUND (HALF_UP) on the same
+        # float32->double promotion; real-pixel tier only (marker [15])
+        px_bp = (
+            int(math.floor(float(feat[0]) * 10000 + 0.5))
+            if float(feat[15]) == 1.0
+            else None
+        )
+        feats[m["media_ref"]] = (w, h, n, px_bp)
     cfg = ParserConfig().all_tables()
     rows = []
     for doc in docs_rows:
@@ -1126,18 +1141,23 @@ def _media_features_values_sql() -> str:
                 continue
             for span in encode_table_spans(t):
                 if span["kind"] == "media":
-                    w, h, n = feats.get(span["media_ref"], (None, None, None))
+                    w, h, n, px_bp = feats.get(
+                        span["media_ref"], (None, None, None, None)
+                    )
+                    px_sql = "NULL" if px_bp is None else str(px_bp)
                     rows.append(
                         f"({_sql_lit(doc['doc_id'])}, {t.table_idx}, "
                         f"{_sql_lit(span['media_ref'])}, {span['offset']}, "
-                        f"{w}, {h}, {n})"
+                        f"{w}, {h}, {n}, {px_sql})"
                     )
     return (
         "SELECT doc_id, CAST(table_idx AS INT) AS table_idx, media_ref, "
         "CAST(pos AS INT) AS pos, CAST(width AS INT) AS width, "
-        "CAST(height AS INT) AS height, CAST(n_frames AS INT) AS n_frames "
+        "CAST(height AS INT) AS height, CAST(n_frames AS INT) AS n_frames, "
+        "CAST(px_mean_bp AS INT) AS px_mean_bp "
         "FROM (VALUES " + ", ".join(rows)
-        + ") AS t(doc_id, table_idx, media_ref, pos, width, height, n_frames)"
+        + ") AS t(doc_id, table_idx, media_ref, pos, width, height, "
+        "n_frames, px_mean_bp)"
     )
 
 

@@ -6,11 +6,21 @@ mime: string)``.  This module implements the Spark-side plumbing — schema,
 batch shape, mapInPandas signatures, deterministic fake features — for the
 decode / feature-extract / resize / frame-sample stages.
 
-The real codecs (Pillow/ffmpeg/torchvision) are NOT in this container, so
-the decode step is stubbed behind ``NotImplementedError`` with a
-deterministic fake (seeded from the payload digest) that keeps schema,
-partitioning and batch shape real and testable — swap ``_decode_real`` in
-when the cluster image ships codecs.
+Decode tiers (round-4: the PNG pixel tier closed the last stub seam):
+
+- **PNG with a well-formed body: REAL full-pixel decode** via the
+  stdlib-zlib decoder in :mod:`.png` (IDAT inflate + §9 unfilter +
+  palette expansion) — real dimensions AND a real pixel-statistics
+  feature vector, no codec libraries.
+- PNG/GIF/JPEG with readable headers: real dimensions from the native
+  header parse, digest-fake features.
+- Everything else (video, opaque payloads): deterministic fake seeded
+  from the payload digest — keeps schema, partitioning and batch shape
+  real and testable.
+
+The remaining ``_decode_real`` seam is JPEG/GIF pixel decode and video
+frame sampling (entropy codecs not in the stdlib) — swap it in when the
+cluster image ships Pillow/ffmpeg.
 """
 
 from __future__ import annotations
@@ -22,6 +32,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from .png import encode_png, png_pixel_feature
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -41,10 +53,11 @@ FEATURE_DIM = 16
 
 def _decode_real(payload: bytes, mime: str):  # pragma: no cover - needs codecs
     raise NotImplementedError(
-        "full pixel decode (features/resize/frame-sample) requires "
-        "image/audio codecs not present in this container; header metadata "
-        "is parsed natively (parse_image_header) and features use the "
-        "deterministic fake (swap in Pillow/ffmpeg on a cluster image)"
+        "full pixel decode for JPEG/GIF and video frame-sampling requires "
+        "entropy codecs not present in this container; PNG pixel decode IS "
+        "real (stdlib zlib, operators/png.py), PNG/GIF/JPEG header metadata "
+        "is parsed natively (parse_image_header), and non-PNG features use "
+        "the deterministic fake (swap in Pillow/ffmpeg on a cluster image)"
     )
 
 
@@ -138,13 +151,22 @@ def _decode_fake(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
 
 
 def _decode_meta(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
-    """Default decode: REAL dimensions whenever the payload carries a
-    recognizable PNG/GIF/JPEG header (round-3 — no codec libs needed for
-    header metadata), deterministic fake for everything else. Features
-    always come from the fake path until real codecs exist
-    (``_decode_real`` seam)."""
-    fw, fh, n_frames, feature = _decode_fake(payload, mime)
+    """Default decode, best real tier first (round-4):
+
+    1. PNG with a decodable body → REAL pixels: dimensions + pixel-stat
+       feature vector from the stdlib-zlib decoder (``png.py``); the
+       vector's [15] marker is 1.0 only on this path.
+    2. Recognizable PNG/GIF/JPEG header → real dimensions, fake features.
+    3. Otherwise → deterministic digest fake.
+    """
     header = parse_image_header(payload)
+    if header is not None and header[0] == "image/png":
+        try:
+            w, h, feature = png_pixel_feature(payload)
+            return w, h, 1, feature
+        except ValueError:
+            pass  # header-only PNG (no/corrupt body, Adam7, depth != 8)
+    fw, fh, n_frames, feature = _decode_fake(payload, mime)
     if header is not None:
         _, w, h = header
         return w, h, 1, feature
@@ -220,8 +242,11 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
 
     Refs ending in 1/2/3 get REAL minimal PNG/GIF/JPEG headers (dimensions
     seeded from the ref digest) so the pipeline exercises the native header
-    decode end-to-end; refs ending in 0 stay opaque video payloads; the
-    rest are opaque bytes that exercise the fake-decode fallback."""
+    decode end-to-end; refs ending in 4 (RGB) and 5 (RGBA) get COMPLETE
+    PNGs — filter types cycling 0-4 across rows, pixels seeded from the
+    ref digest — so the stdlib full-pixel decoder runs end-to-end
+    (round-4); refs ending in 0 stay opaque video payloads; the rest are
+    opaque bytes that exercise the fake-decode fallback."""
     rows = []
     for ref in media_refs:
         digest = hashlib.sha256(f"{seed}:{ref}".encode()).digest()
@@ -253,6 +278,15 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
                 + sof0 + digest
             )
             mime = "image/jpeg"
+        elif last in ("4", "5"):
+            # complete PNG (6-13 px per side, deterministic pixels); rows
+            # cycle §9 filter types so decode exercises every inverse
+            pw, ph = 6 + digest[0] % 8, 6 + digest[1] % 8
+            ch = 3 if last == "4" else 4
+            rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+            pixels = rng.integers(0, 256, size=(ph, pw, ch), dtype=np.uint8)
+            payload = encode_png(pixels, cycle_filters=True)
+            mime = "image/png"
         elif last == "0":
             payload = digest * 4
             mime = "video/mp4"

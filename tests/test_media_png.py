@@ -1,0 +1,148 @@
+"""PNG stdlib decoder tests (round-3 VERDICT item 3).
+
+Byte-level hand-computed fixtures pin absolute correctness of each §9
+filter inverse (the encoder/decoder roundtrips alone could hide a bug
+shared by both directions — here the expected bytes are computed BY HAND
+from the spec); roundtrips then sweep sizes/channel counts/filters."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+from html_table_spark.operators.media import _decode_fake, _decode_meta
+from html_table_spark.operators.png import (
+    _chunk,
+    _SIGNATURE,
+    decode_png,
+    encode_png,
+    png_pixel_feature,
+)
+
+
+def _png(width, height, bit_depth, color, interlace, idat_lines, plte=None):
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([bit_depth, color, 0, 0, interlace])
+    )
+    body = _SIGNATURE + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += _chunk(b"PLTE", plte)
+    body += _chunk(b"IDAT", zlib.compress(idat_lines))
+    return body + _chunk(b"IEND", b"")
+
+
+def test_filter_none_and_up_hand_computed():
+    # grayscale 3x2; row0 filter 0 = [10,20,30]; row1 filter 2 (Up):
+    # recon[x] = filt[x] + prev[x] -> filt [5,5,70] gives [15,25,100]
+    lines = bytes([0, 10, 20, 30, 2, 5, 5, 70])
+    px = decode_png(_png(3, 2, 8, 0, 0, lines))
+    assert px.shape == (2, 3, 1)
+    assert px[:, :, 0].tolist() == [[10, 20, 30], [15, 25, 100]]
+
+
+def test_filter_sub_hand_computed():
+    # RGB 2x1, filter 1 (Sub): recon[i] = filt[i] + recon[i-3]
+    # filt [10,20,30, 3,4,5] -> recon [(10,20,30),(13,24,35)]
+    lines = bytes([1, 10, 20, 30, 3, 4, 5])
+    px = decode_png(_png(2, 1, 8, 2, 0, lines))
+    assert px.tolist() == [[[10, 20, 30], [13, 24, 35]]]
+
+
+def test_filter_average_hand_computed():
+    # grayscale 2x2; row0 raw [100, 3]; row1 filter 3 (Average):
+    # recon[0] = f + floor((0 + 100)/2)   = 6 + 50 = 56
+    # recon[1] = f + floor((56 + 3)/2)    = 7 + 29 = 36
+    lines = bytes([0, 100, 3, 3, 6, 7])
+    px = decode_png(_png(2, 2, 8, 0, 0, lines))
+    assert px[1, :, 0].tolist() == [56, 36]
+
+
+def test_filter_paeth_hand_computed():
+    # grayscale 2x2; row0 [9, 20]; row1 filter 4 (Paeth):
+    # x=0: a=0 b=9 c=0  -> p=9,  pa=9,pb=0,pc=9  -> pred=b=9;  5+9=14
+    # x=1: a=14 b=20 c=9 -> p=25, pa=11,pb=5,pc=16 -> pred=b=20; 3+20=23
+    lines = bytes([0, 9, 20, 4, 5, 3])
+    px = decode_png(_png(2, 2, 8, 0, 0, lines))
+    assert px[1, :, 0].tolist() == [14, 23]
+
+
+def test_palette_expansion():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    lines = bytes([0, 2, 1, 0])  # indexes: blue green red
+    px = decode_png(_png(3, 1, 8, 3, 0, lines, plte=plte))
+    assert px.tolist() == [[[0, 0, 255], [0, 255, 0], [255, 0, 0]]]
+
+
+def test_sub_mod_256_wraps():
+    # Sub with wraparound: recon [200, 200] -> filt [200, 200] since
+    # (200 + 200) mod 256 = 144... assert the decoder wraps, not clips
+    lines = bytes([1, 200, 200])
+    px = decode_png(_png(2, 1, 8, 0, 0, lines))
+    assert px[0, :, 0].tolist() == [200, (200 + 200) & 0xFF]
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("size", [(1, 1), (7, 3), (16, 11), (33, 9)])
+def test_encode_decode_roundtrip(channels, size):
+    w, h = size
+    rng = np.random.default_rng(w * 1000 + h * 10 + channels)
+    pixels = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    out = decode_png(encode_png(pixels, cycle_filters=True))
+    assert np.array_equal(out, pixels)
+
+
+@pytest.mark.parametrize(
+    "mutate,msg",
+    [
+        (lambda b: b[:30] + bytes([b[30] ^ 1]) + b[31:], "crc"),
+        (lambda b: b[:-8], "IEND"),
+        (lambda b: b"\x89PNX" + b[4:], "signature"),
+    ],
+)
+def test_corrupt_rejected(mutate, msg):
+    good = encode_png(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match=msg):
+        decode_png(mutate(good))
+
+
+def test_unsupported_rejected():
+    lines = bytes([0, 1, 2])
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(_png(2, 1, 8, 0, 1, lines))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_png(2, 1, 16, 0, 0, lines))
+
+
+def test_pixel_feature_layout():
+    pixels = np.zeros((4, 8, 3), np.uint8)
+    pixels[:, :, 0] = 255  # pure red
+    w, h, feat = png_pixel_feature(encode_png(pixels))
+    assert (w, h) == (8, 4)
+    assert feat[0] == pytest.approx(1 / 3)          # mean/255
+    assert feat[2] == pytest.approx(1.0)            # mean R
+    assert feat[3] == pytest.approx(0.0)            # mean G
+    assert feat[10] == 0.0 and feat[11] == 1.0      # min/max
+    assert feat[14] == pytest.approx(3 / 4)         # channels/4
+    assert feat[15] == 1.0                          # real-decode marker
+
+
+def test_decode_meta_tiers():
+    # tier 1: full PNG -> real dims + real feature (marker 1.0)
+    pixels = np.full((5, 9, 3), 7, np.uint8)
+    w, h, n, feat = _decode_meta(encode_png(pixels), "image/png")
+    assert (w, h, n) == (9, 5, 1)
+    assert feat[15] == 1.0 and feat[0] == pytest.approx(7 / 255)
+    # tier 2: PNG header with corrupt body -> header dims, fake feature
+    header_only = encode_png(pixels)[:33]  # signature + IHDR chunk only
+    w2, h2, n2, feat2 = _decode_meta(header_only, "image/png")
+    assert (w2, h2, n2) == (9, 5, 1)
+    assert np.allclose(feat2, _decode_fake(header_only, "image/png")[3])
+    # tier 3: opaque -> full fake
+    fw, fh, fn, ffeat = _decode_meta(b"not an image", "video/mp4")
+    assert (fw, fh, fn, ffeat.tolist()) == tuple(
+        x.tolist() if hasattr(x, "tolist") else x
+        for x in _decode_fake(b"not an image", "video/mp4")
+    )

@@ -242,7 +242,10 @@ def test_image_header_parsers():
         parse_image_header,
     )
 
-    rows = {r["media_ref"]: r for r in synthesize_media_table(["a1", "b2", "c3", "d0", "e4"])}
+    rows = {
+        r["media_ref"]: r
+        for r in synthesize_media_table(["a1", "b2", "c3", "d0", "e4", "f5", "e7"])
+    }
     for ref, expected_mime in (("a1", "image/png"), ("b2", "image/gif"), ("c3", "image/jpeg")):
         digest = _hl.sha256(f"42:{ref}".encode()).digest()
         w, h = 32 + digest[0], 32 + digest[1]
@@ -251,9 +254,16 @@ def test_image_header_parsers():
         # the default decode path surfaces the REAL dims, 1 frame
         dw, dh, dn, _ = _decode_meta(rows[ref]["payload"], rows[ref]["mime"])
         assert (dw, dh, dn) == (w, h, 1)
+    # refs ending 4/5 are COMPLETE PNGs (round-4): full-pixel decode tier —
+    # real dims from the body, real-pixel feature marker set
+    for full_ref in ("e4", "f5"):
+        mime, w, h = parse_image_header(rows[full_ref]["payload"])
+        dw, dh, dn, feat = _decode_meta(rows[full_ref]["payload"], "image/png")
+        assert mime == "image/png" and (dw, dh, dn) == (w, h, 1)
+        assert feat[15] == 1.0, full_ref
     # opaque payloads: no magic → None → fake fallback
     assert parse_image_header(rows["d0"]["payload"]) is None
-    assert parse_image_header(rows["e4"]["payload"]) is None
+    assert parse_image_header(rows["e7"]["payload"]) is None
     assert parse_image_header(b"") is None
     assert parse_image_header(None) is None
     # truncated/corrupt headers fall back instead of raising
@@ -836,6 +846,54 @@ def test_connected_components_diameter_equals_max_iters(spark):
         for r in dedup.connected_components(pairs, max_iters=2).collect()
     }
     assert comp == {"n0": "n0", "n1": "n0", "n2": "n0"}
+
+
+def test_connected_components_pointer_jumping_adversarial_chain(spark):
+    """Round-3 VERDICT item 5: a chain whose diameter exceeds max_iters
+    (template-spam daisy chains) hard-fails plain propagation but
+    converges under pointer jumping in O(log diameter) rounds — tested on
+    BOTH sides of the boundary."""
+    import pytest as _pytest
+
+    # zero-padded ids keep lexicographic min == n00 across the chain
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(40)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    # plain propagation: 40 hops cannot fit in 10 changing rounds
+    with _pytest.raises(RuntimeError, match="pointer_jumping"):
+        dedup.connected_components(pairs, max_iters=10)
+    # pointer jumping: distance-to-min doubles per round, 10 rounds is
+    # plenty for diameter 40 (2^10 >> 40)
+    comp = {
+        r.node: r.component
+        for r in dedup.connected_components(
+            pairs, max_iters=10, pointer_jumping=True
+        ).collect()
+    }
+    assert set(comp.values()) == {"n00"}
+    assert len(comp) == 41
+
+
+def test_connected_components_pointer_jumping_same_fixed_point(spark):
+    """Pointer jumping must reach the identical per-component minimum the
+    plain variant returns on a mixed graph (cliques + chain + singles)."""
+    edges = (
+        [("a", "b"), ("b", "c"), ("c", "a")]           # triangle
+        + [("p", "q"), ("q", "r")]                      # path
+        + [("x", "y")]                                  # pair
+    )
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    plain = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs).collect()
+    }
+    jumped = {
+        r.node: r.component
+        for r in dedup.connected_components(
+            pairs, pointer_jumping=True
+        ).collect()
+    }
+    assert plain == jumped
+    assert jumped["r"] == "p" and jumped["y"] == "x" and jumped["c"] == "a"
 
 
 def test_lit_vec_exact_roundtrip(spark):
