@@ -557,6 +557,31 @@ def qs_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "js")
 
 
+def qs_json_numeric_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHP json_encode list-vs-object parity under the driver gate
+    (round-3 VERDICT item 4): a user header of exactly ["0","1"] makes
+    PHP coerce the row keys to ints 0,1 — array_is_list — so
+    jsonSerialize emits each row as a JSON ARRAY; the sibling table with
+    header ["1","2"] keeps JSON OBJECTS. Two words per row, first two
+    document words per doc."""
+    from html_table_spark.operators.tabular import table_to_json
+
+    w = _W()
+    html = F.concat(
+        F.lit("<table><tr><td>"), F.element_at(w, 1),
+        F.lit("</td><td>"), F.element_at(w, 2),
+        F.lit("</td></tr></table>"),
+    )
+    corpus = _docs_as_corpus(spark, sf_dir, html)
+    as_list = table_to_json(
+        extract_tables(corpus, ParserConfig().with_table_header(["0", "1"]))
+    ).select("doc_id", F.col("js").alias("js_list"))
+    as_obj = table_to_json(
+        extract_tables(corpus, ParserConfig().with_table_header(["1", "2"]))
+    ).select("doc_id", F.col("js").alias("js_obj"))
+    return as_list.join(as_obj, "doc_id").select("doc_id", "js_list", "js_obj")
+
+
 def qs_project_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header projection with reorder + null-fill for a missing offset —
     the reference's combineArray semantics (Parser.php:614-622) as select."""
@@ -974,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_count": qs_count,
         "qs_reduce": qs_reduce,
         "qs_json": qs_json,
+        "qs_json_numeric_header": qs_json_numeric_header,
         "qs_project_nullfill": qs_project_nullfill,
         "q1_pricing": q1_pricing,
         "q3_shipping": q3_shipping,
@@ -1569,6 +1595,16 @@ def oracle_sql() -> dict[str, str]:
                        'rows', list_transform((string_split(text, ' '))[2:],
                                               x -> json_object('k', x, 'v', NULL))
                    ) AS VARCHAR) AS js
+            FROM documents
+        """,
+        "qs_json_numeric_header": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   '{"caption":null,"header":["0","1"],"rows":[["'
+                     || split_part(text, ' ', 1) || '","'
+                     || split_part(text, ' ', 2) || '"]]}' AS js_list,
+                   '{"caption":null,"header":["1","2"],"rows":[{"1":"'
+                     || split_part(text, ' ', 1) || '","2":"'
+                     || split_part(text, ' ', 2) || '"}]}' AS js_obj
             FROM documents
         """,
         "q1_pricing": """

@@ -43,6 +43,10 @@ CORPUS_BY_SF = {
     "0.001": (600, 1, 200),
     "0.01": (8000, 1, 800),
     "0.1": (96000, 4, 2000),
+    # 10x sf0.1 for the wall-clock-linearity evidence run
+    # (scripts/sf1_run.py): 10x the bulk docs AND 10x the mega-doc count,
+    # same per-mega skew shape
+    "1.0": (960000, 40, 2000),
 }
 
 HEADLINE = [

@@ -21,6 +21,7 @@ partition-pruned probe: persist the bucketed table partitioned by
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -364,7 +365,7 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_tables: int = 8,
-    planes_per_table: int = 8,
+    planes_per_table: int | None = 8,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -382,7 +383,21 @@ def embedding_near_dup_pairs(
     near-dup at cos ≥ 0.9 collides per-table with p ≈ (1-θ/π)^8 ≈ 0.3-0.6,
     so the 8-table union misses a few percent — while 8-bit buckets keep
     the candidate set (and the exact-rescore cost) ~100× smaller than
-    4-bit tables would."""
+    4-bit tables would.
+
+    **Scale rule (round-4, measured at the sf1.0 evidence run): bits per
+    table must grow with log2(n).** Fixed-width buckets have per-bucket
+    occupancy ~ n / 2^bits, and the per-table candidate count grows with
+    occupancy SQUARED — the measured 10x corpus took 44x the wall at the
+    fixed 8 bits (BENCH/SF1.md). ``planes_per_table=None`` derives
+    ``max(8, ceil(log2(n / 4)))`` from one count() (k-constant driver
+    action), holding expected occupancy ~4 and candidate volume ~linear
+    in n. The count-adaptive mode changes the blocking, so the SQL-oracle
+    query pins explicit bits; recall at the auto width is covered by the
+    planted-dup pytest (test_embedding_near_dup_auto_bits)."""
+    if planes_per_table is None:
+        n_vecs = embeddings.count()
+        planes_per_table = max(8, math.ceil(math.log2(max(n_vecs, 2) / 4)))
     bucketed, _tables = lsh_multitable(
         embeddings, n_tables=n_tables, planes_per_table=planes_per_table,
         seed=seed, vec_col=vec_col,

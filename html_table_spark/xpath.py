@@ -891,6 +891,13 @@ def _test_match(n, test: str, pi_target: str | None = None) -> bool:
         return True
     if type(n) is XPathText:
         return test == "text()"
+    if type(n) is XPathAttr or type(n) is XPathNs:
+        # reachable only via self/ancestor-or-self from an attribute or
+        # namespace context (round-4 differential catch: //@id[self::a]
+        # crashed here). Name tests and * match the axis's PRINCIPAL node
+        # type — element for every axis but attribute:: / namespace:: —
+        # so only the node() test (handled above) matches these wrappers.
+        return False
     k = n.kind
     if test == "*":
         return k == ELEMENT and n.tag != "#document"

@@ -346,6 +346,46 @@ def test_embedding_near_dup_finds_perturbed_twins(vectors):
     assert len(found) >= 35
 
 
+def test_embedding_near_dup_auto_bits(spark):
+    """Round-4 scale rule: planes_per_table=None derives bucket width from
+    log2(n) so per-bucket occupancy (hence candidate volume per vector)
+    stays bounded as the corpus grows — the sf1.0 evidence run measured
+    44x wall at 10x data with FIXED 8-bit buckets (BENCH/SF1.md). Checks:
+    (a) auto == the explicit width it should derive, (b) planted
+    very-near twins (cos ~ 0.9998) are all recovered at the wider auto
+    buckets on a corpus big enough that auto > 8 bits."""
+    import math as _math
+    import random as _random
+
+    rng = _random.Random(11)
+    n, dim = 3000, 16
+    rows = [
+        Row(vec_id=i, embedding=[rng.gauss(0.0, 1.0) for _ in range(dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows)
+    both = similarity.with_perturbed_twins(
+        df.filter(F.col("vec_id") < 25), id_offset=100000, delta=0.01
+    ).union(df.filter(F.col("vec_id") >= 25))
+    total = both.count()
+    assert total == n + 25
+    expected_bits = max(8, _math.ceil(_math.log2(total / 4)))
+    assert expected_bits > 8  # the corpus actually exercises adaptivity
+    auto = similarity.embedding_near_dup_pairs(
+        both, threshold=0.99, planes_per_table=None, seed=7
+    )
+    explicit = similarity.embedding_near_dup_pairs(
+        both, threshold=0.99, planes_per_table=expected_bits, seed=7
+    )
+    got = {(r.id_a, r.id_b) for r in auto.collect()}
+    assert got == {(r.id_a, r.id_b) for r in explicit.collect()}
+    twins = {(i, i + 100000) for i in range(25)}
+    assert twins <= got  # recall 1.0 on delta=0.01 twins
+    # no junk: every surviving pair really clears the threshold, and the
+    # only cos>=0.99 pairs in a random gaussian corpus are the twins
+    assert got == twins
+
+
 def test_salted_agg_equals_plain_groupby(spark):
     from html_table_spark.operators.relational import salted_agg
 

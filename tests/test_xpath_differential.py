@@ -410,10 +410,159 @@ def test_nodeset_differential(parsed, jdk, expr):
         assert keys == sorted(keys), f"{name} {expr!r}: result not in doc order"
 
 
+def _generated_corpus(seed: int, n: int) -> list[str]:
+    """Seeded random expressions composed from grammar productions the
+    enumerated corpus can't cross-product: random axis/node-test/predicate
+    chains, 1-3 steps, optional unions. Only supported shapes are
+    generated (no $var/ns:/id(); node-type tests only in final steps), so
+    every expression must compile AND match the JDK."""
+    rng = random.Random(seed)
+    tags = ["div", "p", "span", "b", "i", "td", "tr", "table", "u", "em", "*"]
+    finals = ["text()", "comment()", "node()", "@id", "@class", "@*"]
+
+    def pred() -> str:
+        return rng.choice(
+            [
+                str(rng.randint(1, 3)),
+                "last()",
+                f"position() {rng.choice(['=', '>', '<', '>=', '<='])} "
+                f"{rng.randint(1, 3)}",
+                "@id",
+                "@class",
+                "not(@data-n)",
+                f"count({rng.choice(['*', 'b', 'i', 'td'])}) "
+                f"{rng.choice(['=', '>'])} {rng.randint(0, 2)}",
+                f"contains(., '{rng.choice(['z', 'a', 'q', 'x y'])}')",
+                f"string-length(.) > {rng.randint(0, 9)}",
+                f"{rng.choice(['b', 'i', 'span', '*'])}",
+                f"self::{rng.choice(tags[:-1])}",
+                f"following-sibling::{rng.choice(tags)}",
+                f"name() != '{rng.choice(tags[:-1])}'",
+                f"position() mod {rng.randint(2, 3)} = "
+                f"{rng.randint(0, 2)}",
+            ]
+        )
+
+    def pred_positionless() -> str:
+        return rng.choice(
+            [
+                "not(@data-n)",
+                f"contains(., '{rng.choice(['z', 'a', 'q'])}')",
+                f"string-length(.) > {rng.randint(0, 9)}",
+                f"self::{rng.choice(tags[:-1])}",
+                "self::node()",
+            ]
+        )
+
+    def step(final: bool) -> str:
+        axis = rng.choice(_AXES + ["", "", ""])  # bias to abbreviated child
+        test = rng.choice(finals) if final and rng.random() < 0.3 else rng.choice(tags)
+        if test.startswith("@"):
+            # '@' is itself the attribute-axis abbreviation — composing it
+            # after another axis ('self::@id') is a syntax error in both
+            # engines; rewrite to the explicit attribute axis instead
+            axis = "attribute"
+            test = test[1:]
+        s = f"{axis}::{test}" if axis else test
+        if not test.endswith(")"):
+            if axis == "attribute":
+                # attribute ORDER within one element is implementation-
+                # defined (XPath 1.0 §2.2 defines no ordering among an
+                # element's attributes), so positional predicates on the
+                # attribute axis legitimately diverge across engines —
+                # generate only position-free predicates here
+                for _ in range(rng.choice([0, 0, 1])):
+                    s += f"[{pred_positionless()}]"
+            elif axis in ("ancestor", "ancestor-or-self",
+                          "preceding", "preceding-sibling"):
+                # documented JDK divergence: Xalan mishandles STACKED
+                # predicates on reverse axes — [last()][true()] returns a
+                # different set than [last()], which is spec-impossible
+                # (verified in test_reverse_axis_stacked_predicates_spec_
+                # consistency); one predicate max keeps the differential
+                # meaningful, the regression test pins OUR spec behavior
+                for _ in range(rng.choice([0, 0, 1])):
+                    s += f"[{pred()}]"
+            else:
+                for _ in range(rng.choice([0, 0, 0, 1, 1, 2])):
+                    s += f"[{pred()}]"
+        return s
+
+    def path() -> str:
+        n_steps = rng.choice([1, 1, 2, 2, 3])
+        sep0 = rng.choice(["//", "//", "/"])
+        parts = [step(final=(i == n_steps - 1)) for i in range(n_steps)]
+        return sep0 + rng.choice(["/", "//"]).join(parts)
+
+    out = []
+    for _ in range(n):
+        expr = path()
+        if rng.random() < 0.15:
+            expr = f"{expr} | {path()}"
+        out.append(expr)
+    # keep order-stable unique ids
+    seen: set[str] = set()
+    return [e for e in out if not (e in seen or seen.add(e))]
+
+
+_GENERATED_CORPUS = _generated_corpus(seed=7, n=220)
+
+
+@pytest.mark.parametrize("expr", _GENERATED_CORPUS)
+def test_generated_differential(parsed, jdk, expr):
+    for name, (root, jdoc, idx) in parsed.items():
+        mine = X.compile_xpath(expr).query(root)
+        my = sorted(
+            my_sig(root, idx, n) for n in mine if type(n) is not X.XPathNs
+        )
+        theirs = sorted(jdk.sig(n) for n in jdk.nodes(jdoc, expr))
+        assert my == theirs, f"{name} {expr!r}: mine={my} jdk={theirs}"
+
+
+def test_reverse_axis_stacked_predicates_spec_consistency(parsed):
+    """Documented JDK divergence (round-4): Xalan returns DIFFERENT sets
+    for //ancestor-or-self::td[last()] vs ...[last()][true()] — adding a
+    tautological predicate cannot change a node-set under §2.4, so the
+    JDK is internally inconsistent there and is excluded as an oracle for
+    stacked reverse-axis predicates. Pin OUR spec behavior instead: the
+    tautology is a no-op and [last()][1] equals [last()] (the filtered
+    set per context is a singleton)."""
+    for name, (root, _, idx) in parsed.items():
+        base = [
+            my_sig(root, idx, n)
+            for n in X.compile_xpath("//ancestor-or-self::td[last()]").query(root)
+        ]
+        for suffix in ("[true()]", "[1]", "[position() = 1]"):
+            got = [
+                my_sig(root, idx, n)
+                for n in X.compile_xpath(
+                    f"//ancestor-or-self::td[last()]{suffix}"
+                ).query(root)
+            ]
+            assert got == base, f"{name} {suffix}: {got} != {base}"
+
+
+def test_attribute_context_element_axes(parsed):
+    """Round-4 differential catch: element-name tests via self:: from an
+    ATTRIBUTE context crashed ('XPathAttr' has no .kind). Per §2.2/§2.3
+    name tests match the principal node type (element on every axis but
+    attribute::/namespace::), so these select nothing — and node() still
+    matches the attribute itself."""
+    for name, (root, jdoc, idx) in parsed.items():
+        assert X.compile_xpath("//@id[self::td]").query(root) == []
+        assert X.compile_xpath("//@id[self::*]").query(root) == []
+        with_node = X.compile_xpath("//@id[self::node()]").query(root)
+        plain = X.compile_xpath("//@id").query(root)
+        assert [my_sig(root, idx, n) for n in with_node] == [
+            my_sig(root, idx, n) for n in plain
+        ], name
+
+
 def test_corpus_size():
     """The verdict asked for a 100+ expression differential corpus."""
     assert len(_NODESET_CORPUS) >= 200
     assert len(_SCALAR_CORPUS) >= 50
+    assert len(_GENERATED_CORPUS) >= 150
 
 
 # ---------------------------------------------------------------------------
