@@ -155,11 +155,17 @@ def run_embed_variants(spark) -> dict:
     """dd_embed_cosine with fixed 8-bit buckets (the gated query) vs the
     round-4 auto log2(n) bucket width, both SFs — the measured fix for
     the 44x blowup the first sf1.0 pass found."""
-    from html_table_spark.operators.similarity import embedding_near_dup_pairs
+    from html_table_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        with_perturbed_twins,
+    )
 
     out = {}
     for sf_name, sf_dir in (("sf0.1", SF01_DIR), ("sf1.0", SF1_DIR)):
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        # the exact corpus the gated dd_embed_cosine query measures:
+        # perturbed twin per vector, threshold 0.85
+        twins = with_perturbed_twins(emb, id_offset=100000, delta=0.5)
         for mode, bits in (("fixed8", 8), ("auto", None)):
             wall = float("inf")
             rows = None
@@ -167,7 +173,8 @@ def run_embed_variants(spark) -> dict:
                 spark.catalog.clearCache()
                 t0 = time.monotonic()
                 rows = embedding_near_dup_pairs(
-                    emb, threshold=0.95, planes_per_table=bits
+                    twins, threshold=0.85, n_tables=8,
+                    planes_per_table=bits, seed=7,
                 ).count()
                 wall = min(wall, time.monotonic() - t0)
             out[f"{sf_name}_{mode}"] = {"wall_sec": round(wall, 3), "rows": rows}
