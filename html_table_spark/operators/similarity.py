@@ -364,11 +364,12 @@ def with_perturbed_twins(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_tables: int = 8,
+    n_tables: int | None = 8,
     planes_per_table: int | None = 8,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_recall: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection, LSH-blocked:
 
@@ -394,10 +395,27 @@ def embedding_near_dup_pairs(
     action), holding expected occupancy ~4 and candidate volume ~linear
     in n. The count-adaptive mode changes the blocking, so the SQL-oracle
     query pins explicit bits; recall at the auto width is covered by the
-    planted-dup pytest (test_embedding_near_dup_auto_bits)."""
+    planted-dup pytest (test_embedding_near_dup_auto_bits).
+
+    Wider buckets lower the PER-TABLE collision probability for pairs
+    near the threshold, so ``n_tables=None`` closes the loop with the
+    standard LSH recall bound: a pair at exactly ``threshold`` collides
+    per table with p = (1 - arccos(threshold)/pi)^bits, and L tables
+    miss it with (1-p)^L — solve for the L that drives the miss below
+    ``1 - target_recall`` (capped at 64 tables; candidates stay ~linear
+    in n because each table's volume is occupancy-bounded). Both autos
+    together are the 100 TB configuration: bits from n, L from the
+    recall contract."""
     if planes_per_table is None:
         n_vecs = embeddings.count()
         planes_per_table = max(8, math.ceil(math.log2(max(n_vecs, 2) / 4)))
+    if n_tables is None:
+        p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        p_table = min(max(p_bit ** planes_per_table, 1e-9), 1.0 - 1e-9)
+        n_tables = min(
+            64, max(4, math.ceil(math.log(1.0 - target_recall)
+                                 / math.log(1.0 - p_table)))
+        )
     bucketed, _tables = lsh_multitable(
         embeddings, n_tables=n_tables, planes_per_table=planes_per_table,
         seed=seed, vec_col=vec_col,

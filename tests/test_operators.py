@@ -386,6 +386,59 @@ def test_embedding_near_dup_auto_bits(spark):
     assert got == twins
 
 
+def test_embedding_near_dup_full_auto_recall(spark):
+    """The complete LSH scale configuration: bits from log2(n) AND
+    n_tables from the recall bound (L tables miss a threshold-level pair
+    with (1-p_bit^bits)^L <= 1-target_recall). Planted moderate twins
+    (delta=0.5, cosines scattered around the 0.85 threshold) must be
+    recovered at >= 90% of the exact ground truth — the property the
+    bits-only auto trades away and the L auto buys back."""
+    import math as _math
+    import random as _random
+
+    import numpy as np
+
+    rng = _random.Random(5)
+    n, dim, n_twins = 3000, 16, 40
+    rows = [
+        Row(vec_id=i, embedding=[rng.gauss(0.0, 1.0) for _ in range(dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows)
+    corpus = similarity.with_perturbed_twins(
+        df.filter(F.col("vec_id") < n_twins), id_offset=100000, delta=0.5
+    ).union(df.filter(F.col("vec_id") >= n_twins))
+    # exact ground truth over the planted pairs only (other random pairs
+    # cannot reach cos 0.85 in a gaussian corpus)
+    vecs = {
+        r.vec_id: np.array(r.embedding)
+        for r in corpus.filter(
+            (F.col("vec_id") < n_twins) | (F.col("vec_id") >= 100000)
+        ).collect()
+    }
+    truth = set()
+    for i in range(n_twins):
+        a, b = vecs[i], vecs[i + 100000]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        if cos >= 0.85:
+            truth.add((i, i + 100000))
+    assert len(truth) >= 10  # the fixture actually plants threshold-level pairs
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            corpus, threshold=0.85, n_tables=None, planes_per_table=None,
+            seed=7,
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} true pairs"
+    # derived L matches the bound it claims to solve
+    bits = max(8, _math.ceil(_math.log2((n + n_twins) / 4)))
+    p_tab = (1 - _math.acos(0.85) / _math.pi) ** bits
+    expected_l = min(64, max(4, _math.ceil(_math.log(0.05) / _math.log(1 - p_tab))))
+    assert (1 - p_tab) ** expected_l <= 0.05 + 1e-9
+
+
 def test_salted_agg_equals_plain_groupby(spark):
     from html_table_spark.operators.relational import salted_agg
 
