@@ -891,13 +891,6 @@ def _test_match(n, test: str, pi_target: str | None = None) -> bool:
         return True
     if type(n) is XPathText:
         return test == "text()"
-    if type(n) is XPathAttr or type(n) is XPathNs:
-        # reachable only via self/ancestor-or-self from an attribute or
-        # namespace context (round-4 differential catch: //@id[self::a]
-        # crashed here). Name tests and * match the axis's PRINCIPAL node
-        # type — element for every axis but attribute:: / namespace:: —
-        # so only the node() test (handled above) matches these wrappers.
-        return False
     k = n.kind
     if test == "*":
         return k == ELEMENT and n.tag != "#document"
@@ -1384,14 +1377,27 @@ def _nonelement_candidates(ctx, step: _Step, ev: _EvalCtx):
         index = None if owner is None else _node_index(ctx, owner)
     if axis in ("child", "descendant", "attribute", "namespace"):
         return
+
+    def self_match() -> bool:
+        # the CONTEXT here can be an attribute/namespace wrapper (round-4
+        # differential catch: //@id[self::a] crashed in _test_match on
+        # the missing .kind). Name tests and * match the axis's PRINCIPAL
+        # node type — element on every axis but attribute::/namespace:: —
+        # so only node() matches these wrappers. Kept out of _test_match
+        # itself: that predicate sits on the generic walk's per-candidate
+        # hot path, and yielded candidates there are never wrappers.
+        if t is XPathAttr or t is XPathNs:
+            return test == "node()"
+        return _test_match(ctx, test, target)
+
     if axis in ("self", "descendant-or-self"):
-        if _test_match(ctx, test, target):
+        if self_match():
             yield ctx
         return
     if owner is None:
         return
     if axis in ("parent", "ancestor", "ancestor-or-self"):
-        if axis == "ancestor-or-self" and _test_match(ctx, test, target):
+        if axis == "ancestor-or-self" and self_match():
             yield ctx
         if axis == "parent":
             chain = iter((owner,))
