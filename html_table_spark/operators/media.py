@@ -8,9 +8,11 @@ decode / feature-extract / resize / frame-sample stages.
 
 Decode tiers (round-4: the PNG pixel tier closed the last stub seam):
 
-- **PNG with a well-formed body: REAL full-pixel decode** via the
-  stdlib-zlib decoder in :mod:`.png` (IDAT inflate + §9 unfilter +
-  palette expansion) — real dimensions AND a real pixel-statistics
+- **PNG or GIF with a well-formed body: REAL full-pixel decode** — PNG
+  via the stdlib-zlib decoder in :mod:`.png` (IDAT inflate + §9
+  unfilter + palette expansion), GIF via the pure-bit-arithmetic LZW
+  decoder in :mod:`.gif` (variable-width codes, interlace, palettes) —
+  real dimensions, real frame count (GIF), AND a real pixel-statistics
   feature vector, no codec libraries.
 - PNG/GIF/JPEG with readable headers: real dimensions from the native
   header parse, digest-fake features.
@@ -33,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from .gif import encode_gif, gif_pixel_feature
 from .png import encode_png, png_pixel_feature
 
 MEDIA_SCHEMA = T.StructType(
@@ -153,9 +156,10 @@ def _decode_fake(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
 def _decode_meta(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
     """Default decode, best real tier first (round-4):
 
-    1. PNG with a decodable body → REAL pixels: dimensions + pixel-stat
-       feature vector from the stdlib-zlib decoder (``png.py``); the
-       vector's [15] marker is 1.0 only on this path.
+    1. PNG or GIF with a decodable body → REAL pixels: dimensions +
+       pixel-stat feature vector from the stdlib decoders (``png.py``
+       zlib inflate+unfilter, ``gif.py`` LZW); the vector's [15] marker
+       is 1.0 only on this path. GIF also reports the REAL frame count.
     2. Recognizable PNG/GIF/JPEG header → real dimensions, fake features.
     3. Otherwise → deterministic digest fake.
     """
@@ -166,6 +170,12 @@ def _decode_meta(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
             return w, h, 1, feature
         except ValueError:
             pass  # header-only PNG (no/corrupt body, Adam7, depth != 8)
+    if header is not None and header[0] == "image/gif":
+        try:
+            w, h, n_frames, feature = gif_pixel_feature(payload)
+            return w, h, n_frames, feature
+        except ValueError:
+            pass  # header-only GIF (no/corrupt image data)
     fw, fh, n_frames, feature = _decode_fake(payload, mime)
     if header is not None:
         _, w, h = header
@@ -243,10 +253,11 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
     Refs ending in 1/2/3 get REAL minimal PNG/GIF/JPEG headers (dimensions
     seeded from the ref digest) so the pipeline exercises the native header
     decode end-to-end; refs ending in 4 (RGB) and 5 (RGBA) get COMPLETE
-    PNGs — filter types cycling 0-4 across rows, pixels seeded from the
-    ref digest — so the stdlib full-pixel decoder runs end-to-end
-    (round-4); refs ending in 0 stay opaque video payloads; the rest are
-    opaque bytes that exercise the fake-decode fallback."""
+    PNGs — filter types cycling 0-4 across rows — and refs ending in 6
+    COMPLETE single-frame GIFs (real LZW stream, deterministic palette),
+    so both stdlib full-pixel decoders run end-to-end (round-4); refs
+    ending in 0 stay opaque video payloads; the rest are opaque bytes
+    that exercise the fake-decode fallback."""
     rows = []
     for ref in media_refs:
         digest = hashlib.sha256(f"{seed}:{ref}".encode()).digest()
@@ -278,6 +289,16 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
                 + sof0 + digest
             )
             mime = "image/jpeg"
+        elif last == "6":
+            # complete single-frame GIF89a: LZW literal stream with real
+            # variable-width growth, deterministic palette + indices
+            gw, gh = 6 + digest[2] % 8, 6 + digest[3] % 8
+            rng = np.random.default_rng(int.from_bytes(digest[4:12], "big"))
+            n_colors = 4 + int(digest[5]) % 12
+            palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+            indices = rng.integers(0, n_colors, size=(gh, gw), dtype=np.uint8)
+            payload = encode_gif(indices, palette)
+            mime = "image/gif"
         elif last in ("4", "5"):
             # complete PNG (6-13 px per side, deterministic pixels); rows
             # cycle §9 filter types so decode exercises every inverse

@@ -154,8 +154,9 @@ def decode_png(payload: bytes) -> np.ndarray:
 FEATURE_DIM = 16
 
 
-def png_pixel_feature(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """(width, height, FEATURE_DIM float32 vector) of REAL pixel stats.
+def pixel_feature(px: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM float32 vector of REAL pixel stats for an (H, W, C)
+    uint8 array — shared by every real-decode tier (PNG, GIF).
 
     Layout (all in [0, 1]):
       [0] mean/255  [1] std/255  [2:6] per-channel means/255 (pad 0)
@@ -163,7 +164,6 @@ def png_pixel_feature(payload: bytes) -> tuple[int, int, np.ndarray]:
       [12] width/65535  [13] height/65535  [14] channels/4
       [15] 1.0 (real-pixel-decode marker; the digest fake never sets it)
     """
-    px = decode_png(payload)
     h, w, c = px.shape
     flat = px.astype(np.float64)
     feat = np.zeros(FEATURE_DIM, np.float32)
@@ -177,7 +177,14 @@ def png_pixel_feature(payload: bytes) -> tuple[int, int, np.ndarray]:
     feat[13] = h / 65535.0
     feat[14] = c / 4.0
     feat[15] = 1.0
-    return w, h, feat
+    return feat
+
+
+def png_pixel_feature(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, pixel_feature vector) via the full PNG decode."""
+    px = decode_png(payload)
+    h, w, _ = px.shape
+    return w, h, pixel_feature(px)
 
 
 # ---------------------------------------------------------------------------
