@@ -507,6 +507,45 @@ evidence in BENCH/SCALING_RUNS.jsonl):
   plus the pool control is the transferable evidence; the single-box
   8→32 number is reported unvarnished for honesty.
 
+## Round-4 DIRECT memory-bandwidth control (settles the 8→32 question)
+
+The round-3 verdict asked for the missing direct control: a pure
+memory-bandwidth kernel with zero parse work, scheduling, IPC, or Python
+object churn, pinned to the same `0..P-1` core ranges `taskset` gives
+the Spark legs. `scripts/membw_control.py` runs numpy memcpy and
+STREAM-triad kernels in P single-core-pinned worker *processes* over
+64 MiB float64 buffers (far beyond L3), barrier-aligned 4 s windows,
+best-of-3 per leg (raw legs in `BENCH/MEMBW_RUNS.jsonl`, 2026-08-19):
+
+| pinned cores | copy GB/s | triad GB/s |
+|---|---|---|
+| 4 | 60.6 | 64.0 |
+| 8 | 99.5 | 101.4 |
+| 16 | 146.6 | 159.2 |
+| 32 | 172.2 | 169.7 |
+
+| N → 4N | copy eff | triad eff |
+|---|---|---|
+| 4 → 16 | 0.605 | 0.622 |
+| 8 → 32 | **0.433** | **0.419** |
+
+**Determination: the 8→32 north-rule miss is proven hardware.** The
+box's DRAM bandwidth saturates at ~170 GB/s by 16 cores; a kernel that
+does NOTHING but stream memory scales 8→32 at 0.42–0.43 — below the
+extraction pipeline's own 8→32 ratio and below the ~0.65 bar the
+round-3 decision rule set for declaring hardware. The extraction
+pipeline therefore *out-scales* pure streaming on this box (its working
+set is partially cache-resident and its kernel partially compute-bound),
+and no per-doc memory-traffic diet can lift a bandwidth-coupled workload
+to 0.8 on one socket when memcpy itself reaches 0.43. Per that decision
+rule, the **4→16 pair is the documented authoritative proxy** for the
+north rule's N→4N criterion: on a real 4N-executor cluster each node
+brings its own memory buses — precisely the resource this control shows
+binding. (Consistently, the control's own 4→16 ratio, ~0.61, is below
+the extraction pipeline's converged 4→16 — the pipeline is less
+bandwidth-bound than pure memcpy, so it scales better than the bus
+until the bus is the only thing left.)
+
 Round-3 change (concurrent extraction legs): in the round-2 union plan
 the DAGScheduler could not launch the result stage (which carries the
 bulk pass-1 scan tasks) until the mega leg's chunk map stage finished —
