@@ -6,23 +6,28 @@ mime: string)``.  This module implements the Spark-side plumbing — schema,
 batch shape, mapInPandas signatures, deterministic fake features — for the
 decode / feature-extract / resize / frame-sample stages.
 
-Decode tiers (round-4: the PNG pixel tier closed the last stub seam):
+Decode tiers (round-4: all three image formats now have REAL pixel
+decoders, no codec libraries):
 
-- **PNG or GIF with a well-formed body: REAL full-pixel decode** — PNG
-  via the stdlib-zlib decoder in :mod:`.png` (IDAT inflate + §9
-  unfilter + palette expansion), GIF via the pure-bit-arithmetic LZW
-  decoder in :mod:`.gif` (variable-width codes, interlace, palettes) —
-  real dimensions, real frame count (GIF), AND a real pixel-statistics
-  feature vector, no codec libraries.
-- PNG/GIF/JPEG with readable headers: real dimensions from the native
-  header parse, digest-fake features.
+- **PNG, GIF or baseline JPEG with a well-formed body: REAL full-pixel
+  decode** — PNG via the stdlib-zlib decoder in :mod:`.png` (IDAT
+  inflate + §9 unfilter + palette expansion), GIF via the
+  pure-bit-arithmetic LZW decoder in :mod:`.gif` (variable-width codes,
+  interlace, palettes), JPEG via the baseline-DCT decoder in
+  :mod:`.jpeg` (Huffman entropy decode, dequant, vectorized IDCT,
+  chroma upsample, YCbCr→RGB) — real dimensions, real frame count
+  (GIF), AND a real pixel-statistics feature vector.
+- PNG/GIF/JPEG with readable headers but undecodable bodies
+  (progressive JPEG, Adam7 PNG, truncated data): real dimensions from
+  the native header parse, digest-fake features.
 - Everything else (video, opaque payloads): deterministic fake seeded
   from the payload digest — keeps schema, partitioning and batch shape
   real and testable.
 
-The remaining ``_decode_real`` seam is JPEG/GIF pixel decode and video
-frame sampling (entropy codecs not in the stdlib) — swap it in when the
-cluster image ships Pillow/ffmpeg.
+The remaining ``_decode_real`` seam is video frame sampling and the
+exotic image variants above (progressive JPEG needs multi-scan state,
+Adam7 needs pass interleaving) — swap it in when the cluster image
+ships Pillow/ffmpeg.
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from .gif import encode_gif, gif_pixel_feature
+from .jpeg import encode_jpeg, jpeg_pixel_feature
 from .png import encode_png, png_pixel_feature
 
 MEDIA_SCHEMA = T.StructType(
@@ -56,11 +62,12 @@ FEATURE_DIM = 16
 
 def _decode_real(payload: bytes, mime: str):  # pragma: no cover - needs codecs
     raise NotImplementedError(
-        "full pixel decode for JPEG/GIF and video frame-sampling requires "
-        "entropy codecs not present in this container; PNG pixel decode IS "
-        "real (stdlib zlib, operators/png.py), PNG/GIF/JPEG header metadata "
-        "is parsed natively (parse_image_header), and non-PNG features use "
-        "the deterministic fake (swap in Pillow/ffmpeg on a cluster image)"
+        "video frame-sampling and exotic image variants (progressive JPEG, "
+        "Adam7 PNG, 16-bit depths) require codecs not present in this "
+        "container; PNG/GIF/baseline-JPEG pixel decode IS real (stdlib-only "
+        "operators/png.py, gif.py, jpeg.py), header metadata is parsed "
+        "natively (parse_image_header), and everything else uses the "
+        "deterministic fake (swap in Pillow/ffmpeg on a cluster image)"
     )
 
 
@@ -156,10 +163,11 @@ def _decode_fake(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
 def _decode_meta(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
     """Default decode, best real tier first (round-4):
 
-    1. PNG or GIF with a decodable body → REAL pixels: dimensions +
-       pixel-stat feature vector from the stdlib decoders (``png.py``
-       zlib inflate+unfilter, ``gif.py`` LZW); the vector's [15] marker
-       is 1.0 only on this path. GIF also reports the REAL frame count.
+    1. PNG, GIF or baseline JPEG with a decodable body → REAL pixels:
+       dimensions + pixel-stat feature vector from the stdlib decoders
+       (``png.py`` zlib inflate+unfilter, ``gif.py`` LZW, ``jpeg.py``
+       Huffman+IDCT); the vector's [15] marker is 1.0 only on this
+       path. GIF also reports the REAL frame count.
     2. Recognizable PNG/GIF/JPEG header → real dimensions, fake features.
     3. Otherwise → deterministic digest fake.
     """
@@ -176,6 +184,12 @@ def _decode_meta(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
             return w, h, n_frames, feature
         except ValueError:
             pass  # header-only GIF (no/corrupt image data)
+    if header is not None and header[0] == "image/jpeg":
+        try:
+            w, h, feature = jpeg_pixel_feature(payload)
+            return w, h, 1, feature
+        except ValueError:
+            pass  # header-only JPEG (progressive, truncated scan, 12-bit)
     fw, fh, n_frames, feature = _decode_fake(payload, mime)
     if header is not None:
         _, w, h = header
@@ -253,11 +267,13 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
     Refs ending in 1/2/3 get REAL minimal PNG/GIF/JPEG headers (dimensions
     seeded from the ref digest) so the pipeline exercises the native header
     decode end-to-end; refs ending in 4 (RGB) and 5 (RGBA) get COMPLETE
-    PNGs — filter types cycling 0-4 across rows — and refs ending in 6
+    PNGs — filter types cycling 0-4 across rows — refs ending in 6
     COMPLETE single-frame GIFs (real LZW stream, deterministic palette),
-    so both stdlib full-pixel decoders run end-to-end (round-4); refs
-    ending in 0 stay opaque video payloads; the rest are opaque bytes
-    that exercise the fake-decode fallback."""
+    and refs ending in 7 COMPLETE baseline JPEGs (digest-rotated between
+    grayscale, 4:4:4 and 4:2:0 subsampled, some with restart intervals),
+    so all three stdlib full-pixel decoders run end-to-end (round-4);
+    refs ending in 0 stay opaque video payloads; the rest are opaque
+    bytes that exercise the fake-decode fallback."""
     rows = []
     for ref in media_refs:
         digest = hashlib.sha256(f"{seed}:{ref}".encode()).digest()
@@ -299,6 +315,30 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
             indices = rng.integers(0, n_colors, size=(gh, gw), dtype=np.uint8)
             payload = encode_gif(indices, palette)
             mime = "image/gif"
+        elif last == "7":
+            # complete baseline JPEG; digest rotates the encoder shape so
+            # the decoder's gray / 4:4:4 / 4:2:0 / restart paths all run
+            jw, jh = 9 + digest[2] % 12, 9 + digest[3] % 12  # non-8-multiples
+            rng = np.random.default_rng(int.from_bytes(digest[6:14], "big"))
+            shape = digest[4] % 3
+            if shape == 0:  # grayscale
+                base = rng.integers(0, 256, size=(jh, jw), dtype=np.uint8)
+            else:  # smooth RGB gradient + mild noise (bounded quant error)
+                yy, xx = np.mgrid[0:jh, 0:jw]
+                base = np.stack(
+                    [
+                        (xx * int(digest[7] % 5 + 1) + yy * 2) % 256,
+                        (yy * int(digest[8] % 5 + 1) + xx) % 256,
+                        (xx + yy * 3) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+            payload = encode_jpeg(
+                base,
+                subsample=(shape == 2),
+                restart_interval=(2 if digest[5] % 2 else 0),
+            )
+            mime = "image/jpeg"
         elif last in ("4", "5"):
             # complete PNG (6-13 px per side, deterministic pixels); rows
             # cycle §9 filter types so decode exercises every inverse

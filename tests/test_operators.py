@@ -229,7 +229,7 @@ def test_media_real_codec_path_stubbed(spark):
     refs = ["x1"]
     media = spark.createDataFrame(synthesize_media_table(refs), MEDIA_SCHEMA)
     rows = extract_media_features(media, use_real_codecs=True).collect()
-    assert rows[0].status.startswith("error: full pixel decode")
+    assert rows[0].status.startswith("error: video frame-sampling")
 
 
 def test_image_header_parsers():
@@ -244,7 +244,7 @@ def test_image_header_parsers():
 
     rows = {
         r["media_ref"]: r
-        for r in synthesize_media_table(["a1", "b2", "c3", "d0", "e4", "f5", "e7"])
+        for r in synthesize_media_table(["a1", "b2", "c3", "d0", "e4", "f5", "e9"])
     }
     for ref, expected_mime in (("a1", "image/png"), ("b2", "image/gif"), ("c3", "image/jpeg")):
         digest = _hl.sha256(f"42:{ref}".encode()).digest()
@@ -263,7 +263,7 @@ def test_image_header_parsers():
         assert feat[15] == 1.0, full_ref
     # opaque payloads: no magic → None → fake fallback
     assert parse_image_header(rows["d0"]["payload"]) is None
-    assert parse_image_header(rows["e7"]["payload"]) is None
+    assert parse_image_header(rows["e9"]["payload"]) is None
     assert parse_image_header(b"") is None
     assert parse_image_header(None) is None
     # truncated/corrupt headers fall back instead of raising
