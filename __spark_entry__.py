@@ -1151,13 +1151,17 @@ def _media_features_values_sql() -> str:
     for m in synthesize_media_table(refs):
         w, h, n, feat = _decode_meta(m["payload"], m["mime"])
         # px_mean_bp mirrors the Spark-side ROUND (HALF_UP) on the same
-        # float32->double promotion; real-pixel tier only (marker [15])
+        # float32->double promotion; real-decode tiers only (marker [15])
         px_bp = (
             int(math.floor(float(feat[0]) * 10000 + 0.5))
             if float(feat[15]) == 1.0
             else None
         )
         feats[m["media_ref"]] = (w, h, n, px_bp)
+
+    def _opt(v) -> str:
+        # WAV rows carry NULL width/height (audio has no dimensions)
+        return "NULL" if v is None else str(v)
     cfg = ParserConfig().all_tables()
     rows = []
     for doc in docs_rows:
@@ -1174,7 +1178,7 @@ def _media_features_values_sql() -> str:
                     rows.append(
                         f"({_sql_lit(doc['doc_id'])}, {t.table_idx}, "
                         f"{_sql_lit(span['media_ref'])}, {span['offset']}, "
-                        f"{w}, {h}, {n}, {px_sql})"
+                        f"{_opt(w)}, {_opt(h)}, {_opt(n)}, {px_sql})"
                     )
     return (
         "SELECT doc_id, CAST(table_idx AS INT) AS table_idx, media_ref, "

@@ -42,7 +42,9 @@ from pyspark.sql import types as T
 
 from .gif import encode_gif, gif_pixel_feature
 from .jpeg import encode_jpeg, jpeg_pixel_feature
+from .mp4 import decode_mp4_meta, encode_mp4_meta, is_mp4
 from .png import encode_png, png_pixel_feature
+from .wav import encode_wav, wav_audio_feature
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -168,8 +170,14 @@ def _decode_meta(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
        (``png.py`` zlib inflate+unfilter, ``gif.py`` LZW, ``jpeg.py``
        Huffman+IDCT); the vector's [15] marker is 1.0 only on this
        path. GIF also reports the REAL frame count.
-    2. Recognizable PNG/GIF/JPEG header → real dimensions, fake features.
-    3. Otherwise → deterministic digest fake.
+    2. WAV/RIFF audio → REAL PCM decode (``wav.py``): n_frames is the
+       real sample-frame count, the feature vector carries signal stats
+       (marker 1.0), width/height are NULL (audio has none).
+    3. MP4/ISO-BMFF → REAL container metadata (``mp4.py`` box walk):
+       tkhd display dimensions + stts frame count, digest-fake features
+       (video pixel decode needs codecs — the one remaining stub seam).
+    4. Recognizable PNG/GIF/JPEG header → real dimensions, fake features.
+    5. Otherwise → deterministic digest fake.
     """
     header = parse_image_header(payload)
     if header is not None and header[0] == "image/png":
@@ -190,6 +198,22 @@ def _decode_meta(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
             return w, h, 1, feature
         except ValueError:
             pass  # header-only JPEG (progressive, truncated scan, 12-bit)
+    b = payload or b""
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        try:
+            frames, _channels, feature = wav_audio_feature(payload)
+            return None, None, frames, feature
+        except ValueError:
+            pass  # compressed/corrupt WAV → fake fallback
+    if is_mp4(b):
+        try:
+            meta = decode_mp4_meta(b)
+            _fw, _fh, _fn, feature = _decode_fake(payload, mime)
+            w = int(round(meta["width"])) if "width" in meta else None
+            h = int(round(meta["height"])) if "height" in meta else None
+            return w, h, meta.get("n_frames") or 1, feature
+        except ValueError:
+            pass  # corrupt box structure → fake fallback
     fw, fh, n_frames, feature = _decode_fake(payload, mime)
     if header is not None:
         _, w, h = header
@@ -261,25 +285,63 @@ def enrich_media_spans(extracted: DataFrame, media_features: DataFrame) -> DataF
     )
 
 
+MEDIA_TIERS = (
+    "video-opaque",  # opaque bytes under a video mime (fake-decode tier)
+    "png-header",    # real PNG signature + IHDR, no body
+    "gif-header",    # real GIF89a logical screen descriptor, no image data
+    "jpeg-header",   # real SOI/APP0/SOF0 markers, no scan
+    "png-rgb",       # COMPLETE PNG, 3 channels, filter types cycling 0-4
+    "png-rgba",      # COMPLETE PNG, 4 channels
+    "png-gray",      # COMPLETE PNG, 1 channel (color type 0)
+    "gif-full",      # COMPLETE single-frame GIF (real LZW stream)
+    "jpeg-full",     # COMPLETE baseline JPEG (gray / 4:4:4 / 4:2:0 / RSTn)
+    "wav-pcm",       # COMPLETE RIFF/WAVE PCM audio (8/16/32-bit)
+    "mp4-meta",      # real ISO-BMFF ftyp+moov (mvhd/tkhd/stts), no mdat
+    "opaque",        # opaque bytes claiming image/png (fake-decode tier)
+)
+
+
+def media_tier(ref: str, seed: int = 42) -> str:
+    """Which synthetic-payload tier a ref lands in — digest-driven (NOT
+    positional), so the driver oracle corpus (refs named by table
+    position, corpus.py) exercises EVERY tier: a round-3 review found
+    the old last-character scheme silently excluded the GIF/JPEG tiers
+    from the CORRECTNESS gate because corpus refs only end in 0-5."""
+    digest = hashlib.sha256(f"{seed}:{ref}".encode()).digest()
+    return MEDIA_TIERS[digest[15] % len(MEDIA_TIERS)]
+
+
+def refs_for_tier(tier: str, n: int, prefix: str = "ref", seed: int = 42) -> list[str]:
+    """First ``n`` candidate refs whose digest lands in ``tier`` (test
+    helper; raises on an unknown tier so typos fail loudly)."""
+    if tier not in MEDIA_TIERS:
+        raise ValueError(f"unknown media tier {tier!r}")
+    out: list[str] = []
+    i = 0
+    while len(out) < n:
+        ref = f"{prefix}{i}"
+        i += 1
+        if media_tier(ref, seed) == tier:
+            out.append(ref)
+    return out
+
+
 def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
     """Deterministic payload rows for the given refs (tests/bench).
 
-    Refs ending in 1/2/3 get REAL minimal PNG/GIF/JPEG headers (dimensions
-    seeded from the ref digest) so the pipeline exercises the native header
-    decode end-to-end; refs ending in 4 (RGB) and 5 (RGBA) get COMPLETE
-    PNGs — filter types cycling 0-4 across rows — refs ending in 6
-    COMPLETE single-frame GIFs (real LZW stream, deterministic palette),
-    and refs ending in 7 COMPLETE baseline JPEGs (digest-rotated between
-    grayscale, 4:4:4 and 4:2:0 subsampled, some with restart intervals),
-    so all three stdlib full-pixel decoders run end-to-end (round-4);
-    refs ending in 0 stay opaque video payloads; the rest are opaque
-    bytes that exercise the fake-decode fallback."""
+    Each ref's tier comes from ``media_tier`` (digest-driven — see
+    MEDIA_TIERS for the twelve shapes): real headers without bodies for
+    the header-decode tiers, COMPLETE PNG/GIF/JPEG payloads for the
+    three full-pixel decoders, COMPLETE WAV PCM audio, real MP4
+    container metadata, and opaque bytes for the fake-decode fallback,
+    so the whole decode policy runs end-to-end inside the driver's
+    oracle-checked corpus."""
     rows = []
     for ref in media_refs:
         digest = hashlib.sha256(f"{seed}:{ref}".encode()).digest()
         w, h = 32 + digest[0], 32 + digest[1]
-        last = ref[-1] if ref else ""
-        if last == "1":  # minimal PNG: signature + IHDR chunk
+        tier = media_tier(ref, seed)
+        if tier == "png-header":  # signature + IHDR chunk only
             payload = (
                 b"\x89PNG\r\n\x1a\n"
                 + (13).to_bytes(4, "big") + b"IHDR"
@@ -287,13 +349,13 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
                 + bytes([8, 6, 0, 0, 0]) + digest[:4]
             )
             mime = "image/png"
-        elif last == "2":  # minimal GIF89a: logical screen descriptor
+        elif tier == "gif-header":  # GIF89a logical screen descriptor
             payload = (
                 b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
                 + digest
             )
             mime = "image/gif"
-        elif last == "3":  # minimal JPEG: SOI + APP0(JFIF) + SOF0
+        elif tier == "jpeg-header":  # SOI + APP0(JFIF) + SOF0, no scan
             sof0 = (
                 b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
                 + h.to_bytes(2, "big") + w.to_bytes(2, "big")
@@ -305,7 +367,7 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
                 + sof0 + digest
             )
             mime = "image/jpeg"
-        elif last == "6":
+        elif tier == "gif-full":
             # complete single-frame GIF89a: LZW literal stream with real
             # variable-width growth, deterministic palette + indices
             gw, gh = 6 + digest[2] % 8, 6 + digest[3] % 8
@@ -315,7 +377,7 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
             indices = rng.integers(0, n_colors, size=(gh, gw), dtype=np.uint8)
             payload = encode_gif(indices, palette)
             mime = "image/gif"
-        elif last == "7":
+        elif tier == "jpeg-full":
             # complete baseline JPEG; digest rotates the encoder shape so
             # the decoder's gray / 4:4:4 / 4:2:0 / restart paths all run
             jw, jh = 9 + digest[2] % 12, 9 + digest[3] % 12  # non-8-multiples
@@ -339,19 +401,44 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
                 restart_interval=(2 if digest[5] % 2 else 0),
             )
             mime = "image/jpeg"
-        elif last in ("4", "5"):
+        elif tier in ("png-rgb", "png-rgba", "png-gray"):
             # complete PNG (6-13 px per side, deterministic pixels); rows
             # cycle §9 filter types so decode exercises every inverse
             pw, ph = 6 + digest[0] % 8, 6 + digest[1] % 8
-            ch = 3 if last == "4" else 4
+            ch = {"png-rgb": 3, "png-rgba": 4, "png-gray": 1}[tier]
             rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
             pixels = rng.integers(0, 256, size=(ph, pw, ch), dtype=np.uint8)
             payload = encode_png(pixels, cycle_filters=True)
             mime = "image/png"
-        elif last == "0":
+        elif tier == "wav-pcm":
+            # deterministic sine mixture; digest rotates rate/channels/bits
+            frames = 200 + int.from_bytes(digest[2:4], "big") % 1200
+            rate = (8000, 16000, 44100)[digest[4] % 3]
+            channels = 1 + digest[5] % 2
+            bits = (8, 16, 32)[digest[6] % 3]
+            t = np.arange(frames) / rate
+            samples = np.stack(
+                [
+                    0.75 * np.sin(2 * np.pi * (100 + digest[7 + c]) * t)
+                    for c in range(channels)
+                ],
+                axis=-1,
+            )
+            payload = encode_wav(samples, rate, bits=bits)
+            mime = "audio/wav"
+        elif tier == "mp4-meta":
+            payload = encode_mp4_meta(
+                width=160 + digest[2] * 4,
+                height=90 + digest[3] * 2,
+                n_frames=2 + digest[4],
+                duration_sec=0.5 + digest[5] / 8.0,
+                version=digest[6] % 2,
+            )
+            mime = "video/mp4"
+        elif tier == "video-opaque":
             payload = digest * 4
             mime = "video/mp4"
-        else:
+        else:  # "opaque"
             payload = digest * 4
             mime = "image/png"
         rows.append({"media_ref": ref, "payload": payload, "mime": mime})

@@ -153,9 +153,11 @@ def test_truncated_rejected():
 
 
 def test_decode_meta_gif_tier():
-    # refs ending 6 are complete GIFs: real dims + real feature marker +
-    # real frame count
-    row = synthesize_media_table(["m6"])[0]
+    # gif-full tier refs are complete GIFs: real dims + real feature
+    # marker + real frame count
+    from html_table_spark.operators.media import refs_for_tier
+
+    row = synthesize_media_table(refs_for_tier("gif-full", 1))[0]
     w, h, n, feat = _decode_meta(row["payload"], row["mime"])
     px, frames = decode_gif(row["payload"])
     assert (w, h, n) == (px.shape[1], px.shape[0], frames)

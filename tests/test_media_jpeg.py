@@ -279,7 +279,9 @@ def test_decode_meta_jpeg_tiers():
 
 
 def test_synthesize_media_table_jpeg_tier():
-    refs = [f"t-m0-{i}7" for i in range(8)]  # all end in "7"
+    from html_table_spark.operators.media import refs_for_tier
+
+    refs = refs_for_tier("jpeg-full", 8)
     rows = synthesize_media_table(refs)
     shapes = set()
     for row in rows:

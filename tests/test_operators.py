@@ -209,15 +209,19 @@ def test_lsh_single_table_multiprobe(spark, sf_dir):
 
 
 def test_media_features_deterministic(spark):
-    refs = [f"m{i}" for i in range(6)]
+    from html_table_spark.operators.media import refs_for_tier
+
+    video = refs_for_tier("video-opaque", 1)[0]
+    png = refs_for_tier("png-header", 1)[0]
+    refs = [video, png] + refs_for_tier("opaque", 4)
     media = spark.createDataFrame(synthesize_media_table(refs), MEDIA_SCHEMA)
     feats = extract_media_features(media).collect()
     assert {r.media_ref for r in feats} == set(refs)
     by_ref = {r.media_ref: r for r in feats}
     assert all(r.status == "ok" for r in feats)
-    assert len(by_ref["m1"].feature) == 16
-    assert by_ref["m0"].n_frames > 1  # video mime
-    assert by_ref["m1"].n_frames == 1
+    assert len(by_ref[png].feature) == 16
+    assert by_ref[video].n_frames > 1  # video mime → fake multi-frame
+    assert by_ref[png].n_frames == 1
     # determinism: same refs → same features
     feats2 = extract_media_features(media).collect()
     assert {r.media_ref: r.feature for r in feats2} == {
@@ -226,7 +230,9 @@ def test_media_features_deterministic(spark):
 
 
 def test_media_real_codec_path_stubbed(spark):
-    refs = ["x1"]
+    from html_table_spark.operators.media import refs_for_tier
+
+    refs = refs_for_tier("png-header", 1)
     media = spark.createDataFrame(synthesize_media_table(refs), MEDIA_SCHEMA)
     rows = extract_media_features(media, use_real_codecs=True).collect()
     assert rows[0].status.startswith("error: video frame-sampling")
@@ -240,13 +246,19 @@ def test_image_header_parsers():
     from html_table_spark.operators.media import (
         _decode_meta,
         parse_image_header,
+        refs_for_tier,
     )
 
-    rows = {
-        r["media_ref"]: r
-        for r in synthesize_media_table(["a1", "b2", "c3", "d0", "e4", "f5", "e9"])
+    header_refs = {
+        "png-header": ("image/png", refs_for_tier("png-header", 1)[0]),
+        "gif-header": ("image/gif", refs_for_tier("gif-header", 1)[0]),
+        "jpeg-header": ("image/jpeg", refs_for_tier("jpeg-header", 1)[0]),
     }
-    for ref, expected_mime in (("a1", "image/png"), ("b2", "image/gif"), ("c3", "image/jpeg")):
+    full_refs = [refs_for_tier("png-rgb", 1)[0], refs_for_tier("png-rgba", 1)[0]]
+    opaque_refs = [refs_for_tier("video-opaque", 1)[0], refs_for_tier("opaque", 1)[0]]
+    all_refs = [r for _, r in header_refs.values()] + full_refs + opaque_refs
+    rows = {r["media_ref"]: r for r in synthesize_media_table(all_refs)}
+    for expected_mime, ref in header_refs.values():
         digest = _hl.sha256(f"42:{ref}".encode()).digest()
         w, h = 32 + digest[0], 32 + digest[1]
         got = parse_image_header(rows[ref]["payload"])
@@ -254,16 +266,16 @@ def test_image_header_parsers():
         # the default decode path surfaces the REAL dims, 1 frame
         dw, dh, dn, _ = _decode_meta(rows[ref]["payload"], rows[ref]["mime"])
         assert (dw, dh, dn) == (w, h, 1)
-    # refs ending 4/5 are COMPLETE PNGs (round-4): full-pixel decode tier —
-    # real dims from the body, real-pixel feature marker set
-    for full_ref in ("e4", "f5"):
+    # the COMPLETE-PNG tiers (round-4): full-pixel decode — real dims
+    # from the body, real-pixel feature marker set
+    for full_ref in full_refs:
         mime, w, h = parse_image_header(rows[full_ref]["payload"])
         dw, dh, dn, feat = _decode_meta(rows[full_ref]["payload"], "image/png")
         assert mime == "image/png" and (dw, dh, dn) == (w, h, 1)
         assert feat[15] == 1.0, full_ref
     # opaque payloads: no magic → None → fake fallback
-    assert parse_image_header(rows["d0"]["payload"]) is None
-    assert parse_image_header(rows["e9"]["payload"]) is None
+    for opaque_ref in opaque_refs:
+        assert parse_image_header(rows[opaque_ref]["payload"]) is None
     assert parse_image_header(b"") is None
     assert parse_image_header(None) is None
     # truncated/corrupt headers fall back instead of raising
