@@ -6,8 +6,8 @@ mime: string)``.  This module implements the Spark-side plumbing — schema,
 batch shape, mapInPandas signatures, deterministic fake features — for the
 decode / feature-extract / resize / frame-sample stages.
 
-Decode tiers (round-4: all three image formats now have REAL pixel
-decoders, no codec libraries):
+Decode tiers (round-4: every media family now has a REAL decode level,
+no codec libraries):
 
 - **PNG, GIF or baseline JPEG with a well-formed body: REAL full-pixel
   decode** — PNG via the stdlib-zlib decoder in :mod:`.png` (IDAT
@@ -17,17 +17,23 @@ decoders, no codec libraries):
   :mod:`.jpeg` (Huffman entropy decode, dequant, vectorized IDCT,
   chroma upsample, YCbCr→RGB) — real dimensions, real frame count
   (GIF), AND a real pixel-statistics feature vector.
+- **WAV/RIFF audio: REAL PCM decode** (:mod:`.wav`): n_frames is the
+  real sample-frame count and the feature vector carries signal stats
+  (RMS, peak, zero-crossing rate); width/height are NULL.
+- **MP4/ISO-BMFF video: REAL container metadata** (:mod:`.mp4` box
+  walk): tkhd display dimensions, stts frame count, mvhd duration —
+  digest-fake features (pixel decode needs codecs).
 - PNG/GIF/JPEG with readable headers but undecodable bodies
   (progressive JPEG, Adam7 PNG, truncated data): real dimensions from
   the native header parse, digest-fake features.
-- Everything else (video, opaque payloads): deterministic fake seeded
-  from the payload digest — keeps schema, partitioning and batch shape
+- Everything else (opaque payloads): deterministic fake seeded from
+  the payload digest — keeps schema, partitioning and batch shape
   real and testable.
 
-The remaining ``_decode_real`` seam is video frame sampling and the
-exotic image variants above (progressive JPEG needs multi-scan state,
-Adam7 needs pass interleaving) — swap it in when the cluster image
-ships Pillow/ffmpeg.
+The remaining ``_decode_real`` seam is video PIXEL decode / frame
+sampling and the exotic image variants above (progressive JPEG needs
+multi-scan state, Adam7 needs pass interleaving) — swap it in when the
+cluster image ships Pillow/ffmpeg.
 """
 
 from __future__ import annotations
