@@ -28,6 +28,13 @@ Every query is value-checked against a DuckDB oracle (no rows-only checks):
           fingerprint).
 - ann_* : embedding similarity search — brute-force, multi-table LSH
           (hyperplane literals shared with the SQL twin), and IVF probe.
+- mc_*  : main-content extraction (north rule: HTML boilerplate strip via
+          DOM heuristics) — WSDM-2010 NumWordsRules block classification
+          over deterministic pages whose verdicts SQL recomputes.
+- pdf_* : PDF layout parse (north rule) — real FlateDecode PDFs written
+          per doc and read back by the independent stdlib parser; the
+          interleaved text+media span order is coordinate-derived, which
+          the oracle predicts from the word stream.
 """
 
 from __future__ import annotations
@@ -964,6 +971,96 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mc_* / pdf_* — north-rule main-content extraction + PDF layout parse
+# ---------------------------------------------------------------------------
+
+_MC_PREFIX = (
+    '<html><body><div class="nav"><a href="#">home</a> <a href="#">about</a>'
+    ' <a href="#">docs</a></div><p>'
+)
+_MC_SUFFIX = (
+    '</p><div class="footer"><a href="#">contact</a> <a href="#">sitemap</a>'
+    " copyright</div></body></html>"
+)
+
+
+def _mc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document wrapped as a page: link-only nav chrome, the words as
+    the candidate main block, a link-heavy footer — the boilerplate
+    classifier's verdicts become SQL-predictable arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_MC_PREFIX), F.col("text"), F.lit(_MC_SUFFIX))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), html.alias("html")
+    )
+
+
+def mc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip, feature level (north rule: "HTML boilerplate
+    strip … DOM heuristics"): DOM block segmentation + WSDM-2010
+    NumWordsRules classification + readability unlikely-candidate css
+    pre-filter.  Three blocks per doc; the middle block's verdict is the
+    classifier's prev-link-density>0.555 branch (content iff n_words>40),
+    which the oracle recomputes from the word count."""
+    from html_table_spark.operators.maincontent import extract_main_blocks
+
+    return extract_main_blocks(_mc_pages(spark, sf_dir)).select(
+        "doc_id",
+        "block_idx",
+        "block_text",
+        "n_words",
+        "link_density",
+        "css_hint",
+        "is_content",
+    )
+
+
+def mc_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip, document level: content blocks reduced to one
+    main_text per doc (JVM-side sort/join agg); all-boilerplate docs keep
+    an explicit '' row."""
+    from html_table_spark.operators.maincontent import main_text
+
+    return main_text(_mc_pages(spark, sf_dir))
+
+
+def pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout parse (north rule): each doc's words are written into a
+    real one-page PDF — FlateDecode content stream, two text runs on the
+    top line written in SWAPPED stream order plus an image XObject between
+    the lines — and read back by the independent stdlib parser, which must
+    recover the interleaved (kind, text, media_ref, order) span stream from
+    coordinates, not stream order."""
+    import pandas as pd
+
+    from html_table_spark.operators.pdf import build_pdf, extract_pdf_spans_df
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+    def synth(batches):
+        for batch in batches:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"].values, batch["text"].values):
+                words = text.split(" ")
+                head, tail = words[:5], words[5:]
+                items = [
+                    ("text", 72.0, 660.0, " ".join(tail)),  # written first, lowest y
+                    ("image", 72.0, 690.0, 96.0, 24.0, "Im1"),
+                    ("text", 300.0, 720.0, " ".join(head[2:])),  # right run first
+                    ("text", 72.0, 720.0, " ".join(head[:2])),  # left run last
+                ]
+                rows.append((doc_id, build_pdf(items)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    pdfs = docs.mapInPandas(synth, "doc_id string, payload binary")
+    return extract_pdf_spans_df(pdfs).select(
+        "doc_id", "pos", "kind", "span_text", "media_ref"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1027,6 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "mc_blocks": mc_blocks,
+        "mc_main_text": mc_main_text,
+        "pdf_spans": pdf_spans,
     }
 
 
@@ -1869,6 +1969,57 @@ def oracle_sql() -> dict[str, str]:
         # full SQL re-derivations of the sketch-based operators
         "ann_lsh": _ann_lsh_sql(),
         "dd_simhash": _simhash_sql(),
+        # main-content extraction: the synthesized page has three blocks —
+        # nav (link_density 1.0, css-flagged), the document words, footer
+        # (2 of 3 words linked, css-flagged).  The middle block's verdict is
+        # the WSDM-2010 prev-link-density>0.555 branch: content iff
+        # n_words > 40 (the footer's 3 words never trip the next>17 arm).
+        "mc_blocks": """
+            WITH w AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            )
+            SELECT doc_id, CAST(0 AS INT) AS block_idx,
+                   'home about docs' AS block_text, CAST(3 AS INT) AS n_words,
+                   CAST(1.0 AS DOUBLE) AS link_density,
+                   true AS css_hint, false AS is_content
+            FROM w
+            UNION ALL
+            SELECT doc_id, 1, text, CAST(n AS INT), CAST(0.0 AS DOUBLE),
+                   false, n > 40
+            FROM w
+            UNION ALL
+            SELECT doc_id, 2, 'contact sitemap copyright', 3,
+                   CAST(2.0 AS DOUBLE) / 3.0, true, false
+            FROM w
+        """,
+        "mc_main_text": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN len(string_split(text, ' ')) > 40
+                        THEN text ELSE '' END AS main_text
+            FROM documents
+        """,
+        # PDF layout parse: the writer emits the tail line FIRST in the
+        # content stream and splits the top line into two runs written
+        # right-before-left, with an image XObject between the lines — the
+        # reader's coordinate sort must still produce top line, image, tail.
+        "pdf_spans": """
+            WITH w AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       string_split(text, ' ') AS words
+                FROM documents
+            )
+            SELECT doc_id, CAST(0 AS INT) AS pos, 'text' AS kind,
+                   array_to_string(words[1:5], ' ') AS span_text,
+                   CAST(NULL AS VARCHAR) AS media_ref
+            FROM w
+            UNION ALL
+            SELECT doc_id, 1, 'media', NULL, 'Im1' FROM w
+            UNION ALL
+            SELECT doc_id, 2, 'text', array_to_string(words[6:], ' '), NULL
+            FROM w
+        """,
     }
     # quality-score sub-oracle (mirrors quality_score/stopword_ratio/
     # punct_ratio with zero-token and zero-length guards exactly as the

@@ -1,0 +1,693 @@
+"""PDF layout parsing: stdlib-only text + media extraction from PDF bytes.
+
+The north rule asks for "PDF/layout parse" beside the HTML extractor.  This
+module implements, from the public PDF 1.7 specification (ISO 32000-1) and
+nothing else:
+
+* :func:`build_pdf` — a deterministic minimal PDF **writer** used to
+  synthesize fixtures (catalog/pages/page/font objects, FlateDecode content
+  streams, a classic xref table + trailer).  Tests and driver queries build
+  documents with it and parse them back with the independent reader below —
+  the same generator-vs-general-parser discipline the media module uses for
+  PNG/GIF/JPEG payloads.
+* :func:`parse_pdf` / :func:`extract_pdf_spans` — a **reader**: object-level
+  lexer (names, numbers, literal/hex strings with escapes, dicts, arrays,
+  indirect references), scan-based object table (tolerant of broken xref,
+  like real-world repairing parsers), FlateDecode via ``zlib`` with a
+  forged-``/Length`` inflation cap, page-tree walk, and a content-stream
+  interpreter covering the text ops (``BT/ET Tf TL Td TD Tm T* Tj TJ ' "``),
+  graphics state (``q Q cm``) and image XObjects (``Do``) — enough to
+  recover positioned text runs and media references.
+* :func:`layout_spans` — layout analysis: runs are ordered top-to-bottom by
+  ``y``, left-to-right by ``x`` within a line band, text runs in one band
+  merge into a line, image XObjects become interleaved media spans — the
+  (kind, text, media_ref, offset) span stream the rest of the pipeline
+  already speaks.
+
+Scale design: parsing is per-document, zero-shuffle, Arrow-batched
+(:func:`extract_pdf_spans_df` mirrors ``media.extract_media_features``);
+corrupt payloads become error rows, never stage failures.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "PdfError",
+    "build_pdf",
+    "parse_pdf",
+    "extract_pdf_spans",
+    "layout_spans",
+    "extract_pdf_spans_df",
+]
+
+
+class PdfError(ValueError):
+    """Raised on structurally invalid PDF bytes (reader side)."""
+
+
+# ---------------------------------------------------------------------------
+# writer (fixture generator)
+# ---------------------------------------------------------------------------
+
+_STR_ESC = {ord("\\"): b"\\\\", ord("("): b"\\(", ord(")"): b"\\)",
+             10: b"\\n", 13: b"\\r", 9: b"\\t", 8: b"\\b", 12: b"\\f"}
+
+
+def _esc_string(text: str) -> bytes:
+    out = bytearray()
+    for byte in text.encode("latin-1", "replace"):
+        esc = _STR_ESC.get(byte)
+        if esc is not None:
+            out += esc
+        else:
+            out.append(byte)
+    return bytes(out)
+
+
+def _fmt_num(v: float) -> str:
+    return str(int(v)) if float(v).is_integer() else repr(float(v))
+
+
+def build_pdf(items: list[tuple], *, compress: bool = True,
+              font_size: float = 12.0) -> bytes:
+    """Serialize a one-page PDF from layout items, in the given stream order.
+
+    ``items`` entries are either ``("text", x, y, text)`` or
+    ``("image", x, y, w, h, name)``.  The content stream emits them in list
+    order — callers shuffle the order to prove the reader's layout sort uses
+    coordinates, not stream order.  Distinct image names each get an
+    XObject resource (a tiny 2×2 8-bit gray image).
+    """
+    chunks: list[str] = []
+    image_names: list[str] = []
+    for item in items:
+        if item[0] == "text":
+            _, x, y, text = item
+            chunks.append(
+                f"BT /F1 {_fmt_num(font_size)} Tf {_fmt_num(x)} {_fmt_num(y)}"
+                f" Td ({_esc_string(text).decode('latin-1')}) Tj ET"
+            )
+        elif item[0] == "image":
+            _, x, y, w, h, name = item
+            if name not in image_names:
+                image_names.append(name)
+            chunks.append(
+                f"q {_fmt_num(w)} 0 0 {_fmt_num(h)} {_fmt_num(x)}"
+                f" {_fmt_num(y)} cm /{name} Do Q"
+            )
+        else:  # pragma: no cover - caller error
+            raise ValueError(f"unknown item kind {item[0]!r}")
+    content = " ".join(chunks).encode("latin-1")
+    if compress:
+        stream_data = zlib.compress(content, 6)
+        filt = " /Filter /FlateDecode"
+    else:
+        stream_data = content
+        filt = ""
+
+    objs: dict[int, bytes] = {}
+    xobj_ids = {name: 6 + i for i, name in enumerate(image_names)}
+    res = "<< /Font << /F1 4 0 R >>"
+    if xobj_ids:
+        res += (" /XObject << "
+                + " ".join(f"/{n} {i} 0 R" for n, i in xobj_ids.items())
+                + " >>")
+    res += " >>"
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    objs[3] = (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+               f"/Resources {res} /Contents 5 0 R >>").encode()
+    objs[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    objs[5] = (f"<< /Length {len(stream_data)}{filt} >>".encode()
+               + b"\nstream\n" + stream_data + b"\nendstream")
+    pixels = bytes([0, 64, 128, 255])
+    for name, oid in xobj_ids.items():
+        objs[oid] = (b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2"
+                     b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                     b" /Length 4 >>\nstream\n" + pixels + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for oid in sorted(objs):
+        offsets[oid] = len(out)
+        out += f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(objs) + 1
+    out += f"xref\n0 {n}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, n):
+        out += f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {n} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# reader: object-level lexer / parser
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_MAX_INFLATE = 1 << 26  # 64 MiB: forged-/Length zip-bomb guard
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+class _Name(str):
+    """A PDF name token (distinct from a parsed string)."""
+
+
+class _Str(bytes):
+    """A parsed PDF string (distinct from a keyword/operator, which the
+    lexer also returns as ``bytes``)."""
+
+
+class _Ref(tuple):
+    """Indirect reference (num, gen)."""
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        data, i = self.data, self.pos
+        while i < len(data):
+            c = data[i:i + 1]
+            if c in b"%":
+                j = data.find(b"\n", i)
+                i = len(data) if j < 0 else j + 1
+            elif c in _WS:
+                i += 1
+            else:
+                break
+        self.pos = i
+
+    def peek_keyword(self, kw: bytes) -> bool:
+        self._skip_ws()
+        return self.data.startswith(kw, self.pos)
+
+    def next_token(self):
+        """One lexical token: _Name, bytes (string), float/int, bool, None,
+        b'<<' / b'>>' / b'[' / b']' markers, or a keyword as bytes."""
+        self._skip_ws()
+        data, i = self.data, self.pos
+        if i >= len(data):
+            raise PdfError("unexpected end of data")
+        c = data[i:i + 1]
+        if c == b"/":
+            j = i + 1
+            while j < len(data) and data[j:j + 1] not in _WS and data[j:j + 1] not in _DELIM:
+                j += 1
+            raw = data[i + 1:j]
+            # #xx hex escapes in names (spec §7.3.5)
+            name = re.sub(rb"#([0-9A-Fa-f]{2})",
+                          lambda m: bytes([int(m.group(1), 16)]), raw)
+            self.pos = j
+            return _Name(name.decode("latin-1"))
+        if c == b"(":
+            return self._literal_string()
+        if data.startswith(b"<<", i):
+            self.pos = i + 2
+            return b"<<"
+        if c == b"<":
+            return self._hex_string()
+        if data.startswith(b">>", i):
+            self.pos = i + 2
+            return b">>"
+        if c in b"[]":
+            self.pos = i + 1
+            return c
+        m = _NUM_RE.match(data, i)
+        if m:
+            self.pos = m.end()
+            txt = m.group()
+            return float(txt) if b"." in txt else int(txt)
+        j = i
+        while j < len(data) and data[j:j + 1] not in _WS and data[j:j + 1] not in _DELIM:
+            j += 1
+        if j == i:
+            raise PdfError(f"lexical error at byte {i}")
+        self.pos = j
+        kw = data[i:j]
+        if kw == b"true":
+            return True
+        if kw == b"false":
+            return False
+        if kw == b"null":
+            return None
+        return kw  # obj / endobj / stream / R / operator names...
+
+    def _literal_string(self) -> bytes:
+        data = self.data
+        i = self.pos + 1
+        depth = 1
+        out = bytearray()
+        while i < len(data):
+            c = data[i]
+            if c == 0x5C:  # backslash
+                i += 1
+                if i >= len(data):
+                    break
+                e = data[i:i + 1]
+                if e == b"n":
+                    out += b"\n"
+                elif e == b"r":
+                    out += b"\r"
+                elif e == b"t":
+                    out += b"\t"
+                elif e == b"b":
+                    out += b"\b"
+                elif e == b"f":
+                    out += b"\f"
+                elif e in b"01234567":
+                    j = i
+                    while j < len(data) and j - i < 3 and data[j:j + 1] in b"01234567":
+                        j += 1
+                    out.append(int(data[i:j], 8) & 0xFF)
+                    i = j - 1
+                elif e == b"\n":
+                    pass  # line continuation
+                elif e == b"\r":
+                    if data[i + 1:i + 2] == b"\n":
+                        i += 1
+                else:
+                    out += e  # \( \) \\ and unknown escapes: literal char
+                i += 1
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos = i + 1
+                    return _Str(out)
+            out.append(c)
+            i += 1
+        raise PdfError("unterminated literal string")
+
+    def _hex_string(self) -> bytes:
+        data = self.data
+        end = data.find(b">", self.pos + 1)
+        if end < 0:
+            raise PdfError("unterminated hex string")
+        hx = re.sub(rb"\s", b"", data[self.pos + 1:end])
+        if len(hx) % 2:
+            hx += b"0"  # spec: odd final digit implies trailing 0
+        self.pos = end + 1
+        try:
+            raw = bytes.fromhex(hx.decode("ascii"))
+        except ValueError as exc:
+            raise PdfError(f"bad hex string: {exc}") from exc
+        return _Str(raw)
+
+    def parse_value(self, depth: int = 0):
+        """A complete PDF value, folding ``N G R`` into :class:`_Ref`."""
+        if depth > 64:
+            raise PdfError("value nesting too deep")
+        tok = self.next_token()
+        if tok == b"<<":
+            d: dict[str, object] = {}
+            while True:
+                self._skip_ws()
+                if self.data.startswith(b">>", self.pos):
+                    self.pos += 2
+                    return d
+                key = self.next_token()
+                if not isinstance(key, _Name):
+                    raise PdfError("dict key must be a name")
+                d[str(key)] = self.parse_value(depth + 1)
+        if tok == b"[":
+            arr: list = []
+            while True:
+                self._skip_ws()
+                if self.data.startswith(b"]", self.pos):
+                    self.pos += 1
+                    return arr
+                arr.append(self.parse_value(depth + 1))
+        if isinstance(tok, int):
+            # lookahead for "G R" (indirect reference)
+            save = self.pos
+            try:
+                t2 = self.next_token()
+                if type(t2) is int:
+                    t3 = self.next_token()
+                    if t3 == b"R":
+                        return _Ref((tok, t2))
+                self.pos = save
+            except PdfError:
+                self.pos = save
+            return tok
+        return tok
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_HEAD_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
+
+
+class PdfDocument:
+    """Parsed object table + resolved page list."""
+
+    def __init__(self, objects: dict[int, object],
+                 streams: dict[int, bytes], root: int) -> None:
+        self.objects = objects
+        self.streams = streams
+        self.root = root
+
+    def resolve(self, value, depth: int = 0):
+        while isinstance(value, _Ref):
+            if depth > 32:
+                raise PdfError("reference cycle")
+            value = self.objects.get(value[0])
+            depth += 1
+        return value
+
+    def stream_data(self, oid: int) -> bytes:
+        """Decoded stream bytes for object ``oid`` (FlateDecode or raw)."""
+        raw = self.streams.get(oid)
+        if raw is None:
+            raise PdfError(f"object {oid} has no stream")
+        info = self.resolve(self.objects.get(oid))
+        if not isinstance(info, dict):
+            raise PdfError(f"object {oid} stream dict missing")
+        filt = self.resolve(info.get("Filter"))
+        filters = ([str(f) for f in filt] if isinstance(filt, list)
+                   else [str(filt)] if filt is not None else [])
+        data = raw
+        for name in filters:
+            if name == "FlateDecode":
+                d = zlib.decompressobj()
+                try:
+                    data = d.decompress(data, _MAX_INFLATE)
+                except zlib.error as exc:
+                    raise PdfError(f"FlateDecode failed: {exc}") from exc
+                if d.unconsumed_tail:
+                    raise PdfError("FlateDecode output exceeds inflation cap")
+            else:
+                raise PdfError(f"unsupported filter {name}")
+        return data
+
+    def pages(self) -> list[dict]:
+        """Leaf page dicts in document order (page-tree walk, /Kids)."""
+        catalog = self.resolve(self.objects.get(self.root))
+        if not isinstance(catalog, dict):
+            raise PdfError("catalog missing")
+        out: list[dict] = []
+        stack = [(self.resolve(catalog.get("Pages")), 0)]
+        while stack:
+            node, depth = stack.pop()
+            if depth > 64:
+                raise PdfError("page tree too deep")
+            if not isinstance(node, dict):
+                raise PdfError("malformed page tree node")
+            ntype = str(self.resolve(node.get("Type")) or "")
+            if ntype == "Page":
+                out.append(node)
+            else:
+                kids = self.resolve(node.get("Kids")) or []
+                if not isinstance(kids, list):
+                    raise PdfError("/Kids is not an array")
+                for kid in reversed(kids):
+                    stack.append((self.resolve(kid), depth + 1))
+        if not out:
+            raise PdfError("no pages")
+        return out
+
+
+def parse_pdf(data: bytes) -> PdfDocument:
+    """Scan-parse a PDF: build the object table from ``N G obj`` markers
+    (tolerant of damaged xref, the standard repair strategy), slice stream
+    payloads by ``/Length`` (indirect lengths resolved after the scan),
+    and locate the catalog via the trailer (fallback: first /Type/Catalog)."""
+    if not data.startswith(b"%PDF-"):
+        raise PdfError("missing %PDF header")
+    objects: dict[int, object] = {}
+    streams: dict[int, bytes] = {}
+    pending_len: list[tuple[int, int]] = []  # (oid, stream start) to re-slice
+    covered_until = 0  # skip "N G obj" lookalikes inside binary stream data
+    for m in _OBJ_RE.finditer(data):
+        if m.start() < covered_until:
+            continue
+        oid = int(m.group(1))
+        lex = _Lexer(data, m.end())
+        try:
+            value = lex.parse_value()
+        except PdfError:
+            continue  # tolerate one broken object; scan continues
+        objects[oid] = value
+        sm = _STREAM_HEAD_RE.match(data, _skip_ws_at(data, lex.pos))
+        if sm and isinstance(value, dict):
+            start = sm.end()
+            length = value.get("Length")
+            if isinstance(length, _Ref):
+                pending_len.append((oid, start))
+            elif isinstance(length, int) and 0 <= length <= len(data) - start:
+                streams[oid] = data[start:start + length]
+                covered_until = start + length
+            else:
+                raise PdfError(f"object {oid}: invalid /Length")
+    for oid, start in pending_len:
+        info = objects.get(oid)
+        length_ref = info.get("Length") if isinstance(info, dict) else None
+        length = objects.get(length_ref[0]) if isinstance(length_ref, _Ref) else None
+        if not isinstance(length, int) or not 0 <= length <= len(data) - start:
+            raise PdfError(f"object {oid}: unresolvable indirect /Length")
+        streams[oid] = data[start:start + length]
+
+    root = None
+    tpos = data.rfind(b"trailer")
+    if tpos >= 0:
+        try:
+            tdict = _Lexer(data, tpos + len(b"trailer")).parse_value()
+            if isinstance(tdict, dict) and isinstance(tdict.get("Root"), _Ref):
+                root = tdict["Root"][0]
+        except PdfError:
+            root = None
+    if root is None:  # repair path: first catalog object
+        for oid, value in objects.items():
+            if isinstance(value, dict) and str(value.get("Type") or "") == "Catalog":
+                root = oid
+                break
+    if root is None or root not in objects:
+        raise PdfError("no /Root catalog found")
+    return PdfDocument(objects, streams, root)
+
+
+def _skip_ws_at(data: bytes, pos: int) -> int:
+    while pos < len(data) and data[pos:pos + 1] in _WS:
+        pos += 1
+    return pos
+
+
+# ---------------------------------------------------------------------------
+# content-stream interpreter
+# ---------------------------------------------------------------------------
+
+def _mat_mul(m1, m2):
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _interpret_content(content: bytes) -> list[tuple]:
+    """Run the text/graphics operators; return positioned items:
+    ``("text", x, y, text)`` and ``("media", x, y, name)``."""
+    lex = _Lexer(content)
+    stack: list = []
+    ctm = _ID
+    gs_stack: list[tuple] = []
+    tlm = _ID
+    tm = _ID
+    leading = 0.0
+    items: list[tuple] = []
+
+    def show(raw) -> None:
+        if isinstance(raw, list):  # TJ: strings interleaved with kerning
+            text = b"".join(x for x in raw if isinstance(x, bytes))
+        else:
+            text = raw if isinstance(raw, bytes) else b""
+        trm = _mat_mul(tm, ctm)
+        items.append(("text", trm[4], trm[5], text.decode("latin-1")))
+
+    def td(tx: float, ty: float) -> None:
+        nonlocal tlm, tm
+        tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, float(tx), float(ty)), tlm)
+        tm = tlm
+
+    while lex.pos < len(lex.data):
+        lex._skip_ws()
+        if lex.pos >= len(lex.data):
+            break
+        try:
+            tok = lex.parse_value()
+        except PdfError:
+            break
+        if isinstance(tok, _Str) or not isinstance(tok, bytes):
+            stack.append(tok)  # operand: number/string/name/array/dict/bool
+            continue
+        op = tok
+        try:
+            if op == b"BT":
+                tlm = tm = _ID
+            elif op == b"ET":
+                pass
+            elif op == b"Tf":
+                stack = stack[:-2]
+            elif op == b"TL":
+                leading = float(stack.pop())
+            elif op == b"Td":
+                ty, tx = stack.pop(), stack.pop()
+                td(tx, ty)
+            elif op == b"TD":
+                ty, tx = stack.pop(), stack.pop()
+                leading = -float(ty)
+                td(tx, ty)
+            elif op == b"Tm":
+                vals = [float(stack.pop()) for _ in range(6)][::-1]
+                tlm = tm = tuple(vals)
+            elif op == b"T*":
+                td(0.0, -leading)
+            elif op == b"Tj":
+                show(stack.pop())
+            elif op == b"TJ":
+                show(stack.pop())
+            elif op == b"'":
+                td(0.0, -leading)
+                show(stack.pop())
+            elif op == b'"':
+                raw = stack.pop()
+                stack = stack[:-2]  # aw, ac
+                td(0.0, -leading)
+                show(raw)
+            elif op == b"q":
+                gs_stack.append(ctm)
+            elif op == b"Q":
+                ctm = gs_stack.pop() if gs_stack else _ID
+            elif op == b"cm":
+                vals = [float(stack.pop()) for _ in range(6)][::-1]
+                ctm = _mat_mul(tuple(vals), ctm)
+            elif op == b"Do":
+                name = stack.pop()
+                items.append(("media", ctm[4], ctm[5], str(name)))
+            else:
+                stack.clear()  # unknown operator: drop its operands
+        except (IndexError, TypeError, ValueError) as exc:
+            raise PdfError(f"bad operand for {op!r}: {exc}") from exc
+    return items
+
+
+def _page_items(doc: PdfDocument, page: dict) -> list[tuple]:
+    contents = doc.resolve(page.get("Contents"))
+    refs: list[_Ref]
+    if isinstance(page.get("Contents"), _Ref):
+        refs = [page["Contents"]]
+    elif isinstance(contents, list):
+        refs = [r for r in contents if isinstance(r, _Ref)]
+    else:
+        raise PdfError("page /Contents missing")
+    # multiple content streams form ONE stream when concatenated (spec §7.8.2)
+    content = b"\n".join(doc.stream_data(r[0]) for r in refs)
+    return _interpret_content(content)
+
+
+def layout_spans(items: list[tuple], *, y_tol: float = 3.0) -> list[dict]:
+    """Order positioned items into the span stream: top-to-bottom (y desc),
+    left-to-right (x asc); text runs within one ``y_tol`` band join into a
+    line with single spaces; media items interleave at their own position."""
+    lines: list[dict] = []  # {"y", "runs": [(x, text)]}
+    media: list[tuple] = []
+    for item in items:
+        if item[0] == "media":
+            media.append(item)
+            continue
+        _, x, y, text = item
+        placed = None
+        for line in lines:
+            if abs(line["y"] - y) <= y_tol:
+                placed = line
+                break
+        if placed is None:
+            lines.append({"y": y, "runs": [(x, text)]})
+        else:
+            placed["runs"].append((x, text))
+
+    entries: list[tuple] = []  # (sort_y, sort_x, kind, text, ref)
+    for line in lines:
+        runs = sorted(line["runs"])
+        text = " ".join(t for _, t in runs if t != "")
+        entries.append((line["y"], runs[0][0], "text", text, None))
+    for _, x, y, name in media:
+        entries.append((y, x, "media", None, name))
+    entries.sort(key=lambda e: (-e[0], e[1]))
+    return [
+        {"kind": kind, "text": text, "media_ref": ref, "offset": i}
+        for i, (_, _, kind, text, ref) in enumerate(entries)
+    ]
+
+
+def extract_pdf_spans(payload: bytes, *, y_tol: float = 3.0) -> list[dict]:
+    """Full read path: parse → page walk → interpret → layout spans.
+    Multi-page documents concatenate pages in order (offsets keep
+    increasing)."""
+    doc = parse_pdf(payload)
+    spans: list[dict] = []
+    for page in doc.pages():
+        for span in layout_spans(_page_items(doc, page), y_tol=y_tol):
+            span["offset"] = len(spans)
+            spans.append(span)
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+_SPANS_SCHEMA = ("doc_id string, pos int, kind string, span_text string, "
+                 "media_ref string, status string")
+
+
+def extract_pdf_spans_df(pdfs: DataFrame, *, doc_id_col: str = "doc_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """``(doc_id, payload binary)`` → one row per layout span.
+
+    Iterator-of-batches ``mapInPandas`` (payloads never accumulate beyond
+    one Arrow batch); corrupt documents become a single
+    ``status='error: …'`` row instead of failing the stage — the same error
+    channel as the media decoder (SURVEY §2.1 semantics)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"].values,
+                                       batch["payload"].values):
+                try:
+                    for s in extract_pdf_spans(bytes(payload)):
+                        rows.append((doc_id, s["offset"], s["kind"],
+                                     s["text"], s["media_ref"], "ok"))
+                except Exception as exc:  # noqa: BLE001 — per-doc channel
+                    rows.append((doc_id, 0, "error", None, None,
+                                 f"error: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "pos", "kind", "span_text",
+                               "media_ref", "status"])
+
+    sel = pdfs.select(F.col(doc_id_col).cast("string").alias("doc_id"),
+                      F.col(payload_col).alias("payload"))
+    return sel.mapInPandas(run, schema=_SPANS_SCHEMA)
