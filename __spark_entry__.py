@@ -1034,9 +1034,14 @@ def pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from html_table_spark.operators.pdf import build_pdf, extract_pdf_spans_df
+    from html_table_spark.operators.util import ensure_parallelism
 
-    docs = _read(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    # spread BEFORE synthesis so the heavy binary payloads never shuffle —
+    # only (doc_id, text) rows move
+    docs = ensure_parallelism(
+        _read(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
     )
 
     def synth(batches):
@@ -1055,7 +1060,7 @@ def pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     pdfs = docs.mapInPandas(synth, "doc_id string, payload binary")
-    return extract_pdf_spans_df(pdfs).select(
+    return extract_pdf_spans_df(pdfs, spread=False).select(
         "doc_id", "pos", "kind", "span_text", "media_ref"
     )
 

@@ -227,8 +227,12 @@ def extract_main_blocks(docs: DataFrame, *, doc_id_col: str = "doc_id",
                          "is_content"],
             )
 
-    sel = docs.select(F.col(doc_id_col).cast("string").alias("doc_id"),
-                      F.col(html_col).alias("html"))
+    from .util import ensure_parallelism
+
+    sel = ensure_parallelism(
+        docs.select(F.col(doc_id_col).cast("string").alias("doc_id"),
+                    F.col(html_col).alias("html"))
+    )
     return sel.mapInPandas(run, schema=_BLOCKS_SCHEMA)
 
 

@@ -173,71 +173,74 @@ class _Ref(tuple):
     """Indirect reference (num, gen)."""
 
 
+_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
+_KW_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+_NAME_ESC_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
+_LIT_SPECIAL_RE = re.compile(rb"[\\()]")
+
+
 class _Lexer:
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
         self.pos = pos
 
     def _skip_ws(self) -> None:
-        data, i = self.data, self.pos
-        while i < len(data):
-            c = data[i:i + 1]
-            if c in b"%":
-                j = data.find(b"\n", i)
-                i = len(data) if j < 0 else j + 1
-            elif c in _WS:
-                i += 1
-            else:
-                break
-        self.pos = i
-
-    def peek_keyword(self, kw: bytes) -> bool:
-        self._skip_ws()
-        return self.data.startswith(kw, self.pos)
+        m = _WS_RE.match(self.data, self.pos)
+        if m:
+            self.pos = m.end()
 
     def next_token(self):
-        """One lexical token: _Name, bytes (string), float/int, bool, None,
+        """One lexical token: _Name, _Str (string), float/int, bool, None,
         b'<<' / b'>>' / b'[' / b']' markers, or a keyword as bytes."""
-        self._skip_ws()
-        data, i = self.data, self.pos
+        m = _WS_RE.match(self.data, self.pos)
+        data = self.data
+        i = m.end() if m else self.pos
         if i >= len(data):
+            self.pos = i
             raise PdfError("unexpected end of data")
-        c = data[i:i + 1]
-        if c == b"/":
-            j = i + 1
-            while j < len(data) and data[j:j + 1] not in _WS and data[j:j + 1] not in _DELIM:
-                j += 1
-            raw = data[i + 1:j]
-            # #xx hex escapes in names (spec §7.3.5)
-            name = re.sub(rb"#([0-9A-Fa-f]{2})",
-                          lambda m: bytes([int(m.group(1), 16)]), raw)
-            self.pos = j
-            return _Name(name.decode("latin-1"))
-        if c == b"(":
+        c = data[i]
+        if 0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E):  # digit + - .
+            m = _NUM_RE.match(data, i)
+            if m:
+                self.pos = m.end()
+                txt = m.group()
+                return float(txt) if b"." in txt else int(txt)
+        if c == 0x2F:  # /
+            m = _NAME_RE.match(data, i)
+            raw = m.group(1)
+            self.pos = m.end()
+            if b"#" in raw:  # #xx hex escapes in names (spec §7.3.5)
+                raw = _NAME_ESC_RE.sub(
+                    lambda mm: bytes([int(mm.group(1), 16)]), raw)
+            return _Name(raw.decode("latin-1"))
+        if c == 0x28:  # (
+            self.pos = i
             return self._literal_string()
-        if data.startswith(b"<<", i):
-            self.pos = i + 2
-            return b"<<"
-        if c == b"<":
+        if c == 0x3C:  # <
+            if data.startswith(b"<<", i):
+                self.pos = i + 2
+                return b"<<"
+            self.pos = i
             return self._hex_string()
-        if data.startswith(b">>", i):
-            self.pos = i + 2
-            return b">>"
-        if c in b"[]":
+        if c == 0x3E:  # >
+            if data.startswith(b">>", i):
+                self.pos = i + 2
+                return b">>"
+            raise PdfError(f"lexical error at byte {i}")
+        if c in (0x5B, 0x5D):  # [ ]
             self.pos = i + 1
-            return c
+            return data[i:i + 1]
         m = _NUM_RE.match(data, i)
         if m:
             self.pos = m.end()
             txt = m.group()
             return float(txt) if b"." in txt else int(txt)
-        j = i
-        while j < len(data) and data[j:j + 1] not in _WS and data[j:j + 1] not in _DELIM:
-            j += 1
-        if j == i:
+        m = _KW_RE.match(data, i)
+        if not m:
             raise PdfError(f"lexical error at byte {i}")
-        self.pos = j
-        kw = data[i:j]
+        self.pos = m.end()
+        kw = m.group()
         if kw == b"true":
             return True
         if kw == b"false":
@@ -247,52 +250,61 @@ class _Lexer:
         return kw  # obj / endobj / stream / R / operator names...
 
     def _literal_string(self) -> bytes:
+        # chunk-copies between the special bytes \ ( ) instead of walking
+        # per character — typical strings have no escapes at all
         data = self.data
         i = self.pos + 1
         depth = 1
         out = bytearray()
-        while i < len(data):
-            c = data[i]
-            if c == 0x5C:  # backslash
-                i += 1
-                if i >= len(data):
-                    break
-                e = data[i:i + 1]
-                if e == b"n":
-                    out += b"\n"
-                elif e == b"r":
-                    out += b"\r"
-                elif e == b"t":
-                    out += b"\t"
-                elif e == b"b":
-                    out += b"\b"
-                elif e == b"f":
-                    out += b"\f"
-                elif e in b"01234567":
-                    j = i
-                    while j < len(data) and j - i < 3 and data[j:j + 1] in b"01234567":
-                        j += 1
-                    out.append(int(data[i:j], 8) & 0xFF)
-                    i = j - 1
-                elif e == b"\n":
-                    pass  # line continuation
-                elif e == b"\r":
-                    if data[i + 1:i + 2] == b"\n":
-                        i += 1
-                else:
-                    out += e  # \( \) \\ and unknown escapes: literal char
-                i += 1
-                continue
+        while True:
+            m = _LIT_SPECIAL_RE.search(data, i)
+            if m is None:
+                raise PdfError("unterminated literal string")
+            j = m.start()
+            out += data[i:j]
+            c = data[j]
             if c == 0x28:
                 depth += 1
-            elif c == 0x29:
+                out.append(c)
+                i = j + 1
+                continue
+            if c == 0x29:
                 depth -= 1
                 if depth == 0:
-                    self.pos = i + 1
+                    self.pos = j + 1
                     return _Str(out)
-            out.append(c)
+                out.append(c)
+                i = j + 1
+                continue
+            # backslash escape
+            i = j + 1
+            if i >= len(data):
+                raise PdfError("unterminated literal string")
+            e = data[i:i + 1]
+            if e == b"n":
+                out += b"\n"
+            elif e == b"r":
+                out += b"\r"
+            elif e == b"t":
+                out += b"\t"
+            elif e == b"b":
+                out += b"\b"
+            elif e == b"f":
+                out += b"\f"
+            elif e in b"01234567":
+                j2 = i
+                while j2 < len(data) and j2 - i < 3 and data[j2:j2 + 1] in b"01234567":
+                    j2 += 1
+                out.append(int(data[i:j2], 8) & 0xFF)
+                i = j2 - 1
+            elif e == b"\n":
+                pass  # line continuation
+            elif e == b"\r":
+                if data[i + 1:i + 2] == b"\n":
+                    i += 1
+            else:
+                out += e  # \( \) \\ and unknown escapes: literal char
             i += 1
-        raise PdfError("unterminated literal string")
 
     def _hex_string(self) -> bytes:
         data = self.data
@@ -531,16 +543,32 @@ def _interpret_content(content: bytes) -> list[tuple]:
         tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, float(tx), float(ty)), tlm)
         tm = tlm
 
-    while lex.pos < len(lex.data):
+    arrays: list[list] = []  # in-flight [ ... ] operand arrays (TJ)
+    while True:
         lex._skip_ws()
         if lex.pos >= len(lex.data):
             break
+        # direct token loop: content streams contain no indirect references
+        # (spec §7.8.2), so parse_value's "N G R" lookahead — which costs
+        # two extra lexes per number — is skipped on this hot path
         try:
-            tok = lex.parse_value()
+            tok = lex.next_token()
         except PdfError:
             break
-        if isinstance(tok, _Str) or not isinstance(tok, bytes):
-            stack.append(tok)  # operand: number/string/name/array/dict/bool
+        if isinstance(tok, bytes) and not isinstance(tok, _Str):
+            if tok == b"[":
+                arrays.append([])
+                continue
+            if tok == b"]":
+                if not arrays:
+                    raise PdfError("unbalanced ] in content stream")
+                arr = arrays.pop()
+                (arrays[-1] if arrays else stack).append(arr)
+                continue
+            if arrays:  # stray keyword inside an array — drop it
+                continue
+        else:
+            (arrays[-1] if arrays else stack).append(tok)
             continue
         op = tok
         try:
@@ -664,7 +692,8 @@ _SPANS_SCHEMA = ("doc_id string, pos int, kind string, span_text string, "
 
 
 def extract_pdf_spans_df(pdfs: DataFrame, *, doc_id_col: str = "doc_id",
-                         payload_col: str = "payload") -> DataFrame:
+                         payload_col: str = "payload",
+                         spread: bool = True) -> DataFrame:
     """``(doc_id, payload binary)`` → one row per layout span.
 
     Iterator-of-batches ``mapInPandas`` (payloads never accumulate beyond
@@ -690,4 +719,11 @@ def extract_pdf_spans_df(pdfs: DataFrame, *, doc_id_col: str = "doc_id",
 
     sel = pdfs.select(F.col(doc_id_col).cast("string").alias("doc_id"),
                       F.col(payload_col).alias("payload"))
+    if spread:
+        # guards the single-file/single-partition trap; pass spread=False
+        # when the input is already well-partitioned (repartitioning HERE
+        # shuffles the binary payloads — spread upstream when possible)
+        from .util import ensure_parallelism
+
+        sel = ensure_parallelism(sel)
     return sel.mapInPandas(run, schema=_SPANS_SCHEMA)
