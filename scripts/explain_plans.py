@@ -71,6 +71,17 @@ CHECKS = {
     # verify JVM-side after a distinct — never a cross join
     "dd_simhash": (["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoop"]),
     "qs_count": ([], ["CartesianProduct"]),  # 1x1 crossJoin → BNLJ is fine
+    # north-rule operators (round 4): single Arrow-batched python stage,
+    # never a key shuffle — the only Exchange allowed is the roundrobin
+    # single-file spread
+    "mc_blocks": (["MapInPandas"], ["Exchange hashpartitioning"]),
+    # doc-level reduction: ONE hash agg on doc_id + the restore join; the
+    # blocks side itself must still be map-only up to that agg
+    "mc_main_text": (["MapInPandas", "HashAggregate"],
+                     ["CartesianProduct", "BroadcastNestedLoop"]),
+    # write+read chain: two python stages pipelined in one task — binary
+    # payloads must never cross a shuffle boundary
+    "pdf_spans": (["MapInPandas"], ["Exchange hashpartitioning"]),
 }
 
 
