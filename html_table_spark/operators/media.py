@@ -24,15 +24,15 @@ no codec libraries):
   walk): tkhd display dimensions, stts frame count, mvhd duration —
   digest-fake features (pixel decode needs codecs).
 - PNG/GIF/JPEG with readable headers but undecodable bodies
-  (progressive JPEG, Adam7 PNG, truncated data): real dimensions from
-  the native header parse, digest-fake features.
+  (progressive JPEG, truncated data): real dimensions from the native
+  header parse, digest-fake features. Adam7 interlaced PNG decodes
+  for REAL since round 4 (png.py §8.2 pass scatter).
 - Everything else (opaque payloads): deterministic fake seeded from
   the payload digest — keeps schema, partitioning and batch shape
   real and testable.
 
 The remaining ``_decode_real`` seam is video PIXEL decode / frame
-sampling and the exotic image variants above (progressive JPEG needs
-multi-scan state, Adam7 needs pass interleaving) — swap it in when the
+sampling and progressive JPEG (multi-scan state) — swap it in when the
 cluster image ships Pillow/ffmpeg.
 """
 
@@ -71,7 +71,7 @@ FEATURE_DIM = 16
 def _decode_real(payload: bytes, mime: str):  # pragma: no cover - needs codecs
     raise NotImplementedError(
         "video frame-sampling and exotic image variants (progressive JPEG, "
-        "Adam7 PNG, 16-bit depths) require codecs not present in this "
+        "16-bit depths) require codecs not present in this "
         "container; PNG/GIF/baseline-JPEG pixel decode IS real (stdlib-only "
         "operators/png.py, gif.py, jpeg.py), header metadata is parsed "
         "natively (parse_image_header), and everything else uses the "
@@ -191,7 +191,7 @@ def _decode_meta(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
             w, h, feature = png_pixel_feature(payload)
             return w, h, 1, feature
         except ValueError:
-            pass  # header-only PNG (no/corrupt body, Adam7, depth != 8)
+            pass  # header-only PNG (no/corrupt body, depth != 8)
     if header is not None and header[0] == "image/gif":
         try:
             w, h, n_frames, feature = gif_pixel_feature(payload)
@@ -409,12 +409,16 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
             mime = "image/jpeg"
         elif tier in ("png-rgb", "png-rgba", "png-gray"):
             # complete PNG (6-13 px per side, deterministic pixels); rows
-            # cycle §9 filter types so decode exercises every inverse
+            # cycle §9 filter types so decode exercises every inverse, and
+            # digest[7] routes half of each tier through Adam7 interlacing
+            # so the pass-scatter decode path sits inside the oracle corpus
             pw, ph = 6 + digest[0] % 8, 6 + digest[1] % 8
             ch = {"png-rgb": 3, "png-rgba": 4, "png-gray": 1}[tier]
             rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
             pixels = rng.integers(0, 256, size=(ph, pw, ch), dtype=np.uint8)
-            payload = encode_png(pixels, cycle_filters=True)
+            payload = encode_png(
+                pixels, cycle_filters=True, interlace=bool(digest[7] % 2)
+            )
             mime = "image/png"
         elif tier == "wav-pcm":
             # deterministic sine mixture; digest rotates rate/channels/bits

@@ -8,7 +8,9 @@ expansion. No codec libraries.
 
 Scope (honest seams, callers fall back to header-only metadata):
 - bit depth 8 only (1/2/4/16 raise ValueError)
-- interlace 0 only (Adam7 raises ValueError)
+- interlace 0 AND 1 (Adam7, §8.2: seven reduced images, each filtered
+  independently, scattered back on the 8×8 pattern; empty passes are
+  entirely absent from the stream)
 - color types 0 (gray), 2 (RGB), 3 (palette -> RGB), 4 (gray+alpha),
   6 (RGBA); tRNS is ignored (palette expands to opaque RGB)
 
@@ -32,6 +34,21 @@ import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass pattern (§8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(width: int, height: int):
+    """Yield (x0, y0, dx, dy, pass_w, pass_h) for each NON-empty pass."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
 
 
 def _chunks(b: bytes):
@@ -117,8 +134,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             bit_depth, color, comp, filt, interlace = data[8:13]
             if comp != 0 or filt != 0:
                 raise ValueError("png: unknown compression/filter method")
-            if interlace != 0:
-                raise ValueError("png: interlaced (Adam7) unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"png: interlace method {interlace} invalid")
             if bit_depth != 8:
                 raise ValueError(f"png: bit depth {bit_depth} unsupported")
             if color not in _CHANNELS:
@@ -140,7 +157,21 @@ def decode_png(payload: bytes) -> np.ndarray:
         inflated = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"png: idat inflate failed: {exc}") from None
-    grid = _unfilter(inflated, width, height, bpp)
+    if interlace == 1:
+        # Adam7: seven independently-filtered reduced images, scattered
+        # back on the 8x8 pattern (numpy strided assignment per pass)
+        full = np.empty((height, width, bpp), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            nbytes = ph * (pw * bpp + 1)
+            sub = _unfilter(inflated[pos:pos + nbytes], pw, ph, bpp)
+            full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+            pos += nbytes
+        if pos != len(inflated):
+            raise ValueError("png: decompressed size mismatch")
+        grid = full.reshape(height, width * bpp)
+    else:
+        grid = _unfilter(inflated, width, height, bpp)
     if color == 3:
         if palette is None:
             raise ValueError("png: palette image without PLTE")
@@ -200,19 +231,12 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray, cycle_filters: bool = True) -> bytes:
-    """Minimal non-interlaced 8-bit encoder for (H, W, C) uint8 arrays
-    (C in {1, 2, 3, 4} -> color types 0/4/2/6). With ``cycle_filters``
-    row y uses filter type y % 5, exercising every §9 inverse in the
-    decoder."""
-    if pixels.ndim == 2:
-        pixels = pixels[:, :, None]
-    h, w, c = pixels.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    bpp = c
-    scan = pixels.reshape(h, w * c).astype(np.int64)
+def _filter_scanlines(scan: np.ndarray, bpp: int, cycle_filters: bool) -> bytearray:
+    """§9 forward filtering for one (sub)image given as (h, stride) int64;
+    with ``cycle_filters`` row y uses filter type y % 5."""
+    h, stride = scan.shape
     lines = bytearray()
-    prev = np.zeros(w * c, np.int64)
+    prev = np.zeros(stride, np.int64)
     for y in range(h):
         row = scan[y]
         f = (y % 5) if cycle_filters else 0
@@ -240,9 +264,32 @@ def encode_png(pixels: np.ndarray, cycle_filters: bool = True) -> bytes:
         lines.append(f)
         lines.extend(filtered.astype(np.uint8).tobytes())
         prev = row
+    return lines
+
+
+def encode_png(pixels: np.ndarray, cycle_filters: bool = True,
+               interlace: bool = False) -> bytes:
+    """Minimal 8-bit encoder for (H, W, C) uint8 arrays (C in {1, 2, 3, 4}
+    -> color types 0/4/2/6). With ``cycle_filters`` each (sub)image's row y
+    uses filter type y % 5, exercising every §9 inverse in the decoder;
+    with ``interlace`` the seven Adam7 reduced images are filtered
+    independently per §8.2."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            sub = pixels[y0::dy, x0::dx, :].reshape(ph, pw * c).astype(np.int64)
+            lines += _filter_scanlines(sub, bpp, cycle_filters)
+    else:
+        lines = _filter_scanlines(pixels.reshape(h, w * c).astype(np.int64),
+                                  bpp, cycle_filters)
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, color, 0, 0, 0])
+        + bytes([8, color, 0, 0, int(interlace)])
     )
     return (
         _SIGNATURE

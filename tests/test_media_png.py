@@ -94,6 +94,74 @@ def test_encode_decode_roundtrip(channels, size):
     assert np.array_equal(out, pixels)
 
 
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize(
+    # sizes chosen so some Adam7 passes are empty (w or h < pass offsets)
+    "size", [(1, 1), (1, 9), (9, 1), (3, 5), (7, 3), (8, 8), (16, 11), (33, 9)]
+)
+def test_adam7_roundtrip(channels, size):
+    w, h = size
+    rng = np.random.default_rng(w * 1000 + h * 10 + channels)
+    pixels = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    encoded = encode_png(pixels, cycle_filters=True, interlace=True)
+    assert encoded[28] == 1  # IHDR interlace byte
+    assert np.array_equal(decode_png(encoded), pixels)
+
+
+def test_adam7_truncated_stream_rejected():
+    pixels = np.arange(9 * 10 * 3, dtype=np.uint8).reshape(9, 10, 3) % 251
+    good = encode_png(pixels, interlace=True)
+    # re-deflate a shortened pixel stream under a valid chunk structure:
+    # strip the final pass's bytes so the per-pass walk runs out of data
+    import zlib as _z
+
+    from html_table_spark.operators.png import _chunk
+
+    ihdr_end = 8 + 8 + 13 + 4
+    inflated = _z.decompress(
+        b"".join(
+            data for ctype, data in _iter_chunks(good) if ctype == b"IDAT"
+        )
+    )
+    short = _z.compress(inflated[:-5])
+    rebuilt = (
+        good[:ihdr_end]
+        + _chunk(b"IDAT", short)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(rebuilt)
+
+
+def _iter_chunks(b):
+    i = 8
+    while i + 8 <= len(b):
+        length = int.from_bytes(b[i:i + 4], "big")
+        ctype = b[i + 4:i + 8]
+        yield ctype, b[i + 8:i + 8 + length]
+        if ctype == b"IEND":
+            return
+        i = i + 8 + length + 4
+
+
+def test_interlaced_tier_payloads_decode():
+    # the media synth routes half of each full-PNG tier through Adam7;
+    # every synthesized payload must decode for real (feature marker 1.0)
+    from html_table_spark.operators.media import (
+        _decode_meta,
+        refs_for_tier,
+        synthesize_media_table,
+    )
+
+    refs = refs_for_tier("png-rgb", 8) + refs_for_tier("png-gray", 8)
+    rows = synthesize_media_table(refs)
+    interlaced = sum(r["payload"][28] == 1 for r in rows)
+    assert 0 < interlaced < len(rows)  # both paths present in the corpus
+    for r in rows:
+        _, _, _, feat = _decode_meta(r["payload"], r["mime"])
+        assert feat[15] == 1.0  # real decode, never the fake fallback
+
+
 @pytest.mark.parametrize(
     "mutate,msg",
     [
@@ -110,10 +178,14 @@ def test_corrupt_rejected(mutate, msg):
 
 def test_unsupported_rejected():
     lines = bytes([0, 1, 2])
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_png(_png(2, 1, 8, 0, 1, lines))
+    # interlace 1 (Adam7) decodes since round 4 — only methods > 1 reject
+    with pytest.raises(ValueError, match="interlace method"):
+        decode_png(_png(2, 1, 8, 0, 2, lines))
     with pytest.raises(ValueError, match="bit depth"):
         decode_png(_png(2, 1, 16, 0, 0, lines))
+    # an Adam7 stream sized for the wrong pass layout still rejects
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(_png(2, 1, 8, 0, 1, lines))
 
 
 def test_pixel_feature_layout():
