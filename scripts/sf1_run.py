@@ -45,7 +45,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF01_DIR = "/root/testdata/sf0.1"
 SF1_DIR = "/tmp/spark_graft_sf1"
 REPLICAS = 10
-QUERIES = ["dd_jaccard", "dd_lsh_pairs", "dd_embed_cosine", "ann_ivf", "dd_simhash"]
+QUERIES = [
+    "dd_jaccard", "dd_lsh_pairs", "dd_embed_cosine", "ann_ivf", "dd_simhash",
+    # round-4 north-rule ops: per-doc linear kernels — 10x rows, flat plans
+    "mc_blocks", "pdf_spans",
+]
 BEST_OF = 3
 
 
