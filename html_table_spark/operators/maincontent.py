@@ -22,10 +22,11 @@ once; per-block feature rows are the only thing shuffled.
 from __future__ import annotations
 
 import re
+import time
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..htmldom import ELEMENT, Node, parse_html
@@ -35,6 +36,7 @@ __all__ = [
     "classify_blocks",
     "extract_main_blocks",
     "main_text",
+    "run_maincontent_job",
 ]
 
 # Block-level elements: entering or leaving one flushes the current text
@@ -270,3 +272,97 @@ def main_text(docs: DataFrame, *, doc_id_col: str = "doc_id",
         ids.join(agg, "doc_id", "left")
         .select("doc_id", F.coalesce("main_text", F.lit("")).alias("main_text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot-committed cluster job (north rule: "main-content extraction
+# pipeline ... resumable from checkpoint with per-partition lineage +
+# metrics")
+# ---------------------------------------------------------------------------
+
+_JOB_SCHEMA = (_BLOCKS_SCHEMA + ", part_id int, wall_ms long")
+
+
+def _job_blocks(documents: DataFrame) -> DataFrame:
+    """Span-stream corpus → per-block rows carrying the lineage columns
+    (physical partition id + running kernel wall)."""
+    from ..operators.extract import html_reassembly_col
+    from .util import ensure_parallelism
+
+    pages = ensure_parallelism(
+        documents.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            html_reassembly_col("spans").alias("html"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        part_id = TaskContext.get().partitionId()
+        t0 = time.monotonic()
+        for batch in batches:
+            rows = []
+            for doc_id, html in zip(batch["doc_id"].values,
+                                    batch["html"].values):
+                if html is None:
+                    continue
+                root, _errors = parse_html(html)
+                blocks = segment_blocks(root)
+                verdicts = classify_blocks(blocks)
+                wall_ms = int((time.monotonic() - t0) * 1000)
+                for b, is_content in zip(blocks, verdicts):
+                    rows.append((doc_id, b.idx, b.tag, b.text, b.n_words,
+                                 b.link_density, b.css_hint, is_content,
+                                 part_id, wall_ms))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "block_idx", "tag", "block_text",
+                         "n_words", "link_density", "css_hint",
+                         "is_content", "part_id", "wall_ms"],
+            )
+
+    return pages.mapInPandas(run, schema=_JOB_SCHEMA)
+
+
+def maincontent_lineage(committed: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage + metrics rows for a main-content run."""
+    return (
+        committed.groupBy("part_id")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_count"),
+            F.count(F.lit(1)).alias("block_count"),
+            F.sum(F.col("is_content").cast("long")).alias("content_count"),
+            F.sum("n_words").alias("word_count"),
+            F.max("wall_ms").alias("wall_ms"),
+        )
+        .select(F.lit(run_id).alias("run_id"), "part_id", "doc_count",
+                "block_count", "content_count", "word_count", "wall_ms")
+    )
+
+
+def run_maincontent_job(spark: SparkSession, documents: DataFrame, sink,
+                        *, resume: bool = True) -> dict:
+    """One snapshot-committed main-content run over a span-stream corpus.
+
+    Same crash discipline as the table pipeline's ``run_job``
+    (plans/pipeline.py): resume filters committed doc_ids out first
+    (anti-join on the sink's committed snapshots), the block rows are
+    materialized exactly once by the data write, lineage derives from a
+    cheap columnar re-read of those files, and nothing becomes visible
+    until the commit manifest lands atomically after BOTH writes."""
+    if resume:
+        documents = sink.remaining_documents(documents)
+    run_id = sink.new_run_id()
+    data_path = sink.data_path(run_id)
+    blocks = _job_blocks(documents)
+    blocks.write.mode("errorifexists").parquet(data_path)
+    committed = spark.read.parquet(data_path)
+    lineage_path = sink.lineage_path(run_id)
+    maincontent_lineage(committed, run_id).write.mode(
+        "errorifexists"
+    ).parquet(lineage_path)
+    manifest = sink.commit_run(run_id, data_path, lineage_path)
+    manifest["blocks"] = committed.count()
+    manifest["docs"] = committed.select("doc_id").distinct().count()
+    return manifest

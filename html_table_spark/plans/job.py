@@ -34,8 +34,10 @@ def main(argv: list[str] | None = None) -> dict:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input", required=True, help="corpus path (parquet dir or iceberg://tbl)")
     parser.add_argument("--output", required=True, help="snapshot sink root")
-    parser.add_argument("--mode", choices=["all", "single"], default="all",
-                        help="'all': every top-level table per doc; 'single': reference one-table semantics")
+    parser.add_argument("--mode", choices=["all", "single", "maincontent"], default="all",
+                        help="'all': every top-level table per doc; 'single': reference "
+                             "one-table semantics; 'maincontent': boilerplate-strip "
+                             "pipeline (block features + verdicts) instead of tables")
     parser.add_argument("--partitions", type=int, default=None)
     parser.add_argument("--mega-threshold", type=int, default=None,
                         help="bytes of HTML above which a doc takes the split path")
@@ -50,9 +52,17 @@ def main(argv: list[str] | None = None) -> dict:
     from html_table_spark.sources.sinks import SnapshotSink
 
     spark = build_session()
-    config = ParserConfig().all_tables() if args.mode == "all" else ParserConfig()
     documents = read_documents(spark, args.input)
     sink = SnapshotSink(args.output)
+    if args.mode == "maincontent":
+        from html_table_spark.operators.maincontent import run_maincontent_job
+
+        manifest = run_maincontent_job(
+            spark, documents, sink, resume=not args.no_resume
+        )
+        print(json.dumps(manifest))
+        return manifest
+    config = ParserConfig().all_tables() if args.mode == "all" else ParserConfig()
     manifest = run_job(
         spark,
         documents,

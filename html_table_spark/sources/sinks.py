@@ -135,20 +135,27 @@ class SnapshotSink:
                 out.append(json.load(fh))
         return out
 
-    def read_committed(self, spark: SparkSession, as_of_seq: int | None = None) -> DataFrame:
+    def read_committed(self, spark: SparkSession, as_of_seq: int | None = None,
+                       schema=None) -> DataFrame:
+        """Committed rows across snapshots. ``schema`` defaults to the table
+        pipeline's EXTRACTED_SCHEMA; sinks carrying another row shape (e.g.
+        the main-content job's block rows) pass their own StructType or DDL
+        string — resume only ever projects doc_id, so it is shape-agnostic."""
+        if schema is None:
+            schema = EXTRACTED_SCHEMA
         paths = [
             m["data_path"]
             for m in self.manifests()
             if as_of_seq is None or m["seq"] <= as_of_seq
         ]
         if not paths:
-            return spark.createDataFrame([], EXTRACTED_SCHEMA)
+            return spark.createDataFrame([], schema)
         # recursiveFileLookup: a committed run's data_path may hold the two
         # concurrently-written leg subdirectories (run_job) — read every
         # data file under it with the explicit schema, no partition
         # inference from the leg directory names
         return (
-            spark.read.schema(EXTRACTED_SCHEMA)
+            spark.read.schema(schema)
             .option("recursiveFileLookup", "true")
             .parquet(*paths)
         )
