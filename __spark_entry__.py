@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from html_table_spark.config import ParserConfig
 from html_table_spark.functions import text as tx
-from html_table_spark.operators import dedup, similarity
+from html_table_spark.operators import corpus, dedup, similarity
 from html_table_spark.operators.extract import extract_tables
 from html_table_spark.operators.tabular import Tabular, extracted_cells
 
@@ -933,6 +933,83 @@ def tx_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary health: token total, vocab size, hapax count,
+    type-token ratio — two chained hash aggregates, tokens-only shuffle."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.vocab_stats(docs, group_col="source")
+
+
+def tx_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate discovery: top-5 word bigrams per language by corpus
+    frequency (two-phase agg collapses cardinality before the per-language
+    ranking window; deterministic gram-ascending tie-break)."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.topk_ngrams(docs, n=2, k=5, group_col="lang").select(
+        "lang", "gram", "cnt", F.col("rnk").cast("bigint").alias("rnk")
+    )
+
+
+def tx_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing stratified sample: exactly 20 docs per language selected
+    by md5(text) hash-ranking — deterministic, partition-order-independent
+    mixture membership."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.stratified_sample(docs, quota=20, group_col="lang").select(
+        "doc_id", "lang", F.col("rnk").cast("bigint").alias("rnk")
+    )
+
+
+def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministically PII-augmented corpus: the
+    synthetic documents carry no addresses, so each doc is extended with
+    emails/IPv4s derived from its doc_id (1–2 emails, 1–2 IPs) and then
+    scrubbed — emails first so an IP embedded in an address never leaks as
+    a separate token. Counts + an md5 of the scrubbed text let the oracle
+    verify the redaction byte-for-byte. Pure regexp_replace/regexp_count
+    (JVM, one scan)."""
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" cc admin"), sid, F.lit("@eval.org")),
+        ).otherwise(F.lit("")),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" and 192.168.1."), (F.col("doc_id") % 9).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        tx.pii_email_count(aug).cast("bigint").alias("n_emails"),
+        tx.pii_ipv4_count(aug).cast("bigint").alias("n_ips"),
+        F.md5(tx.pii_scrub(aug)).alias("scrub_fp"),
+    )
+
+
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 17 == 0 play the
+    held-out eval set; training docs sharing any word 4-gram with it are
+    flagged with their distinct-overlap count. Blocklist side is broadcast
+    (benchmark-sized) — the corpus never shuffles."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return dedup.decontaminate(train, bench, n=4)
+
+
+def dd_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-spam signal: fraction of each doc's distinct word 3-grams
+    found in no other document (two-phase gram DF aggregate + one join,
+    grams+ids only on the wire)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.ngram_novelty(docs, n=3)
+
+
 # ---------------------------------------------------------------------------
 # ann_* similarity search
 # ---------------------------------------------------------------------------
@@ -1126,6 +1203,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_langid": tx_langid,
         "tx_repetition": tx_repetition,
         "tx_filter": tx_filter,
+        "tx_vocab": tx_vocab,
+        "tx_topk_ngrams": tx_topk_ngrams,
+        "tx_sample_mix": tx_sample_mix,
+        "tx_pii_scrub": tx_pii_scrub,
+        "dd_decontaminate": dd_decontaminate,
+        "dd_ngram_novelty": dd_ngram_novelty,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1152,6 +1235,22 @@ _SHINGLES_SQL = """
                          string_split(text, ' ')[i + 2]))
         END
 """
+
+
+def _shingles_sql(n: int, toks: str = "toks") -> str:
+    """DuckDB twin of functions/text.py shingles(text, n) applied to a
+    pre-computed token-list column ``toks`` (itself the _TOKS_SQL twin of
+    tokens()): word n-grams joined by single spaces, with the same
+    shorter-than-n whole-text fallback (empty text → ['']) — byte-identical
+    to the Spark zip_with construction."""
+    return f"""
+        CASE WHEN len({toks}) < {n}
+             THEN [array_to_string({toks}, ' ')]
+             ELSE list_transform(
+                    generate_series(1, len({toks}) - {n - 1}),
+                    i -> array_to_string({toks}[i:i + {n - 1}], ' '))
+        END
+    """
 
 
 def _mh_sql(seed: int) -> str:
@@ -1935,6 +2034,100 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "tx_langid": _langid_sql(),
+        "tx_vocab": f"""
+            WITH tok AS (
+                SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+            ),
+            c AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok)
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+                   round(count(*) * 1.0 / sum(c), 4) AS ttr
+            FROM c GROUP BY source
+        """,
+        "tx_topk_ngrams": f"""
+            WITH t AS (SELECT lang, {_TOKS_SQL} AS toks FROM documents),
+            g AS (
+                SELECT lang, unnest({_shingles_sql(2)}) AS gram
+                FROM t WHERE len(toks) >= 2
+            ),
+            c AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY lang, gram),
+            r AS (
+                SELECT lang, gram, CAST(n AS BIGINT) AS cnt,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, gram ASC) AS rn
+                FROM c
+            )
+            SELECT lang, gram, cnt, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= 5
+        """,
+        "tx_sample_mix": """
+            WITH r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY md5(text) ASC, doc_id ASC) AS rn
+                FROM documents
+            )
+            SELECT doc_id, lang, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= 20
+        """,
+        "tx_pii_scrub": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                            || CASE WHEN doc_id % 2 = 0
+                                    THEN ' cc admin' || CAST(doc_id AS VARCHAR)
+                                         || '@eval.org'
+                                    ELSE '' END
+                            || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7'
+                            || CASE WHEN doc_id % 3 = 0
+                                    THEN ' and 192.168.1.'
+                                         || CAST(doc_id % 9 AS VARCHAR)
+                                    ELSE '' END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '{tx.PII_EMAIL_RE}')) AS BIGINT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(
+                        regexp_replace(t, '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{tx.PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+                   md5(regexp_replace(
+                        regexp_replace(t, '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{tx.PII_IPV4_RE}', '<IP>', 'g')) AS scrub_fp
+            FROM aug
+        """,
+        "dd_decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_distinct({_shingles_sql(4)})) AS gram
+                FROM t
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0)
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM g JOIN bench b ON b.gram = g.gram
+            WHERE g.doc_id % 17 <> 0
+            GROUP BY g.doc_id
+        """,
+        "dd_ngram_novelty": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_distinct({_shingles_sql(3)})) AS gram
+                FROM t
+            ),
+            dfc AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unique,
+                   round(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 4) AS novelty
+            FROM g JOIN dfc USING (gram)
+            GROUP BY g.doc_id
+        """,
         "tx_repetition": f"""
             WITH t AS (
                 SELECT doc_id,

@@ -211,3 +211,37 @@ def shingles(text, n: int = 3) -> Column:
     for part in shifted[1:]:
         grams = F.zip_with(grams, part, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+# Patterns restricted to the syntax subset where Java regex (Spark) and RE2
+# (DuckDB) agree exactly — character classes, bounded repetition, no
+# lookaround — so the scrub is oracle-verifiable byte-for-byte.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def pii_scrub(text) -> Column:
+    """Redact emails then IPv4 addresses with typed placeholders — the
+    minimum-viable PII pass a training pipeline runs before tokenization.
+    Email first: an address like ``a@1.2.3.4.com`` must scrub as one email
+    rather than being mangled into ``a@<IP>.com``. (An address whose domain
+    is a bare IP, ``a@10.0.0.1``, has no alphabetic TLD so it is not an
+    email match; its IP is still redacted by the second pass.) Pure
+    ``regexp_replace`` (JVM, codegen'd) — no Python on the hot path."""
+    no_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_IPV4_RE, "<IP>")
+
+
+def pii_email_count(text) -> Column:
+    return F.regexp_count(text, F.lit(PII_EMAIL_RE))
+
+
+def pii_ipv4_count(text) -> Column:
+    """Count IPv4 literals that survive email scrubbing (an IP inside an
+    email address is the email's PII, not a separate leak)."""
+    return F.regexp_count(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"), F.lit(PII_IPV4_RE)
+    )

@@ -534,6 +534,93 @@ def connected_components(
     return out
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with a benchmark/eval set — the n-gram-overlap
+    decontamination pass every LLM training pipeline runs before training
+    (GPT-3 §C / PaLM §7 style; 8–13-grams in production, parameterized here).
+
+    Returns ``(id_col, n_hits)`` for contaminated documents only, where
+    ``n_hits`` counts the document's *distinct* n-grams that appear anywhere
+    in the benchmark set.
+
+    Scale design (100 TB corpus, MB–GB benchmark): the blocklist side is
+    benchmark-sized, never corpus-sized — ``array_distinct`` per benchmark
+    doc, one global ``distinct``, then **broadcast**, so the corpus side
+    never shuffles: each partition probes the broadcast hash relation
+    map-side and the per-doc hit count partial-aggregates before the one
+    small shuffle on contaminated ids. Shingling is the shared JVM
+    ``shingles()`` expression (zip_with over shifted slices — no explode
+    until after the per-doc distinct). For multi-TB benchmark suites, swap
+    the gram string for ``xxhash64(gram)`` on both sides before the join —
+    structure unchanged; strings are kept here so the DuckDB oracle can
+    re-derive the exact hit counts.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("g")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g", "inner")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    word n-grams that occur in no other document — the standard
+    boilerplate/template-spam signal (low novelty ⇒ the doc is assembled
+    from corpus-common n-grams and is a near-template).
+
+    Returns ``(id_col, n_grams, n_unique, novelty)``.
+
+    Scale design: the exploded stream carries only (gram, id); document
+    frequency is a two-phase hash aggregate on the gram (map-side partial
+    combine collapses within-partition repeats), and the join back to the
+    per-doc stream reuses the same gram partitioning, so Catalyst/AQE plans
+    one exchange for both sides. At 100 TB you'd compact the join key to
+    ``xxhash64(gram)`` (8 bytes vs the string); kept as strings here so the
+    DuckDB oracle recomputes identical counts.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
+    )
+    df_counts = grams.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        grams.join(df_counts, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_grams"), 4).alias("novelty"),
+        )
+    )
+
+
 def dedup_by_clusters(
     df: DataFrame,
     pairs: DataFrame,

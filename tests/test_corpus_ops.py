@@ -1,0 +1,162 @@
+"""Corpus-level ops: decontamination, n-gram novelty, top-k n-grams,
+vocabulary stats, stratified sampling, PII scrubbing.
+
+Each operator also has a DuckDB oracle in __spark_entry__.oracle_sql (the
+driver's gate); these tests pin the semantics on hand-built corpora where
+the expected values are derivable by eye, plus the plan-shape invariants
+that matter at 100 TB (broadcast blocklist, two-phase aggregates).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from html_table_spark.functions import text as tx
+from html_table_spark.operators import corpus, dedup
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        # doc 1/2 share the 4-gram "a b c d"; doc 3 is disjoint
+        (1, "a b c d e", "en", "s1"),
+        (2, "z a b c d", "en", "s1"),
+        (3, "p q r s t", "de", "s2"),
+        (4, "a b", "de", "s2"),  # shorter than n → whole-text fallback shingle
+        (5, "", "fr", "s2"),  # empty text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_decontaminate_flags_overlap_only(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 1)
+    train = docs.filter(F.col("doc_id") != 1)
+    out = dedup.decontaminate(train, bench, n=4)
+    got = {r.doc_id: r.n_hits for r in out.collect()}
+    # doc 2 shares exactly one distinct 4-gram ("a b c d"); 3/4/5 share none
+    assert got == {2: 1}
+
+
+def test_decontaminate_short_doc_whole_text_fallback(spark):
+    rows = [(1, "x y"), (2, "x y"), (3, "x z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") == 1)
+    train = df.filter(F.col("doc_id") > 1)
+    got = {r.doc_id: r.n_hits for r in dedup.decontaminate(train, bench, n=4).collect()}
+    # whole-text fallback shingles: "x y" matches, "x z" does not
+    assert got == {2: 1}
+
+
+def test_decontaminate_blocklist_is_broadcast(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 1)
+    train = docs.filter(F.col("doc_id") != 1)
+    plan = (
+        dedup.decontaminate(train, bench, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus side must never shuffle for the probe: blocklist broadcasts
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ngram_novelty_values(spark, docs):
+    out = {r.doc_id: r for r in dedup.ngram_novelty(docs, n=3).collect()}
+    # doc 1 grams: {a b c, b c d, c d e}; doc 2 grams: {z a b, a b c, b c d}
+    # shared: "a b c", "b c d" → each doc has 1 unique of 3
+    assert out[1].n_grams == 3 and out[1].n_unique == 1
+    assert out[1].novelty == pytest.approx(0.3333, abs=1e-4)
+    assert out[2].n_grams == 3 and out[2].n_unique == 1
+    # doc 3 fully novel
+    assert out[3].novelty == 1.0
+    # doc 4 ("a b") and doc 5 ("") fall back to a single whole-text shingle,
+    # each unique in this corpus
+    assert out[4].n_grams == 1 and out[4].novelty == 1.0
+    assert out[5].n_grams == 1
+
+
+def test_topk_ngrams_counts_and_ties(spark):
+    rows = [
+        (1, "a b a b", "en"),  # bigrams: "a b","b a","a b"
+        (2, "a b c", "en"),    # "a b","b c"
+        (3, "x", "en"),        # 1 token → excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = corpus.topk_ngrams(df, n=2, k=2, group_col="lang").collect()
+    ranked = [(r.gram, r.cnt, r.rnk) for r in sorted(out, key=lambda r: r.rnk)]
+    # "a b" ×3 wins; "b a" and "b c" tie at 1 → gram-ascending tie-break
+    assert ranked == [("a b", 3, 1), ("b a", 1, 2)]
+
+
+def test_vocab_stats_ttr_and_hapax(spark):
+    rows = [(1, "a a b", "s1"), (2, "b c", "s1"), (3, "", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in corpus.vocab_stats(df, group_col="source").collect()}
+    s1 = out["s1"]
+    # tokens: a a b b c → total 5, vocab 3, hapax {c} = 1
+    assert (s1.n_tokens, s1.vocab, s1.hapax) == (5, 3, 1)
+    assert s1.ttr == pytest.approx(0.6, abs=1e-4)
+    # empty-text source contributes no token rows at all
+    assert "s2" not in out
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.stratified_sample(docs, quota=3, group_col="lang")
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert all(c == 3 for c in counts.values())
+    # deterministic: identical membership on a re-partitioned input
+    again = corpus.stratified_sample(docs.repartition(7), quota=3, group_col="lang")
+    assert {(r.doc_id, r.rnk) for r in out.collect()} == {
+        (r.doc_id, r.rnk) for r in again.collect()
+    }
+
+
+def test_pii_scrub_email_before_ip(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@1.2.3.4.com then 8.8.8.8 and bob.smith+x@corp.example.org done"),
+            (2, "bare-ip domain a@10.0.0.1 stays partially: no alpha TLD"),
+        ],
+        "id long, t string",
+    )
+    rows = {r.id: r for r in df.select(
+        "id",
+        tx.pii_scrub("t").alias("s"),
+        tx.pii_email_count("t").alias("ne"),
+        tx.pii_ipv4_count("t").alias("ni"),
+    ).collect()}
+    # email pass runs first: a@1.2.3.4.com is ONE email, not "a@<IP>.com"
+    assert rows[1].s == "mail <EMAIL> then <IP> and <EMAIL> done"
+    assert rows[1].ne == 2
+    assert rows[1].ni == 1  # only the free-standing IP counts
+    # a bare-IP domain has no alphabetic TLD → not an email; IP still redacted
+    assert rows[2].s == "bare-ip domain a@<IP> stays partially: no alpha TLD"
+    assert (rows[2].ne, rows[2].ni) == (0, 1)
+
+
+def test_pii_scrub_no_pii_is_identity(spark):
+    df = spark.createDataFrame([(1, "plain words only")], "id long, t string")
+    row = df.select(
+        tx.pii_scrub("t").alias("s"),
+        tx.pii_email_count("t").alias("ne"),
+        tx.pii_ipv4_count("t").alias("ni"),
+    ).first()
+    assert (row.s, row.ne, row.ni) == ("plain words only", 0, 0)
+
+
+def test_no_python_udfs_in_corpus_plans(spark, docs):
+    """All corpus ops must stay JVM-side: no BatchEvalPython / ArrowEval
+    stages in any plan (codegen-able expressions + hash aggs + windows)."""
+    plans = [
+        dedup.decontaminate(docs, docs.limit(1), n=4),
+        dedup.ngram_novelty(docs, n=3),
+        corpus.topk_ngrams(docs, n=2, k=3),
+        corpus.vocab_stats(docs),
+        corpus.stratified_sample(docs, quota=2),
+        docs.select(tx.pii_scrub("text")),
+    ]
+    for df in plans:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
