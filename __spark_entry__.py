@@ -1002,6 +1002,23 @@ def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(train, bench, n=4)
 
 
+def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-loader packing index: concat-and-chop the corpus token
+    stream (doc_id order) into 256-token context windows via the
+    distributed two-phase prefix sum (bucketed partial sums + broadcast
+    offsets — no single-partition global window)."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.pack_sequences(docs, ctx_len=256, bucket_width=64)
+
+
+def dd_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-substring flagging (Lee et al. exact-substring dedup
+    signal): 40-char windows anchored at every token start (content-defined
+    → shift-invariant), per-doc duplicated-window fraction."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.dup_substring_stats(docs, k=40)
+
+
 def dd_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template-spam signal: fraction of each doc's distinct word 3-grams
     found in no other document (two-phase gram DF aggregate + one join,
@@ -1209,6 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pii_scrub": tx_pii_scrub,
         "dd_decontaminate": dd_decontaminate,
         "dd_ngram_novelty": dd_ngram_novelty,
+        "dd_exact_substr": dd_exact_substr,
+        "tx_pack_sequences": tx_pack_sequences,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -2110,6 +2129,48 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN bench b ON b.gram = g.gram
             WHERE g.doc_id % 17 <> 0
             GROUP BY g.doc_id
+        """,
+        "tx_pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS tok_start
+                FROM t WHERE n_tokens > 0
+            )
+            SELECT doc_id, n_tokens, tok_start,
+                   CAST(floor(tok_start / 256) AS BIGINT) AS seq_start,
+                   CAST(floor((tok_start + n_tokens - 1) / 256) AS BIGINT)
+                       AS seq_end
+            FROM s
+        """,
+        "dd_exact_substr": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            w AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_filter(
+                           list_transform(
+                               generate_series(1, len(toks)),
+                               i -> substr(array_to_string(toks[i:i + 39], ' '),
+                                           1, 40)),
+                           w -> length(w) = 40))) AS w
+                FROM t
+            ),
+            dfc AS (SELECT w, count(*) AS df FROM w GROUP BY w)
+            SELECT w.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup,
+                   round(sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 4) AS dup_frac
+            FROM w JOIN dfc USING (w)
+            GROUP BY w.doc_id
         """,
         "dd_ngram_novelty": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

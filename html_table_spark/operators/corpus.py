@@ -20,6 +20,10 @@ Scale notes (100 TB):
   cap with a count threshold filter (``HAVING cnt >= t``) before the window.
 - ``vocab_stats``: two chained hash aggregates, (source, token) then
   (source); the shuffled payload is tokens + counts, never documents.
+- ``pack_sequences``: the global prefix sum a packing index needs is NOT a
+  global window (single-partition at scale) — it's a two-phase distributed
+  prefix sum: tiny per-bucket sums relation, broadcast offsets, parallel
+  per-bucket windows. See the function docstring.
 - ``stratified_sample``: exact per-stratum quota via hash-ranking — ranking
   key is ``md5(text)`` so the sample is deterministic, reproducible across
   engines, and independent of input partitioning/row order. The window sorts
@@ -97,6 +101,69 @@ def vocab_stats(
             "vocab",
             "hapax",
             F.round(F.col("vocab") / F.col("n_tokens"), 4).alias("ttr"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: lay every document's tokens end to
+    end in ``id_col`` order and chop the stream into fixed ``ctx_len``
+    context windows — the packing index a GPT-style pretraining loader
+    needs (which windows does each document land in, and at what offset).
+
+    Returns ``(id_col, n_tokens, tok_start, seq_start, seq_end)`` for
+    documents with at least one token: ``tok_start`` is the document's
+    offset in the global token stream, ``seq_start``/``seq_end`` the first
+    and last context-window indices it occupies.
+
+    Scale design — the naive form is a global window (``ORDER BY id`` with
+    no partition key), which Spark executes on a SINGLE partition: a
+    non-starter at 100 TB. This implements the classic distributed prefix
+    sum instead: (1) bucket rows by ``floor(id / bucket_width)``; (2) one
+    tiny aggregate of per-bucket token sums — |rows| / bucket_width rows —
+    whose running total is the only global window, over that tiny relation;
+    (3) broadcast the bucket offsets back and finish with a per-bucket
+    window (partitioned, parallel). Results are byte-identical to the
+    naive global window, which is exactly what the DuckDB oracle runs.
+    ``bucket_width`` trades bucket-relation size against per-bucket window
+    width; at 10^11 rows, width 10^6 keeps the bucket relation at 10^5
+    rows while each parallel window sorts only 10^6.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    b = toks.withColumn("b", F.floor(F.col(id_col) / bucket_width))
+    bucket_sums = b.groupBy("b").agg(F.sum("n_tokens").alias("s"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_sums.select(
+        "b", F.coalesce(F.sum("s").over(wb), F.lit(0)).alias("off")
+    )
+    wr = (
+        Window.partitionBy("b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok_start = F.col("off") + F.coalesce(
+        F.sum("n_tokens").over(wr), F.lit(0).cast("bigint")
+    )
+    return (
+        b.join(F.broadcast(offsets), "b")
+        .withColumn("tok_start", tok_start)
+        .select(
+            id_col,
+            "n_tokens",
+            "tok_start",
+            F.floor(F.col("tok_start") / ctx_len).alias("seq_start"),
+            F.floor(
+                (F.col("tok_start") + F.col("n_tokens") - 1) / ctx_len
+            ).alias("seq_end"),
         )
     )
 

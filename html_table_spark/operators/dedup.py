@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.text import fingerprint, shingles
+from ..functions.text import fingerprint, shingles, tokens
 
 
 # -- exact dedup -----------------------------------------------------------
@@ -576,6 +576,72 @@ def decontaminate(
         doc_grams.join(F.broadcast(bench_grams), "g", "inner")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def dup_substring_stats(
+    docs: DataFrame,
+    k: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-substring detection: extract a fixed ``k``-char window
+    starting at every token boundary and report, per doc, how many of its
+    distinct windows occur in at least one other document — the flagging
+    pass of exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"). Fixed-length char windows
+    (vs word n-grams) normalize for token length, so a 40-char window means
+    the same amount of copied content whether it spans 4 long words or 12
+    short ones.
+
+    Window anchors are **content-defined** (token starts), which is the
+    property that makes this work: a fixed-grid stride (every s chars from
+    the document start) only detects copies whose document offsets happen
+    to agree modulo s, while content-defined anchors are shift-invariant —
+    a copied word-aligned span of ≥ k chars is detected regardless of where
+    it lands in either document (the CDC trick, replacing the paper's
+    suffix array with a distributable hash aggregate).
+
+    Documents with no full-length window (fewer than ``k`` chars from any
+    token start) are omitted. Returns
+    ``(id_col, n_windows, n_dup, dup_frac)``.
+
+    Scale design: the exploded stream carries (k-char window, id); document
+    frequency is a two-phase hash aggregate. Windows per doc ≈ token count,
+    same order as the shingle passes. At 100 TB, map the window through
+    ``xxhash64`` before the shuffle (8 bytes vs k); strings are kept so the
+    DuckDB oracle recomputes identical counts.
+    """
+    tk = tokens(text_col)
+    wins_arr = F.when(F.size(tk) == 0, F.array().cast("array<string>")).otherwise(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk)),
+                lambda i: F.substring(
+                    F.array_join(F.slice(tk, i, k), " "), 1, k
+                ),
+            ),
+            lambda w: F.length(w) == k,
+        )
+    )
+    wins = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(wins_arr)).alias("w"),
+    )
+    df_counts = wins.groupBy("w").agg(F.count("*").alias("df"))
+    return (
+        wins.join(df_counts, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_windows"), 4).alias("dup_frac"),
+        )
     )
 
 

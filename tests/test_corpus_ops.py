@@ -160,3 +160,104 @@ def test_no_python_udfs_in_corpus_plans(spark, docs):
     for df in plans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_matches_naive_global_window(spark):
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 3, 0, 7, 4, 6, 2])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.pack_sequences(df, ctx_len=8, bucket_width=2).collect()}
+    # token stream (doc_id order, zero-token doc 2 dropped):
+    # doc0 [0,5) doc1 [5,8) doc3 [8,15) doc4 [15,19) doc5 [19,25) doc6 [25,27)
+    expect = {
+        0: (5, 0, 0, 0),
+        1: (3, 5, 0, 0),
+        3: (7, 8, 1, 1),
+        4: (4, 15, 1, 2),   # spans the 8-token window boundary at 16
+        5: (6, 19, 2, 3),
+        6: (2, 25, 3, 3),
+    }
+    assert 2 not in out
+    for d, (nt, ts, ss, se) in expect.items():
+        r = out[d]
+        assert (r.n_tokens, r.tok_start, r.seq_start, r.seq_end) == (nt, ts, ss, se)
+
+
+def test_pack_sequences_bucketing_invariance(spark, sf_dir):
+    """The two-phase prefix sum must be byte-identical to any bucket width
+    (the oracle runs the naive global window)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {(r.doc_id, r.tok_start) for r in corpus.pack_sequences(docs, 128, bucket_width=16).collect()}
+    b = {(r.doc_id, r.tok_start) for r in corpus.pack_sequences(docs, 128, bucket_width=1000000).collect()}
+    assert a == b
+
+
+def test_pack_sequences_no_global_window_on_rows(spark, sf_dir):
+    """The row-level window must be partitioned (by bucket); only the tiny
+    bucket-sums relation may see an unpartitioned window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        corpus.pack_sequences(docs, 256, bucket_width=64)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the per-row running sum partitions by the bucket column
+    assert "partitionBy" not in plan or True  # plan text varies; assert via physical:
+    phys = (
+        corpus.pack_sequences(docs, 256, bucket_width=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", phys)
+    # at least one Window node must be partitioned by b (the per-row one)
+    assert any("b#" in w for w in windows), phys
+
+
+def test_dup_substring_stats_detects_copy_paste(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "prefix one " + shared),
+        (2, shared + " suffix two"),
+        (3, "completely different content with no overlap at all here okay"),
+        (4, "tiny"),  # shorter than k → no windows, omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.dup_substring_stats(df, k=20).collect()}
+    # docs 1 and 2 share the 60-char word-aligned span → windows anchored
+    # inside it are identical in both docs
+    assert out[1].n_dup > 0 and out[2].n_dup > 0
+    assert out[3].n_dup == 0 and out[3].dup_frac == 0.0
+    assert 4 not in out
+
+
+def test_dup_substring_alignment_guarantee(spark):
+    """Content-defined anchors (token starts) make detection shift-
+    invariant: a copied word-aligned span of >= k chars is caught no
+    matter what precedes it in either document — including prefixes whose
+    char length is NOT a multiple of any stride."""
+    k = 12
+    span = "abcde fghij klmno pqrst"  # 23 chars, word-aligned
+    base = "zzz " + span + " yyy"
+    for shift in range(1, 9):
+        shifted = ("q" * shift) + " " + span + " ppp"
+        df = spark.createDataFrame(
+            [(1, base), (2, shifted)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in dedup.dup_substring_stats(df, k=k).collect()}
+        assert out[1].n_dup > 0 and out[2].n_dup > 0, f"missed at shift={shift}"
+
+
+def test_dup_substring_fixed_grid_would_miss(spark):
+    """Regression documenting WHY anchors are content-defined: the shared
+    span sits at char offset 11 in doc 1 and 0 in doc 2 — offsets that
+    disagree mod any stride > 1, where a fixed-grid sampler misses."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, "prefix one " + shared), (2, shared + " suffix")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.dup_substring_stats(df, k=30).collect()}
+    assert out[1].n_dup > 0 and out[2].n_dup > 0
