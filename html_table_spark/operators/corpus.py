@@ -58,7 +58,11 @@ def topk_ngrams(
 
     Returns ``(group_col, gram, cnt, rnk)`` with ``rnk`` in 1..k.
     """
-    grams = docs.where(token_count(text_col) >= n).select(
+    from .util import ensure_parallelism
+
+    grams = ensure_parallelism(
+        docs.where(token_count(text_col) >= n).select(group_col, text_col)
+    ).select(
         F.col(group_col),
         F.explode(shingles(text_col, n)).alias("gram"),
     )

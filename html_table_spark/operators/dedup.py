@@ -562,13 +562,15 @@ def decontaminate(
     structure unchanged; strings are kept here so the DuckDB oracle can
     re-derive the exact hit counts.
     """
+    from .util import ensure_parallelism
+
     bench_grams = (
         benchmark.select(
             F.explode(F.array_distinct(shingles(text_col, n))).alias("g")
         )
         .distinct()
     )
-    doc_grams = docs.select(
+    doc_grams = ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
     )
@@ -612,19 +614,27 @@ def dup_substring_stats(
     ``xxhash64`` before the shuffle (8 bytes vs k); strings are kept so the
     DuckDB oracle recomputes identical counts.
     """
+    from .util import ensure_parallelism
+
     tk = tokens(text_col)
+    # slice only as many tokens as k chars can possibly need (each token is
+    # ≥1 char + a joiner space ⇒ ceil((k+1)/2) tokens suffice) — the window
+    # build is interpreted HOF work, so per-window op count is the cost
+    tok_cap = (k + 1) // 2 + 1
     wins_arr = F.when(F.size(tk) == 0, F.array().cast("array<string>")).otherwise(
         F.filter(
             F.transform(
                 F.sequence(F.lit(1), F.size(tk)),
                 lambda i: F.substring(
-                    F.array_join(F.slice(tk, i, k), " "), 1, k
+                    F.array_join(F.slice(tk, i, tok_cap), " "), 1, k
                 ),
             ),
             lambda w: F.length(w) == k,
         )
     )
-    wins = docs.select(
+    # narrow single-file inputs arrive as ONE partition; spread before the
+    # interpreted window-construction stage or it runs on one core
+    wins = ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(wins_arr)).alias("w"),
     )
@@ -666,7 +676,9 @@ def ngram_novelty(
     ``xxhash64(gram)`` (8 bytes vs the string); kept as strings here so the
     DuckDB oracle recomputes identical counts.
     """
-    grams = docs.select(
+    from .util import ensure_parallelism
+
+    grams = ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
     )
