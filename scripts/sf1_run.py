@@ -52,6 +52,16 @@ QUERIES = [
 ]
 BEST_OF = 3
 
+# round-4 corpus-pipeline family (--corpus-only): documents-table ops whose
+# candidate/window streams must scale linearly in replica count by the same
+# construction argument (within a replica the token structure is exactly
+# sf0.1's; across replicas token sets are disjoint)
+CORPUS_QUERIES = [
+    "tx_vocab", "tx_topk_ngrams", "tx_sample_mix", "tx_pii_scrub",
+    "tx_pack_sequences", "dd_decontaminate", "dd_ngram_novelty",
+    "dd_exact_substr",
+]
+
 
 def synth_sf1_tables() -> None:
     """documents + embeddings at 10x sf0.1, structure-preserving."""
@@ -138,10 +148,10 @@ def plan_fingerprint(df) -> dict[str, int]:
     return out
 
 
-def run_queries(spark, entry, sf_dir: str) -> dict:
+def run_queries(spark, entry, sf_dir: str, names=None) -> dict:
     out = {}
     qmap = entry.queries()
-    for q in QUERIES:
+    for q in names or QUERIES:
         fn = qmap[q]
         fp = plan_fingerprint(fn(spark, sf_dir))
         wall = float("inf")
@@ -193,6 +203,26 @@ def main() -> int:
 
     embed_only = "--embed-only" in sys.argv
     synth_sf1_tables()
+    if "--corpus-only" in sys.argv:
+        import __spark_entry__ as entry
+
+        spark = get_spark("sf1-corpus", master="local[32]", shuffle_partitions=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        results = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), "cores": 32,
+                   "policy": f"best-of-{BEST_OF}, same session, sf0.1 first",
+                   "family": "corpus-ops"}
+        print("== corpus queries sf0.1 ==", file=sys.stderr)
+        results["queries_sf0.1"] = run_queries(spark, entry, SF01_DIR,
+                                               CORPUS_QUERIES)
+        print("== corpus queries sf1.0 ==", file=sys.stderr)
+        results["queries_sf1.0"] = run_queries(spark, entry, SF1_DIR,
+                                               CORPUS_QUERIES)
+        spark.stop()
+        bench_dir = os.path.join(os.path.dirname(__file__), "..", "BENCH")
+        with open(os.path.join(bench_dir, "SF1_RUNS.jsonl"), "a") as f:
+            f.write(json.dumps(results) + "\n")
+        print(json.dumps(results))
+        return 0
     if embed_only:
         spark = get_spark("sf1-embed", master="local[32]", shuffle_partitions=32)
         spark.sparkContext.setLogLevel("ERROR")
