@@ -1027,6 +1027,45 @@ def dd_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_novelty(docs, n=3)
 
 
+def tx_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build — the composition the individual
+    operators exist for, in ONE declarative plan Catalyst optimizes whole:
+
+      quality/repetition gate → benchmark decontamination (anti-join)
+      → exact dedup (min-id per fingerprint) → stratified mixing sample
+      (15 docs/language) → 128-token sequence packing.
+
+    Every stage reuses the family's operator (quality_score /
+    decontaminate / fingerprint / stratified_sample / pack_sequences), so
+    the pipeline can never drift from the individually-oracled pieces; the
+    SQL twin recomposes the same stages as CTEs. Thresholds are looser
+    than tx_filter's (q ≥ 0.3, dup ≤ 0.5, any language) so every language
+    stratum reaches the mixing stage."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    kept = (
+        docs.select(
+            "doc_id",
+            "text",
+            "lang",
+            tx.quality_score("text").alias("q"),
+            tx.dup_token_ratio("text").alias("dup"),
+        )
+        .filter((F.col("q") >= 0.3) & (F.col("dup") <= 0.5))
+        .filter(F.col("doc_id") % 17 != 0)
+    )
+    contaminated = dedup.decontaminate(kept, bench, n=4).select("doc_id")
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    fp = clean.withColumn("fp", tx.fingerprint("text"))
+    keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    uniq = fp.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
+    sampled = corpus.stratified_sample(uniq, quota=15, group_col="lang")
+    picked = uniq.join(sampled.select("doc_id"), "doc_id", "left_semi")
+    return corpus.pack_sequences(picked, ctx_len=128, bucket_width=64).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "n_tokens", "tok_start", "seq_start", "seq_end")
+
+
 # ---------------------------------------------------------------------------
 # ann_* similarity search
 # ---------------------------------------------------------------------------
@@ -1228,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_novelty": dd_ngram_novelty,
         "dd_exact_substr": dd_exact_substr,
         "tx_pack_sequences": tx_pack_sequences,
+        "tx_corpus_pipeline": tx_corpus_pipeline,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -2320,5 +2360,63 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({oracles['tx_repetition']}) r ON r.doc_id = q.doc_id
         JOIN ({oracles['tx_langid']}) l ON l.doc_id = q.doc_id
         WHERE q.quality >= 0.5 AND r.dup_tok <= 0.4 AND l.lang = 'en'
+    """
+    # the end-to-end pipeline recomposes the SAME stage sub-oracles as CTEs
+    # (quality gate, 4-gram decontamination, fingerprint dedup, md5-ranked
+    # stratified sample, packing prefix sum), so the composed query can
+    # never drift from the individually-oracled stages
+    oracles["tx_corpus_pipeline"] = f"""
+        WITH kept AS (
+            SELECT d.doc_id, d.text, d.lang
+            FROM documents d
+            JOIN ({quality_sql}) q ON q.doc_id = d.doc_id
+            JOIN ({oracles['tx_repetition']}) r ON r.doc_id = d.doc_id
+            WHERE q.quality >= 0.3 AND r.dup_tok <= 0.5
+              AND d.doc_id % 17 <> 0
+        ),
+        tt AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        g AS (
+            SELECT doc_id, unnest(list_distinct({_shingles_sql(4)})) AS gram
+            FROM tt
+        ),
+        benchg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+        contaminated AS (
+            SELECT DISTINCT g.doc_id
+            FROM g JOIN benchg USING (gram)
+                   JOIN kept k ON k.doc_id = g.doc_id
+        ),
+        clean AS (
+            SELECT k.* FROM kept k
+            LEFT JOIN contaminated c ON c.doc_id = k.doc_id
+            WHERE c.doc_id IS NULL
+        ),
+        keepid AS (
+            SELECT min(doc_id) AS doc_id FROM clean GROUP BY {_FP_SQL}
+        ),
+        uniq AS (SELECT c.* FROM clean c JOIN keepid USING (doc_id)),
+        sampled AS (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(text) ASC, doc_id ASC) AS rn
+            FROM uniq
+        ),
+        picked AS (SELECT doc_id, lang, text FROM sampled WHERE rn <= 15),
+        tok AS (
+            SELECT doc_id, lang,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+            FROM picked
+        ),
+        s AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS tok_start
+            FROM tok WHERE n_tokens > 0
+        )
+        SELECT doc_id, lang, n_tokens, tok_start,
+               CAST(floor(tok_start / 128) AS BIGINT) AS seq_start,
+               CAST(floor((tok_start + n_tokens - 1) / 128) AS BIGINT) AS seq_end
+        FROM s
     """
     return oracles

@@ -261,3 +261,38 @@ def test_dup_substring_fixed_grid_would_miss(spark):
     )
     out = {r.doc_id: r for r in dedup.dup_substring_stats(df, k=30).collect()}
     assert out[1].n_dup > 0 and out[2].n_dup > 0
+
+
+def test_corpus_pipeline_invariants(spark):
+    """End-to-end pipeline output must satisfy every stage's contract:
+    no benchmark docs, no contaminated docs, unique fingerprints, per-lang
+    quota, contiguous gap-free token stream."""
+    import __spark_entry__ as entry
+    from html_table_spark.functions.text import fingerprint
+
+    sf = "/root/testdata/sf0.001"
+    out = entry.tx_corpus_pipeline(spark, sf).collect()
+    assert out, "pipeline produced no rows"
+    ids = [r.doc_id for r in out]
+    assert all(i % 17 != 0 for i in ids)  # benchmark docs never train
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    picked = docs.filter(F.col("doc_id").isin(ids))
+    # no two picked docs share a normalized fingerprint
+    n_fp = picked.select(fingerprint("text").alias("f")).distinct().count()
+    assert n_fp == len(ids)
+    # per-language quota
+    by_lang = {r.lang: r.c for r in picked.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert all(c <= 15 for c in by_lang.values())
+    # contaminated docs are gone: no picked doc shares a 4-gram with bench
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    hits = dedup.decontaminate(picked, bench, n=4).count()
+    assert hits == 0
+    # packing is contiguous: sorted tok_starts tile the stream exactly
+    rows = sorted(out, key=lambda r: r.tok_start)
+    pos = 0
+    for r in rows:
+        assert r.tok_start == pos
+        assert r.seq_start == pos // 128
+        assert r.seq_end == (pos + r.n_tokens - 1) // 128
+        pos += r.n_tokens
