@@ -296,3 +296,39 @@ def test_corpus_pipeline_invariants(spark):
         assert r.seq_start == pos // 128
         assert r.seq_end == (pos + r.n_tokens - 1) // 128
         pos += r.n_tokens
+
+
+def test_corpus_filter_chain_is_streaming_safe(spark, tmp_path):
+    """The ingestion-side corpus stages (PII scrub, quality gate,
+    repetition filter) are stateless Column expressions, so the SAME
+    exprs must run unchanged in a Structured Streaming micro-batch pass
+    and agree byte-for-byte with the batch plan."""
+    src = str(tmp_path / "stream_docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(src)
+
+    def stage(df):
+        return df.select(
+            "doc_id",
+            tx.pii_scrub(F.concat(F.col("text"), F.lit(" ping 10.0.0.9"))).alias("scrubbed"),
+            tx.quality_score("text").alias("q"),
+            tx.dup_token_ratio("text").alias("dup"),
+        ).filter((F.col("q") >= 0.3) & (F.col("dup") <= 0.5))
+
+    batch = {(r.doc_id, r.scrubbed) for r in stage(docs).collect()}
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        stage(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_filter_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.scrubbed)
+        for r in spark.sql("select * from corpus_filter_stream").collect()
+    }
+    assert got == batch and len(got) > 0
+    assert all("<IP>" in s for _, s in got)
