@@ -1027,6 +1027,17 @@ def dd_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_novelty(docs, n=3)
 
 
+def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy quality filter: per-language add-one
+    bigram LM counted from the trusted split (doc_id % 17 == 0), scoring
+    every other document by mean bigram log-probability. Model side is
+    reference-sized and broadcast — the corpus never shuffles."""
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return corpus.lm_score(train, ref, group_col="lang")
+
+
 def tx_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus build — the composition the individual
     operators exist for, in ONE declarative plan Catalyst optimizes whole:
@@ -1268,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact_substr": dd_exact_substr,
         "tx_pack_sequences": tx_pack_sequences,
         "tx_corpus_pipeline": tx_corpus_pipeline,
+        "tx_lm_score": tx_lm_score,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -2211,6 +2223,41 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_frac
             FROM w JOIN dfc USING (w)
             GROUP BY w.doc_id
+        """,
+        "tx_lm_score": f"""
+            WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+            doc_bi AS (
+                SELECT doc_id, lang, unnest({_shingles_sql(2)}) AS gram
+                FROM t WHERE doc_id % 17 <> 0 AND len(toks) >= 2
+            ),
+            ref_bi AS (
+                SELECT lang, unnest({_shingles_sql(2)}) AS gram
+                FROM t WHERE doc_id % 17 = 0 AND len(toks) >= 2
+            ),
+            c_bi AS (SELECT lang, gram, count(*) AS c12 FROM ref_bi
+                     GROUP BY lang, gram),
+            ref_tok AS (
+                SELECT lang, unnest(toks) AS tok
+                FROM t WHERE doc_id % 17 = 0
+            ),
+            c_uni AS (SELECT lang, tok, count(*) AS c1 FROM ref_tok
+                      GROUP BY lang, tok),
+            vv AS (SELECT lang, count(DISTINCT tok) AS v FROM ref_tok
+                   GROUP BY lang),
+            scored AS (
+                SELECT d.doc_id, d.lang,
+                       ln((coalesce(b.c12, 0) + 1) * 1.0
+                          / (coalesce(u.c1, 0) + vv.v)) AS logp
+                FROM doc_bi d
+                LEFT JOIN c_bi b ON b.lang = d.lang AND b.gram = d.gram
+                LEFT JOIN c_uni u ON u.lang = d.lang
+                     AND u.tok = split_part(d.gram, ' ', 1)
+                JOIN vv ON vv.lang = d.lang
+            )
+            SELECT doc_id, lang,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(logp), 4) AS avg_logp
+            FROM scored GROUP BY doc_id, lang
         """,
         "dd_ngram_novelty": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

@@ -109,6 +109,73 @@ def vocab_stats(
     )
 
 
+def lm_score(
+    docs: DataFrame,
+    reference: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document language-model quality score: average add-one-smoothed
+    bigram log-probability under a per-language bigram model counted from a
+    trusted ``reference`` split — the CCNet/KenLM-style perplexity filter
+    every web-corpus pipeline runs (documents far from the reference
+    distribution score low and get binned or dropped).
+
+    score(d) = mean over bigrams (w1 w2) of ln((c(w1 w2) + 1) / (c(w1) + V)),
+    with counts and vocabulary size V per language. Documents with fewer
+    than 2 tokens, and languages absent from the reference split, are
+    unscored (omitted). Returns ``(id_col, group_col, n_bigrams,
+    avg_logp)``.
+
+    Scale design: the model side is reference-sized, never corpus-sized —
+    bigram counts, unigram counts, and V are all aggregates of the trusted
+    split, **broadcast** to the corpus scan; scoring is then map-side
+    probes plus one per-doc partial aggregate, so the corpus text never
+    shuffles. The float pipeline is ln/avg/round(4): a 1-ulp libm
+    divergence between engines is ~1e-16 per term, far inside the 1e-4
+    rounding, so the DuckDB oracle recomputes it exactly.
+    """
+    doc_bi = docs.where(token_count(text_col) >= 2).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(shingles(text_col, 2)).alias("gram"),
+    ).withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+    ref_bi = (
+        reference.where(token_count(text_col) >= 2)
+        .select(F.col(group_col), F.explode(shingles(text_col, 2)).alias("gram"))
+        .groupBy(group_col, "gram")
+        .agg(F.count("*").alias("c12"))
+    )
+    ref_tok = reference.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    ref_uni = ref_tok.groupBy(group_col, "tok").agg(F.count("*").alias("c1"))
+    ref_v = ref_tok.groupBy(group_col).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    scored = (
+        doc_bi.join(F.broadcast(ref_bi), [group_col, "gram"], "left")
+        .join(
+            F.broadcast(ref_uni.withColumnRenamed("tok", "w1")),
+            [group_col, "w1"],
+            "left",
+        )
+        .join(F.broadcast(ref_v), group_col, "inner")
+        .withColumn(
+            "logp",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col, group_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("avg_logp"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     ctx_len: int,

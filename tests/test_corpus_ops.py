@@ -332,3 +332,42 @@ def test_corpus_filter_chain_is_streaming_safe(spark, tmp_path):
     }
     assert got == batch and len(got) > 0
     assert all("<IP>" in s for _, s in got)
+
+
+def test_lm_score_hand_values(spark):
+    """Add-one bigram LM against a tiny reference where every probability
+    is hand-derivable. Reference (en): "a b a" → uni a:2 b:1, V=2,
+    bigrams {a b:1, b a:1}."""
+    ref = spark.createDataFrame([(0, "a b a", "en")], "doc_id long, text string, lang string")
+    train = spark.createDataFrame(
+        [
+            (1, "a b", "en"),      # ln(2/4)
+            (2, "b a b", "en"),    # (ln(2/3) + ln(2/4)) / 2
+            (3, "z z", "en"),      # OOV: ln(1/2)
+            (4, "a", "en"),        # 1 token → unscored
+            (5, "a b", "xx"),      # no reference model → unscored
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in corpus.lm_score(train, ref).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_bigrams == 1 and out[1].avg_logp == pytest.approx(-0.6931, abs=1e-4)
+    assert out[2].n_bigrams == 2 and out[2].avg_logp == pytest.approx(-0.5493, abs=1e-4)
+    assert out[3].avg_logp == pytest.approx(-0.6931, abs=1e-4)
+    # reference distribution scores higher than OOV junk on average
+    assert out[2].avg_logp > out[3].avg_logp
+
+
+def test_lm_score_model_side_broadcasts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    plan = (
+        corpus.lm_score(train, ref)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # all three model relations (bigram, unigram, V) probe as broadcasts:
+    # the corpus side must not shuffle for scoring
+    assert plan.count("BroadcastHashJoin") >= 3, plan
