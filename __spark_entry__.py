@@ -1077,6 +1077,20 @@ def tx_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_tokens", "tok_start", "seq_start", "seq_end")
 
 
+def tx_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy token-budget curation (the FineWeb/DCLM "best
+    10k-token subset" step): order by (quality desc, doc_id asc), keep
+    while the running token total before the doc is under budget. The
+    global prefix sum runs as the two-phase distributed form (score
+    histogram buckets + broadcast offsets + parallel per-bucket windows) —
+    never a single-partition global window."""
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", tx.quality_score("text").alias("q")
+    )
+    return corpus.token_budget(scored, budget=10_000)
+
+
 # ---------------------------------------------------------------------------
 # ann_* similarity search
 # ---------------------------------------------------------------------------
@@ -1112,6 +1126,18 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = _query_vector(spark, sf_dir)
     assigned = similarity.ivf_assign(emb, cents)
     return similarity.ivf_topk(assigned, cents, q, k=10, nprobe=4)
+
+
+def ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN: scan in quantized space (4× fewer bytes
+    — the win on a bandwidth-bound 10^9-vector store), take the top
+    k×4 candidates by quantized cosine (exact integer arithmetic, so the
+    candidate cut is deterministic cross-engine), then rescore just those
+    in full precision for the final top-k."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(
+        emb, _query_vector(spark, sf_dir), k=10, oversample=4
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1280,9 +1306,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pack_sequences": tx_pack_sequences,
         "tx_corpus_pipeline": tx_corpus_pipeline,
         "tx_lm_score": tx_lm_score,
+        "tx_token_budget": tx_token_budget,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_quantized": ann_quantized,
         "mc_blocks": mc_blocks,
         "mc_main_text": mc_main_text,
         "pdf_spans": pdf_spans,
@@ -2032,6 +2060,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, a.vec_id
             LIMIT 10
         """,
+        # int8 quantization twin: same symmetric formula (scale =
+        # max(|v|)/127 with 1e-12 floor; q = floor(v/scale + 0.5)).
+        # Quantized cosine is pure exact-integer arithmetic in double, so
+        # the candidate cut at LIMIT 40 is deterministic cross-engine.
+        "ann_quantized": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            qz AS (
+                SELECT vec_id, v,
+                       greatest(list_aggregate(
+                           list_transform(v, x -> abs(x)), 'max'),
+                           1e-12) / 127.0 AS sc
+                FROM e
+            ),
+            qv AS (
+                SELECT vec_id, v,
+                       list_transform(v, x -> CAST(floor(x / sc + 0.5)
+                                               AS DOUBLE)) AS q
+                FROM qz
+            ),
+            qq AS (
+                SELECT q AS qref, sqrt(list_dot_product(q, q)) AS qrefn
+                FROM qv WHERE vec_id = 0
+            ),
+            scored AS (
+                SELECT vec_id, v,
+                       list_dot_product(q, qref)
+                       / (sqrt(list_dot_product(q, q)) * qrefn) AS qcos
+                FROM qv, qq
+            ),
+            cand AS (
+                SELECT * FROM scored ORDER BY qcos DESC, vec_id LIMIT 40
+            ),
+            q0 AS (SELECT v AS qv0 FROM e WHERE vec_id = 0)
+            SELECT vec_id, round(qcos, 4) AS qcos,
+                   round(list_cosine_similarity(cand.v, qv0), 4) AS cosine
+            FROM cand, q0
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
         "dd_exact": f"""
             SELECT {_FP_SQL} AS fp,
                    count(*) AS dup_count,
@@ -2465,5 +2534,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(tok_start / 128) AS BIGINT) AS seq_start,
                CAST(floor((tok_start + n_tokens - 1) / 128) AS BIGINT) AS seq_end
         FROM s
+    """
+    # naive global-window form of the budget selection — byte-identical to
+    # the two-phase distributed prefix sum the Spark operator runs
+    oracles["tx_token_budget"] = f"""
+        WITH q AS ({quality_sql}),
+        tok AS (
+            SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        s AS (
+            SELECT q.doc_id, q.quality AS q, tok.n_tokens,
+                   CAST(coalesce(sum(tok.n_tokens) OVER (
+                        ORDER BY q.quality DESC, q.doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS tok_before
+            FROM q JOIN tok USING (doc_id)
+        )
+        SELECT doc_id, q, n_tokens, tok_before
+        FROM s WHERE tok_before < 10000
     """
     return oracles

@@ -265,3 +265,73 @@ def stratified_sample(
         docs.select(id_col, group_col, F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= quota)
     )
+
+
+def token_budget(
+    docs: DataFrame,
+    budget: int,
+    score_col: str = "q",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_scale: int = 1000,
+) -> DataFrame:
+    """Quality-greedy token-budget selection: order documents by
+    ``(score desc, id asc)`` and keep each document whose running token
+    total *before* it is still under ``budget`` — the FineWeb/DCLM-style
+    curation step ("take the best N-token subset of the corpus"). The
+    last selected document may overshoot the budget (classic greedy
+    take-until-crossed semantics), which is what the SQL definition
+    ``WHERE tokens_before < budget`` states exactly.
+
+    Returns ``(id_col, score_col, n_tokens, tok_before)`` for the
+    selected documents.
+
+    Scale design — the naive form is a single global window
+    (``SUM(n_tokens) OVER (ORDER BY score DESC, id)``), which Spark
+    executes on ONE partition: a non-starter at 100 TB. This is the same
+    two-phase distributed prefix sum as :func:`pack_sequences`, but keyed
+    by a score histogram instead of an id range:
+
+    1. bucket documents by ``floor(score * bucket_scale)`` — monotone in
+       the score, so bucket order IS priority order and the decomposition
+       is exact regardless of where the boundaries fall;
+    2. aggregate per-bucket token sums — at most ``bucket_scale + 2``
+       rows for a [0,1] score — and run the only global window over that
+       tiny relation (descending) to get each bucket's
+       strictly-higher-priority token offset;
+    3. broadcast the offsets back and finish with per-bucket windows
+       (partitioned, parallel) ordered ``(score desc, id asc)``.
+
+    The result is byte-identical to the naive global window, which is
+    exactly what the DuckDB oracle twin runs. Selection never looks at
+    the text again after the token count, so only ``(id, score,
+    n_tokens)`` shuffles — never document bodies.
+    """
+    scored = docs.select(
+        F.col(id_col),
+        F.col(score_col),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+    )
+    b = scored.withColumn("b", F.floor(F.col(score_col) * bucket_scale))
+    bucket_sums = b.groupBy("b").agg(F.sum("n_tokens").alias("s"))
+    # strictly-higher buckets come first in priority order => descending
+    wb = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_sums.select(
+        "b", F.coalesce(F.sum("s").over(wb), F.lit(0)).alias("off")
+    )
+    wr = (
+        Window.partitionBy("b")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.col("off") + F.coalesce(
+        F.sum("n_tokens").over(wr), F.lit(0).cast("bigint")
+    )
+    return (
+        b.join(F.broadcast(offsets), "b")
+        .withColumn("tok_before", before)
+        .where(F.col("tok_before") < budget)
+        .select(id_col, score_col, "n_tokens", "tok_before")
+    )

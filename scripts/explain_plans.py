@@ -82,6 +82,16 @@ CHECKS = {
     # write+read chain: two python stages pipelined in one task — binary
     # payloads must never cross a shuffle boundary
     "pdf_spans": (["MapInPandas"], ["Exchange hashpartitioning"]),
+    # two-phase budget prefix sum: per-bucket (partitioned) windows plus a
+    # broadcast of the tiny bucket-offsets relation; never Python, never a
+    # row-level sort-merge join
+    "tx_token_budget": (["Window", "HashAggregate", "BroadcastHashJoin"],
+                        ["Python", "SortMergeJoin", "CartesianProduct"]),
+    # quantized scan + rescore: both stages TakeOrdered heaps — no global
+    # sort, no Python, no join back to the store
+    "ann_quantized": (["TakeOrderedAndProject"],
+                      ["Python", "Exchange rangepartitioning",
+                       "CartesianProduct", "SortMergeJoin"]),
 }
 
 

@@ -371,3 +371,83 @@ def test_lm_score_model_side_broadcasts(spark, sf_dir):
     # all three model relations (bigram, unigram, V) probe as broadcasts:
     # the corpus side must not shuffle for scoring
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+# --- token_budget ------------------------------------------------------------
+
+
+def _naive_budget(spark, scored, budget):
+    """The oracle's naive single global window form."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("q").desc(), F.col("doc_id").asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    return (
+        scored.withColumn(
+            "tok_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")),
+        )
+        .where(F.col("tok_before") < budget)
+        .select("doc_id", "q", "n_tokens", "tok_before")
+    )
+
+
+def test_token_budget_matches_naive_global_window(spark):
+    rows = [
+        (1, "a b c d e", 0.9),          # 5 tokens, best quality
+        (2, "a b c", 0.9),              # tie on q → doc_id order
+        (3, "x y z w v u t s", 0.5),    # 8 tokens
+        (4, "k l", 0.5),
+        (5, "m", 0.1),
+        (6, "", 0.1),                   # zero tokens: free to select
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    got = {
+        r.doc_id: (r.n_tokens, r.tok_before)
+        for r in corpus.token_budget(df, budget=10, bucket_scale=10).collect()
+    }
+    # priority order: 1 (before 0), 2 (before 5), 3 (before 8 < 10), then
+    # doc 4 at before 16 ≥ 10 → cut. Greedy overshoot keeps doc 3.
+    assert got == {1: (5, 0), 2: (3, 5), 3: (8, 8)}
+
+
+def test_token_budget_bucketing_invariance_vs_naive(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id", "text", tx.quality_score("text").alias("q")
+    )
+    from html_table_spark.functions.text import token_count
+
+    naive_in = scored.select(
+        "doc_id", "q", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    expect = {
+        (r.doc_id, r.tok_before)
+        for r in _naive_budget(spark, naive_in, 10_000).collect()
+    }
+    for scale in (7, 1000):
+        got = {
+            (r.doc_id, r.tok_before)
+            for r in corpus.token_budget(
+                scored, budget=10_000, bucket_scale=scale
+            ).collect()
+        }
+        assert got == expect, f"bucket_scale={scale}"
+
+
+def test_token_budget_no_global_window_on_rows(spark, sf_dir):
+    """The per-row prefix sum must be partitioned (by score bucket); only
+    the tiny bucket-sums relation may run an unpartitioned window."""
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select("doc_id", "text", tx.quality_score("text").alias("q"))
+    phys = (
+        corpus.token_budget(scored, budget=10_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", phys)
+    assert any("b#" in w for w in windows), phys

@@ -1070,3 +1070,39 @@ def test_ivf_assign_empty_centroids_fails_fast(spark):
     df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
     with pytest.raises(ValueError, match="at least one centroid"):
         similarity.ivf_assign(df, [])
+
+
+def test_quantize_int8_hand_values(spark):
+    rows = [Row(vec_id=0, embedding=[10.0, -5.0, 0.0, 2.5])]
+    df = spark.createDataFrame(rows)
+    r = similarity.quantize_int8(df).first()
+    # scale = 10/127; q = floor(v/scale + 0.5):
+    #   10 → 127, -5 → floor(-63.5+0.5) = -63, 0 → 0, 2.5 → floor(32.25) = 32
+    assert r.qvec == [127, -63, 0, 32]
+    assert r.v == [10.0, -5.0, 0.0, 2.5]
+    # JVM expression must agree bit-for-bit with the driver-side twin used
+    # for query vectors (same IEEE ops in the same order)
+    assert r.qvec == similarity._quantize_py([10.0, -5.0, 0.0, 2.5])
+
+
+def test_quantized_topk_matches_brute_force_when_oversampled(spark, sf_dir):
+    """With oversample covering the whole store, the exact rescore must
+    reproduce brute-force top-k exactly (ids AND cosines)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    query = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    exact = [(r.vec_id, r.cosine) for r in similarity.brute_force_topk(emb, query, k=10).collect()]
+    quant = [(r.vec_id, r.cosine) for r in similarity.quantized_topk(emb, query, k=10, oversample=20).collect()]
+    assert quant == exact
+
+
+def test_quantized_topk_self_hit_and_recall(spark, sf_dir):
+    """At the production oversample the quantized candidate scan must put
+    the query itself first and keep high brute-force recall (int8 keeps
+    ~2 decimal digits of cosine resolution)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    got = similarity.quantized_topk(emb, query, k=10, oversample=4).collect()
+    assert got[0].vec_id == 0
+    assert got[0].qcos >= 0.999  # quantized self-cosine is ~1
+    exact = {r.vec_id for r in similarity.brute_force_topk(emb, query, k=10).collect()}
+    assert len(exact & {r.vec_id for r in got}) >= 8
