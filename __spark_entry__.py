@@ -1091,6 +1091,15 @@ def tx_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.token_budget(scored, budget=10_000)
 
 
+def tx_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 salient terms by TF-IDF (keyword extraction for
+    topic binning): two chained hash aggregates (doc,token)→(token), the
+    vocabulary-sized document-frequency relation broadcast back, ranking
+    window bounded by per-document vocabulary."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.tfidf_topk(docs, k=5)
+
+
 # ---------------------------------------------------------------------------
 # ann_* similarity search
 # ---------------------------------------------------------------------------
@@ -1137,6 +1146,18 @@ def ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.quantized_topk(
         emb, _query_vector(spark, sf_dir), k=10, oversample=4
+    )
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011): vectors encoded as m=4 one-byte codes against
+    rank-deterministic per-subspace codebooks; the query stays full
+    precision and scores candidates via m table lookups; exact cosine
+    rescore of the top k*4. The codebook collect is ksub-constant."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, _query_vector(spark, sf_dir), k=10, oversample=4, m=4, ksub=16
     )
 
 
@@ -1307,10 +1328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_corpus_pipeline": tx_corpus_pipeline,
         "tx_lm_score": tx_lm_score,
         "tx_token_budget": tx_token_budget,
+        "tx_tfidf": tx_tfidf,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_quantized": ann_quantized,
+        "ann_pq": ann_pq,
         "mc_blocks": mc_blocks,
         "mc_main_text": mc_main_text,
         "pdf_spans": pdf_spans,
@@ -2101,6 +2124,61 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id
             LIMIT 10
         """,
+        # PQ/ADC twin: codebooks are the 16 lowest-id vectors' sub-slices
+        # (m=4 subspaces of dsub=16 dims over the 64-dim embeddings); every
+        # distance is a sequential left-to-right sum of the same doubles the
+        # Spark expressions sum, so encode argmin, the query tables, and the
+        # 4-term ADC add are bit-identical cross-engine.
+        "ann_pq": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            centn AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS c
+                FROM e ORDER BY vec_id LIMIT 16
+            ),
+            js AS (SELECT unnest(generate_series(0, 3)) AS j),
+            sub AS (
+                SELECT e.vec_id, centn.ci, js.j,
+                       list_aggregate(list_transform(generate_series(1, 16),
+                           i -> (e.v[js.j * 16 + i] - centn.c[js.j * 16 + i])
+                              * (e.v[js.j * 16 + i] - centn.c[js.j * 16 + i])),
+                           'sum') AS d2
+                FROM e, centn, js
+            ),
+            codes AS (
+                SELECT vec_id, j, ci FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                                 ORDER BY d2 ASC, ci ASC) AS rn
+                    FROM sub
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            tbl AS (
+                SELECT js.j, centn.ci,
+                       list_aggregate(list_transform(generate_series(1, 16),
+                           i -> (q.qv[js.j * 16 + i] - centn.c[js.j * 16 + i])
+                              * (q.qv[js.j * 16 + i] - centn.c[js.j * 16 + i])),
+                           'sum') AS qd2
+                FROM centn, js, q
+            ),
+            approx AS (
+                SELECT codes.vec_id,
+                       list_aggregate(list(tbl.qd2 ORDER BY codes.j), 'sum') AS d2
+                FROM codes JOIN tbl ON tbl.j = codes.j AND tbl.ci = codes.ci
+                GROUP BY codes.vec_id
+            ),
+            cand AS (
+                SELECT a.vec_id, a.d2, e.v
+                FROM approx a JOIN e USING (vec_id)
+                ORDER BY a.d2 ASC, a.vec_id LIMIT 40
+            )
+            SELECT vec_id, round(d2, 4) AS approx_d2,
+                   round(list_cosine_similarity(cand.v, q.qv), 4) AS cosine
+            FROM cand, q
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
         "dd_exact": f"""
             SELECT {_FP_SQL} AS fp,
                    count(*) AS dup_count,
@@ -2553,5 +2631,27 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, q, n_tokens, tok_before
         FROM s WHERE tok_before < 10000
+    """
+    # TF-IDF keyword extraction: ranking uses the ROUNDED score (with the
+    # same +1e-9 knife-edge nudge as quality_score), ties on token asc
+    oracles["tx_tfidf"] = f"""
+        WITH t AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok, tf.tf,
+                   round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                         + 1e-9, 4) AS tfidf
+            FROM tf JOIN df USING (tok), n
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, tok ASC) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, tok, tf, tfidf, rnk FROM r WHERE rnk <= 5
     """
     return oracles

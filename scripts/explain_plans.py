@@ -92,6 +92,15 @@ CHECKS = {
     "ann_quantized": (["TakeOrderedAndProject"],
                       ["Python", "Exchange rangepartitioning",
                        "CartesianProduct", "SortMergeJoin"]),
+    # PQ/ADC: encode + table lookups are map-side expressions; candidate
+    # cut and rescore are TakeOrdered heaps
+    "ann_pq": (["TakeOrderedAndProject"],
+               ["Python", "Exchange rangepartitioning",
+                "CartesianProduct", "SortMergeJoin"]),
+    # two chained hash aggs; vocabulary-sized DF relation broadcast back;
+    # ranking window bounded per doc — no sort-merge join anywhere
+    "tx_tfidf": (["HashAggregate", "BroadcastHashJoin", "Window"],
+                 ["Python", "SortMergeJoin"]),
 }
 
 

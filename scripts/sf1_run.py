@@ -203,6 +203,27 @@ def main() -> int:
 
     embed_only = "--embed-only" in sys.argv
     synth_sf1_tables()
+    if "--only" in sys.argv:
+        # ad-hoc subset (e.g. newly added ops): same measurement path,
+        # same session, sf0.1 first, appended to the same evidence log
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        import __spark_entry__ as entry
+
+        spark = get_spark("sf1-only", master="local[32]", shuffle_partitions=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        results = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), "cores": 32,
+                   "policy": f"best-of-{BEST_OF}, same session, sf0.1 first",
+                   "family": "only:" + ",".join(names)}
+        print("== subset sf0.1 ==", file=sys.stderr)
+        results["queries_sf0.1"] = run_queries(spark, entry, SF01_DIR, names)
+        print("== subset sf1.0 ==", file=sys.stderr)
+        results["queries_sf1.0"] = run_queries(spark, entry, SF1_DIR, names)
+        spark.stop()
+        bench_dir = os.path.join(os.path.dirname(__file__), "..", "BENCH")
+        with open(os.path.join(bench_dir, "SF1_RUNS.jsonl"), "a") as f:
+            f.write(json.dumps(results) + "\n")
+        print(json.dumps(results))
+        return 0
     if "--corpus-only" in sys.argv:
         import __spark_entry__ as entry
 

@@ -451,3 +451,43 @@ def test_token_budget_no_global_window_on_rows(spark, sf_dir):
     )
     windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", phys)
     assert any("b#" in w for w in windows), phys
+
+
+# --- tfidf_topk --------------------------------------------------------------
+
+
+def test_tfidf_hand_values(spark):
+    import math
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "banana banana banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.tok): (r.tf, r.tfidf, r.rnk)
+        for r in corpus.tfidf_topk(df, k=2).collect()
+    }
+    ln3 = round(math.log(3.0) + 1e-9, 4)      # df=1 terms
+    ln32 = round(math.log(3.0 / 2) + 1e-9, 4) # df=2 terms
+    # doc 1: apple tf=2 df=1 → 2*ln3; banana tf=1 df=3 → ln(1)=0
+    assert got[(1, "apple")] == (2, round(2 * math.log(3.0) + 1e-9, 4), 1)
+    assert got[(1, "banana")][1] == 0.0
+    # doc 2: cherry df=1 beats banana df=3
+    assert got[(2, "cherry")] == (1, ln3, 1)
+    # doc 3: only banana — tfidf 3*ln(1)=0 but still ranked
+    assert got[(3, "banana")] == (3, 0.0, 1)
+    assert ln32 > 0  # sanity on the helper itself
+
+
+def test_tfidf_df_side_is_broadcast(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    phys = (
+        corpus.tfidf_topk(docs, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys

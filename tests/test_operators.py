@@ -1106,3 +1106,46 @@ def test_quantized_topk_self_hit_and_recall(spark, sf_dir):
     assert got[0].qcos >= 0.999  # quantized self-cosine is ~1
     exact = {r.vec_id for r in similarity.brute_force_topk(emb, query, k=10).collect()}
     assert len(exact & {r.vec_id for r in got}) >= 8
+
+
+def test_pq_encode_codeword_roundtrip(spark):
+    """A vector that IS a codeword must encode to that codeword's index in
+    every subspace (its sub-distances are exactly 0.0)."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 2.0]),
+        Row(vec_id=2, embedding=[5.0, 5.0, -1.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows)
+    books, dsub = similarity.pq_codebooks(df, m=2, ksub=3)
+    assert dsub == 2 and books[0][1] == [0.0, 1.0] and books[1][2] == [-1.0, 0.5]
+    enc = {r.vec_id: (r.code_0, r.code_1) for r in
+           similarity.pq_encode(df, books, dsub).collect()}
+    assert enc == {0: (0, 0), 1: (1, 1), 2: (2, 2)}
+
+
+def test_pq_topk_matches_brute_force_when_oversampled(spark, sf_dir):
+    """With oversample covering the whole store, the exact rescore must
+    reproduce brute-force top-k exactly (ids AND cosines)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    query = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    exact = [(r.vec_id, r.cosine) for r in similarity.brute_force_topk(emb, query, k=10).collect()]
+    got = [(r.vec_id, r.cosine) for r in similarity.pq_topk(emb, query, k=10, oversample=20).collect()]
+    assert got == exact
+
+
+def test_pq_topk_self_adc_zero(spark, sf_dir):
+    """The query vector is one of the 16 codebook vectors, so its PQ codes
+    reconstruct it exactly: ADC distance 0, cosine 1, ranked first."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    got = similarity.pq_topk(emb, query, k=10, oversample=4).collect()
+    assert got[0].vec_id == 0
+    assert got[0].approx_d2 == 0.0
+    assert got[0].cosine == 1.0
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 2.0, 3.0])])
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codebooks(df, m=2, ksub=1)
