@@ -726,3 +726,58 @@ def pq_topk(
         cosine_to_query(F.col("v"), query).alias("cosine"),
     )
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[list[float]]], int]:
+    """Distributed per-subspace Lloyd refinement of the deterministic PQ
+    codebooks (the k-means step real PQ training runs, Jégou et al. §III):
+    encode → per-(subspace, code) sub-vector mean → repeat.
+
+    Each iteration is one encode pass (pure JVM expressions) plus ONE
+    aggregation shuffle keyed (subspace, code, dim) carrying partial sums —
+    all m subspaces train in the same job, and only the m×ksub refined code
+    words ever reach the driver (index-build constant, like
+    :func:`ivf_train`). Deterministic: seeds are the rank-deterministic
+    :func:`pq_codebooks`; empty codes keep their previous word.
+
+    Returns ``(books, dsub)`` in the same shape :func:`pq_encode` and
+    :func:`pq_topk` consume.
+    """
+    books, dsub = pq_codebooks(embeddings, m, ksub, id_col, vec_col)
+    for _ in range(iters):
+        enc = pq_encode(embeddings, books, dsub, id_col, vec_col)
+        # one row per (subspace j, code, intra-subspace dim i, value)
+        parts = []
+        for j in range(m):
+            parts.append(
+                enc.select(
+                    F.lit(j).alias("j"),
+                    F.col(f"code_{j}").alias("code"),
+                    F.posexplode(
+                        F.slice(F.col("v"), j * dsub + 1, dsub)
+                    ).alias("i", "x"),
+                )
+            )
+        allsub = parts[0]
+        for p in parts[1:]:
+            allsub = allsub.unionByName(p)
+        means = (
+            allsub.groupBy("j", "code", "i")
+            .agg(F.avg("x").alias("mval"))
+            .groupBy("j", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "mval"))).alias("dims"))
+            .collect()
+        )
+        new = {(int(r.j), int(r.code)): [d.mval for d in r.dims] for r in means}
+        books = [
+            [new.get((j, c), books[j][c]) for c in range(ksub)]
+            for j in range(m)
+        ]
+    return books, dsub

@@ -64,3 +64,39 @@ def test_ivf_train_refines_centroids(spark):
     got = {r.vec_id: r.centroid_id for r in assigned.collect()}
     assert all(got[i] == 0 for i in range(20))
     assert all(got[100 + i] == 1 for i in range(20))
+
+
+def test_pq_train_refines_codebooks(spark):
+    """Per-subspace Lloyd: with two tight sub-clusters per subspace, one
+    iteration must move each seed word to its assigned cluster's mean, and
+    refined books must reduce total quantization error."""
+    from html_table_spark.operators import similarity
+
+    # 4-dim vectors, m=2 subspaces of 2 dims; two clusters per subspace
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [1.0, 1.0, 11.0, 11.0]),   # seeds: vec 0 and 1 (ksub=2)
+        (2, [0.2, 0.2, 10.2, 10.2]),
+        (3, [0.8, 0.8, 10.8, 10.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seed_books, dsub = similarity.pq_codebooks(df, m=2, ksub=2)
+    books, dsub2 = similarity.pq_train(df, m=2, ksub=2, iters=1)
+    assert dsub == dsub2 == 2
+
+    def err(bks):
+        enc = similarity.pq_encode(df, bks, dsub).collect()
+        tot = 0.0
+        for r in enc:
+            for j, code in ((0, r.code_0), (1, r.code_1)):
+                c = bks[j][code]
+                sub = r.v[j * dsub:(j + 1) * dsub]
+                tot += sum((a - b) ** 2 for a, b in zip(sub, c))
+        return tot
+
+    assert err(books) < err(seed_books)
+    # code word 0 of subspace 0 = mean of its members' first 2 dims
+    # (vecs 0,2 encode to word 0; vecs 1,3 to word 1 under the seeds)
+    assert books[0][0] == pytest.approx([0.1, 0.1])
+    assert books[0][1] == pytest.approx([0.9, 0.9])
+    assert books[1][0] == pytest.approx([10.1, 10.1])
