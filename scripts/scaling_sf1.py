@@ -1,0 +1,195 @@
+"""SF1.0 N->4N scaling pair — the large-input complement to the converged
+sf0.1 evidence (BENCH/scaling_best.json).
+
+Why a second pair at 10x the input: the sf0.1 32-core leg finishes in
+~2.9 s, so per-JOB fixed costs that do not grow with data volume (stage
+launch, Catalyst analysis of the two legs, Python-worker dispatch,
+result aggregation) are a visible fraction of the wide leg's wall while
+being amortized 4x better on the narrow leg — the N->4N ratio charges
+them 4x harder against 4N. At the 100 TB target the job wall is hours,
+so a ~30 s 32-core leg (sf1.0, 960,040 docs) is the
+scale-representative measurement of the SAME code on the SAME box: if
+8->32 efficiency rises at 10x the input, the sf0.1 shortfall was partly
+fixed-cost amortization; if it does not, the memory-bus determination
+(BENCH/BASELINE.md round-4 membw control) stands alone.
+
+Deliberately does NOT go through bench.record_and_merge_sweep: that
+ratchet is a single-slot best file keyed (rev, sf), so an sf1.0 sweep
+would EVICT the converged sf0.1 evidence. Instead:
+
+- raw legs append to BENCH/SCALING_RUNS.jsonl in the same record format
+  (sf: "1.0", partial: true) for audit;
+- per-leg bests ratchet into BENCH/scaling_sf1_best.json under the same
+  same-revision content-hash discipline (bench._code_rev), separate slot;
+- BASELINE.md is regenerated via bench's own writer from the sf0.1 best
+  file, then the sf1.0 section is appended. `bench.py --scaling` knows
+  nothing of this sidecar, so after any future regeneration re-run
+  `python scripts/scaling_sf1.py --render-only` to re-append.
+
+Usage: python scripts/scaling_sf1.py [--legs 8,32] [--attempts 3]
+                                     [--render-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+SF = "1.0"
+# only _sf_of(basename) matters to --extract-only; the dir need not exist
+SF_DIR_TOKEN = "/tmp/sf1.0"
+BEST_PATH = os.path.join(REPO, "BENCH", "scaling_sf1_best.json")
+
+
+def run_legs(legs: list[int], attempts: int) -> dict[int, dict]:
+    bench.corpus_path(SF)  # pre-materialize (one-time ~700 MB synth)
+    results: dict[int, dict] = {}
+    for cores in legs:
+        best = None
+        for i in range(attempts):
+            bench._wait_for_quiet()
+            out = subprocess.run(
+                [
+                    "taskset", "-c", f"0-{cores - 1}",
+                    sys.executable, os.path.join(REPO, "bench.py"),
+                    "--extract-only", f"--cores={cores}",
+                ],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR_TOKEN},
+            )
+            lines = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ]
+            if out.returncode != 0 or not lines:
+                sys.stderr.write(out.stderr[-4000:])
+                raise RuntimeError(f"leg cores={cores} failed rc={out.returncode}")
+            r = json.loads(lines[-1])
+            print(
+                f"cores={cores} attempt={i + 1}: {r['docs_per_sec']} docs/s",
+                flush=True,
+            )
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        results[cores] = best
+    return results
+
+
+def record_raw(results: dict[int, dict]) -> None:
+    rec = {"ts": time.time(), "sf": SF, "partial": True, "results": results}
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUNS.jsonl"), "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+
+
+def ratchet(results: dict[int, dict]) -> dict[int, dict]:
+    rev = bench._code_rev()
+    merged: dict[int, dict] = {}
+    if os.path.exists(BEST_PATH):
+        with open(BEST_PATH) as fh:
+            prev = json.load(fh)
+        if prev.get("rev") == rev and prev.get("sf") == SF:
+            merged = {int(k): v for k, v in prev.get("results", {}).items()}
+    for cores, r in results.items():
+        if cores not in merged or r["docs_per_sec"] > merged[cores]["docs_per_sec"]:
+            merged[cores] = r
+    with open(BEST_PATH, "w") as fh:
+        json.dump(
+            {
+                "rev": rev,
+                "sf": SF,
+                "results": {str(k): v for k, v in sorted(merged.items())},
+            },
+            fh,
+            indent=1,
+        )
+    return merged
+
+
+def _effs(merged: dict[int, dict]) -> dict:
+    out = {}
+    for a, b in bench.SCALING_PAIRS:
+        if a in merged and b in merged:
+            out[(a, b)] = round(
+                merged[b]["docs_per_sec"] / (4.0 * merged[a]["docs_per_sec"]), 3
+            )
+    return out
+
+
+def render_baseline_md() -> None:
+    """Regenerate BASELINE.md from the sf0.1 best file via bench's own
+    writer, then append the sf1.0 section from the sidecar."""
+    with open(os.path.join(REPO, "BENCH", "scaling_best.json")) as fh:
+        sf01 = json.load(fh)
+    merged01 = {int(k): v for k, v in sf01["results"].items()}
+    bench._write_bench_md(sf01["sf"], merged01, _effs(merged01))
+    if not os.path.exists(BEST_PATH):
+        return
+    with open(BEST_PATH) as fh:
+        best = json.load(fh)
+    merged = {int(k): v for k, v in best["results"].items()}
+    effs = _effs(merged)
+    any_r = next(iter(merged.values()))
+    rows = "\n".join(
+        f"| local[{c}] | {r['docs_per_sec']} | {r['tables_per_sec']} |"
+        f" {r['wall_sec']} |"
+        for c, r in sorted(merged.items())
+    )
+    eff_rows = "\n".join(
+        f"| {a} → {b} | **{e}** |" for (a, b), e in sorted(effs.items())
+    )
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as fh:
+        fh.write(
+            f"""
+## SF1.0 pair — the scale-representative measurement (10× the input)
+
+Same code revision, same box, same pinning discipline, 10× the corpus
+(sf1.0: {any_r['docs']} docs incl. 40 mega-docs × 2000 tables — the
+deterministic generator's "1.0" tier, structure-preserving by
+construction). At sf0.1 the 32-core leg finishes in ~2.9 s, so per-job
+fixed costs (stage launch, plan analysis, worker dispatch) are charged
+4× harder against the wide leg; at the 100 TB target the wall is hours,
+making this ~10×-longer pair the faithful model of the judged regime.
+Raw legs in BENCH/SCALING_RUNS.jsonl (sf "1.0" records), bests ratcheted
+in BENCH/scaling_sf1_best.json ({best['rev']}), rendered by
+scripts/scaling_sf1.py (re-run with --render-only after any
+`bench.py --scaling` regeneration of this file).
+
+| parallelism (pinned CPUs) | docs/sec | tables/sec | wall (s) |
+|---|---|---|---|
+{rows}
+
+| N → 4N | scaling efficiency |
+|---|---|
+{eff_rows}
+
+{bench._eff_summary(effs)}
+"""
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--legs", default="8,32")
+    ap.add_argument("--attempts", type=int, default=3)
+    ap.add_argument("--render-only", action="store_true")
+    args = ap.parse_args()
+    if not args.render_only:
+        results = run_legs([int(x) for x in args.legs.split(",")], args.attempts)
+        record_raw(results)
+        merged = ratchet(results)
+        print(json.dumps({"sf1_effs": {f"{a}->{b}": e for (a, b), e in _effs(merged).items()},
+                          "bests": {c: r["docs_per_sec"] for c, r in sorted(merged.items())}}))
+    render_baseline_md()
+
+
+if __name__ == "__main__":
+    main()
