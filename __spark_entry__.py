@@ -1027,6 +1027,27 @@ def dd_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_novelty(docs, n=3)
 
 
+def dd_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document segment dedup: fixed 8-token windows,
+    keep only each distinct segment's corpus-wide first occurrence
+    (min (doc_id, seg_idx) — one two-phase hash aggregate, no window, no
+    join-back), reassemble the surviving text per document."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.segment_dedup(docs, seg_len=8)
+
+
+def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: coarse-quantize embeddings into
+    k = max(16, ceil(n/64)) clusters (count-adaptive, k ∝ n — the paper's
+    regime, holding per-cluster occupancy ~64 so the cluster-bucketed
+    self-join stays ~linear in n; rank-deterministic centroids shared with
+    ann_ivf), flag every vector with cosine ≥ 0.9 to a lower-id member of
+    its own cluster. The DuckDB twin derives the same k via a subquery
+    LIMIT, so the oracle holds at every sf."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, k=None, tau=0.9)
+
+
 def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-proxy quality filter: per-language add-one
     bigram LM counted from the trusted split (doc_id % 17 == 0), scoring
@@ -1323,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pii_scrub": tx_pii_scrub,
         "dd_decontaminate": dd_decontaminate,
         "dd_ngram_novelty": dd_ngram_novelty,
+        "dd_segments": dd_segments,
+        "dd_semantic": dd_semantic,
         "dd_exact_substr": dd_exact_substr,
         "tx_pack_sequences": tx_pack_sequences,
         "tx_corpus_pipeline": tx_corpus_pipeline,
@@ -2422,6 +2445,81 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS novelty
             FROM g JOIN dfc USING (gram)
             GROUP BY g.doc_id
+        """,
+        # CCNet segment dedup twin: same fixed 8-token windows (trailing
+        # partial window included), first occurrence = min (doc_id, seg_idx)
+        # per distinct segment, ordered reassembly; zero-survivor docs keep
+        # an empty clean_text via the left join.
+        "dd_segments": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            segs AS (
+                SELECT doc_id, CAST(i AS INT) AS seg_idx,
+                       array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS seg
+                FROM t, LATERAL unnest(generate_series(0,
+                         CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS u(i)
+            ),
+            kept AS (
+                SELECT doc_id, seg_idx, seg FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+                    FROM segs
+                ) WHERE rn = 1
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(ceil(len(toks) / 8.0) AS INT) AS n_segs,
+                   CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(agg.clean_text, '') AS clean_text
+            FROM t LEFT JOIN agg USING (doc_id)
+        """,
+        # SemDeDup twin: rank-lowest centroid CTE with the SAME count-
+        # adaptive k = max(16, ceil(n/64)) via a subquery LIMIT, nearest-
+        # centroid assignment (ties -> lowest cid), within-cluster lower-id
+        # self-join, argmax by (sim DESC, nn_id ASC).
+        "dd_semantic": """
+            WITH cent AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+                FROM embeddings ORDER BY vec_id
+                LIMIT (SELECT greatest(16,
+                           CAST(ceil(count(*) / 64.0) AS BIGINT))
+                       FROM embeddings)
+            ),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            sims AS (
+                SELECT e.vec_id, e.v, cent.cid,
+                       list_cosine_similarity(e.v, cent.c) AS s
+                FROM e CROSS JOIN cent
+            ),
+            assigned AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY s DESC, cid) AS rn
+                    FROM sims
+                ) WHERE rn = 1
+            ),
+            pairs AS (
+                SELECT a.vec_id AS ida, b.vec_id AS idb,
+                       list_cosine_similarity(a.v, b.v) AS sim
+                FROM assigned a JOIN assigned b
+                     ON a.cid = b.cid AND b.vec_id < a.vec_id
+            ),
+            best AS (
+                SELECT ida, idb, sim FROM (
+                    SELECT *, row_number() OVER (PARTITION BY ida
+                                                 ORDER BY sim DESC, idb) AS rn
+                    FROM pairs
+                ) WHERE rn = 1
+            )
+            SELECT a.vec_id, a.cid AS centroid_id,
+                   best.idb AS nn_id,
+                   round(best.sim, 4) AS max_sim,
+                   coalesce(best.sim >= 0.9, FALSE) AS is_dup
+            FROM assigned a LEFT JOIN best ON best.ida = a.vec_id
         """,
         "tx_repetition": f"""
             WITH t AS (

@@ -717,3 +717,176 @@ def dedup_by_clusters(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document segment-level deduplication (CCNet-style paragraph
+    dedup, Wenzek et al. 2020 §3.1, adapted to fixed word windows because
+    this corpus has no paragraph breaks): split every document into
+    consecutive ``seg_len``-token segments, keep only the corpus-wide FIRST
+    occurrence of each distinct segment (ordered by ``(doc_id, seg_idx)``),
+    and reassemble the surviving segments per document in original order.
+
+    Returns ``(id_col, n_segs, n_kept, clean_text)`` for every input
+    document — documents whose every segment was seen earlier keep the row
+    with ``n_kept = 0`` and an empty ``clean_text`` (the downstream length
+    filter drops them; dropping silently here would hide the removal rate).
+
+    Scale design (100 TB): the only corpus-sized shuffles carry
+    ``(segment, doc_id, seg_idx)``. First-occurrence selection is a single
+    two-phase hash aggregate — ``min(struct(doc_id, seg_idx)) GROUP BY
+    segment`` — whose map-side partial combine collapses within-partition
+    repeats of boilerplate segments BEFORE the exchange, so a segment
+    duplicated a billion times contributes one row per map partition, not a
+    skewed reduce key (this is why it's an aggregate and not a
+    ``row_number() OVER (PARTITION BY segment)`` window, which would sort
+    the full duplicate family on one reducer). The kept rows ARE the
+    aggregate's output — no join back to the exploded stream. Reassembly is
+    a per-doc ``array_sort(collect_list(struct(seg_idx, seg)))`` hash
+    aggregate; the final left join restores zero-survivor documents and
+    joins on ids only. At 100 TB, map the segment through ``xxhash64``
+    before the shuffle (8 bytes vs ~50) and carry the segment text only
+    inside the min-struct payload; strings are kept here so the DuckDB
+    oracle recomputes identical segments.
+    """
+    from .util import ensure_parallelism
+
+    toks = tokens(text_col)
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
+    segs = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_len + 1, seg_len), " "
+            ),
+        )
+    )
+    base = ensure_parallelism(docs.select(id_col, text_col)).select(
+        F.col(id_col), segs.alias("segs")
+    )
+    totals = base.select(F.col(id_col), F.size("segs").alias("n_segs"))
+    exploded = base.select(
+        F.col(id_col), F.posexplode("segs").alias("seg_idx", "seg")
+    )
+    # corpus-wide first occurrence per distinct segment: min over the total
+    # order (doc_id, seg_idx) — deterministic, engine-independent
+    firsts = (
+        exploded.groupBy("seg")
+        .agg(F.min(F.struct(id_col, "seg_idx")).alias("f"))
+        .select(
+            F.col(f"f.{id_col}").alias(id_col),
+            F.col("f.seg_idx").alias("seg_idx"),
+            "seg",
+        )
+    )
+    kept = (
+        firsts.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int | None = 16,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with a coarse quantizer, then
+    flagging, WITHIN each cluster only, every vector whose cosine
+    similarity to a lower-id cluster member reaches ``tau`` (the kept
+    representative of each semantic-dup group is its lowest-id member —
+    the paper keeps the member farthest from the centroid; lowest-id is
+    the deterministic variant the cross-engine oracle can replay).
+
+    Returns ``(id_col, centroid_id, nn_id, max_sim, is_dup)`` for every
+    vector: ``nn_id``/``max_sim`` are the most-similar LOWER-id member of
+    the same cluster (ties broken toward the lowest id; null when the
+    vector is its cluster's lowest id), ``is_dup`` is ``max_sim >= tau``.
+
+    Scale design (10^9 vectors): the all-pairs comparison the naive
+    near-dup pass needs is O(n²); clustering bounds it to O(n²/k) by
+    comparing only within clusters — with ``k ∝ n`` (the paper's regime;
+    ``k=None`` derives ``max(16, ceil(n/64))`` from one count) per-cluster
+    occupancy is a constant and total pair volume stays ~linear in n.
+    The self-join keys on ``centroid_id``, so vectors shuffle once,
+    co-partitioned by cluster; assignment itself is the shared
+    :func:`~html_table_spark.operators.similarity.ivf_assign` pure-JVM
+    pass (no shuffle), and the exact rescore is the same Arrow-vectorized
+    pair-cosine kernel the LSH near-dup pass uses. A mega-cluster (skewed
+    quantizer) is handled upstream by Lloyd refinement
+    (:func:`~html_table_spark.operators.similarity.ivf_train`) rather
+    than salting, because splitting a cluster preserves semantics while
+    salting a self-join key does not.
+    """
+    from .similarity import _pair_cosine_batch, ivf_assign, ivf_centroids
+
+    if k is None:
+        n_vecs = embeddings.count()
+        k = max(16, -(-n_vecs // 64))
+    cents = ivf_centroids(embeddings, k, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        "centroid_id",
+    )
+    a = assigned.select(
+        F.col(id_col).alias("ida"), F.col("v").alias("va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("idb"), F.col("v").alias("vb"), "centroid_id"
+    )
+    cos = pandas_udf(_pair_cosine_batch, "double")(F.col("va"), F.col("vb"))
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("idb") < F.col("ida"))
+        .withColumn("sim", cos)
+    )
+    # argmax by (sim desc, idb asc): max over struct(sim, -idb), engine-
+    # independent because the order is total (sim ties resolved by id)
+    best = (
+        pairs.groupBy("ida")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("idb")).alias("nid"))).alias("m"))
+        .select(
+            F.col("ida").alias(id_col),
+            (-F.col("m.nid")).alias("nn_id"),
+            F.col("m.sim").alias("max_sim"),
+        )
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            "nn_id",
+            F.round("max_sim", 4).alias("max_sim"),
+            F.coalesce(F.col("max_sim") >= F.lit(tau), F.lit(False)).alias(
+                "is_dup"
+            ),
+        )
+    )

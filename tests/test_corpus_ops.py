@@ -491,3 +491,130 @@ def test_tfidf_df_side_is_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in phys
     assert "SortMergeJoin" not in phys
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup — CCNet-style cross-document segment dedup
+# ---------------------------------------------------------------------------
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    rows = [
+        # doc 1: two segments "a b" and "c d"
+        (1, "a b c d"),
+        # doc 2: repeats "a b" (dropped, seen in doc 1) then a new "x y"
+        (2, "a b x y"),
+        # doc 3: both segments already seen -> zero survivors
+        (3, "c d a b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
+        for r in dedup.segment_dedup(docs, seg_len=2).collect()
+    }
+    assert out[1] == (2, 2, "a b c d")
+    assert out[2] == (2, 1, "x y")
+    assert out[3] == (2, 0, "")
+
+
+def test_segment_dedup_order_and_partial_tail(spark):
+    rows = [
+        # 5 tokens at seg_len=2 -> segments "a b", "c d", "e" (partial tail)
+        (1, "a b c d e"),
+        # duplicate of doc 1's MIDDLE segment only; survivors must reassemble
+        # in original order around the removed middle
+        (2, "p q c d r s"),
+        (3, ""),  # empty doc: 0 segments, empty output
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
+        for r in dedup.segment_dedup(docs, seg_len=2).collect()
+    }
+    assert out[1] == (3, 3, "a b c d e")
+    assert out[2] == (3, 2, "p q r s")
+    assert out[3] == (0, 0, "")
+
+
+def test_segment_dedup_within_doc_repeat(spark):
+    # a segment repeated INSIDE one document dedups to its first position too
+    docs = spark.createDataFrame(
+        [(7, "a b a b c c")], "doc_id long, text string"
+    )
+    (row,) = dedup.segment_dedup(docs, seg_len=2).collect()
+    assert (row.n_segs, row.n_kept, row.clean_text) == (3, 2, "a b c c")
+
+
+def test_segment_dedup_plan_shape(spark):
+    """The first-occurrence pass must be a partial/final hash aggregate
+    (map-side combine collapses boilerplate repeats BEFORE the exchange),
+    never a row_number window over the segment."""
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = dedup.segment_dedup(docs, seg_len=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final pairs
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup cluster-bucketed cosine dedup
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_flags_within_cluster(spark):
+    # centroids (k=2) = vectors 0 and 1: axis-aligned, orthogonal clusters.
+    # 2 is a near-copy of 0 (same cluster, cos≈1 -> dup); 3 sits in 1's
+    # cluster but far from 1 (cos < tau -> kept); 4 duplicates 2, so its
+    # nearest lower-id member is the MOST similar one (tie broken low).
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.5, 0.85, 0.0]),
+        (4, [0.999, 0.01, 0.0]),
+    ]
+    out = {
+        r.vec_id: r
+        for r in dedup.semantic_dedup(_vecs(spark, rows), k=2, tau=0.99).collect()
+    }
+    assert out[0].nn_id is None and out[0].is_dup is False
+    assert out[1].nn_id is None and out[1].is_dup is False
+    assert out[2].nn_id == 0 and out[2].is_dup is True
+    assert out[3].is_dup is False and out[3].centroid_id == out[1].centroid_id
+    # 4's best match is 2 (identical, cos=1) not 0 (cos≈0.9999)
+    assert out[4].nn_id == 2 and out[4].is_dup is True
+
+
+def test_semantic_dedup_cross_cluster_pairs_never_compared(spark):
+    # identical vectors in DIFFERENT clusters are not flagged: the pass is
+    # cluster-bucketed by design (that is the O(n^2) -> O(n^2/k) bound)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.0, 1.0]),  # dup of 1, same cluster -> flagged
+        (3, [0.6, 0.8]),  # nearer cluster 1... lands in exactly one cluster
+    ]
+    out = {r.vec_id: r for r in dedup.semantic_dedup(_vecs(spark, rows), k=2, tau=0.999).collect()}
+    assert out[2].nn_id == 1 and out[2].is_dup is True
+    assert out[0].is_dup is False
+    # every vector appears exactly once regardless of flags
+    assert set(out) == {0, 1, 2, 3}
+
+
+def test_semantic_dedup_auto_k(spark):
+    # k=None derives k from n (>=16 floor) and must still run end-to-end
+    rows = [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(40)]
+    out = dedup.semantic_dedup(_vecs(spark, rows), k=None, tau=0.999999)
+    assert out.count() == 40
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(8)]
+    plan = (
+        dedup.semantic_dedup(_vecs(spark, rows), k=2, tau=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan
