@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from html_table_spark.config import ParserConfig
 from html_table_spark.functions import text as tx
-from html_table_spark.operators import corpus, dedup, similarity
+from html_table_spark.operators import bpe, corpus, dedup, similarity
 from html_table_spark.operators.extract import extract_tables
 from html_table_spark.operators.tabular import Tabular, extracted_cells
 
@@ -1048,6 +1048,26 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(emb, k=None, tau=0.9)
 
 
+def tx_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): one
+    corpus pass to the word-frequency relation, then 8 merge iterations on
+    the vocab relation only (weighted pair counts, deterministic argmax —
+    max count then lexicographic pair — one-row collect per iteration,
+    sentinel-wrapped literal-replace rewrite). Returns the merge table.
+    The DuckDB twin replays the loop as a single-row recursive CTE, so
+    this iterative op still gets a full value oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    return bpe.bpe_merge_table(docs, n_merges=8)
+
+
+def tx_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the trained BPE vocabulary: the
+    final word→token-count map is vocab-sized and broadcast, the corpus
+    probes it map-side — tokenization never re-applies merges per doc."""
+    docs = _read(spark, sf_dir, "documents")
+    return bpe.bpe_token_counts(docs, n_merges=8)
+
+
 def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-proxy quality filter: per-language add-one
     bigram LM counted from the trusted split (doc_id % 17 == 0), scoring
@@ -1346,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_novelty": dd_ngram_novelty,
         "dd_segments": dd_segments,
         "dd_semantic": dd_semantic,
+        "tx_bpe_train": tx_bpe_train,
+        "tx_bpe_tokenize": tx_bpe_tokenize,
         "dd_exact_substr": dd_exact_substr,
         "tx_pack_sequences": tx_pack_sequences,
         "tx_corpus_pipeline": tx_corpus_pipeline,
@@ -1369,6 +1391,76 @@ _TOKS_SQL = (
     "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
     "ELSE string_split_regex(trim(text), '\\s+') END)"
 )
+
+
+def _bpe_state_sql(n_merges: int = 8) -> str:
+    """Recursive-CTE replay of the distributed BPE training loop
+    (operators/bpe.py): the whole vocabulary rides in ONE row as a list of
+    (word, toks, cnt) structs, each recursion step computes weighted pair
+    counts with list lambdas, picks the argmax by (-count, l, r) via a
+    struct sort (identical tie order to the Spark orderBy), and applies
+    the merge with the SAME sentinel-wrapped literal replace (chr(30)/
+    chr(31) = \\x1e/\\x1f) — both engines' replace() scans left-to-right
+    non-overlapping, which IS the reference BPE application order. Shared
+    prefix for the tx_bpe_train and tx_bpe_tokenize oracles."""
+    return f"""
+        WITH RECURSIVE words AS (
+            SELECT unnest({_TOKS_SQL}) AS w FROM documents
+        ),
+        wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+        state(iter, vocab, merges) AS (
+            SELECT 0,
+                   list({{'w': w,
+                         'toks': list_transform(range(1, length(w) + 1),
+                                                i -> substr(w, i, 1)),
+                         'cnt': cnt}}),
+                   CAST([] AS STRUCT(rank INT, l VARCHAR, r VARCHAR,
+                                     m VARCHAR, c BIGINT)[])
+            FROM wc
+            UNION ALL
+            SELECT iter + 1,
+                   list_transform(vocab, v -> {{
+                       'w': v.w,
+                       'toks': string_split(
+                           trim(replace(chr(30) || array_to_string(v.toks,
+                                            chr(31) || chr(30)) || chr(31),
+                                    chr(30) || best.l || chr(31) || chr(30)
+                                            || best.r || chr(31),
+                                    chr(30) || best.l || best.r || chr(31)),
+                                chr(30) || chr(31)),
+                           chr(31) || chr(30)),
+                       'cnt': v.cnt}}),
+                   list_append(merges, {{'rank': CAST(iter + 1 AS INT),
+                                        'l': best.l, 'r': best.r,
+                                        'm': best.l || best.r,
+                                        'c': CAST(-best.nc AS BIGINT)}})
+            FROM (
+                SELECT iter, vocab, merges,
+                       (list_sort(list_transform(
+                           list_distinct(list_transform(pairs, p -> p.k)),
+                           d -> {{'nc': -list_sum(list_transform(
+                                     list_filter(pairs, p -> p.k = d),
+                                     p -> p.c)),
+                                 'l': string_split(d, chr(31))[1],
+                                 'r': string_split(d, chr(31))[2]}})))[1]
+                           AS best
+                FROM (
+                    SELECT iter, vocab, merges,
+                           flatten(list_transform(vocab, v ->
+                               list_transform(range(1, len(v.toks)),
+                                   i -> {{'k': v.toks[i] || chr(31)
+                                              || v.toks[i + 1],
+                                         'c': v.cnt}}))) AS pairs
+                    FROM state WHERE iter < {n_merges}
+                ) p
+                WHERE len(pairs) > 0
+            ) q
+        ),
+        final_state AS (
+            SELECT vocab, merges FROM state
+            WHERE iter = (SELECT max(iter) FROM state)
+        )
+    """
 _SHINGLES_SQL = """
         CASE WHEN len(string_split(text, ' ')) < 3
              THEN [text]
@@ -2520,6 +2612,26 @@ def oracle_sql() -> dict[str, str]:
                    round(best.sim, 4) AS max_sim,
                    coalesce(best.sim >= 0.9, FALSE) AS is_dup
             FROM assigned a LEFT JOIN best ON best.ida = a.vec_id
+        """,
+        "tx_bpe_train": _bpe_state_sql(8) + """
+            SELECT m.rank AS rank, m.l AS left_tok, m.r AS right_tok,
+                   m.m AS merged, m.c AS pair_count
+            FROM (SELECT unnest(merges) AS m FROM final_state)
+            ORDER BY rank
+        """,
+        "tx_bpe_tokenize": _bpe_state_sql(8) + f"""
+            , wlen AS (
+                SELECT v.w AS w, len(v.toks) AS n_toks
+                FROM (SELECT unnest(vocab) AS v FROM final_state)
+            ),
+            dw AS (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents),
+            per AS (
+                SELECT dw.doc_id, sum(wlen.n_toks) AS s
+                FROM dw JOIN wlen USING (w) GROUP BY dw.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(per.s, 0) AS BIGINT) AS n_bpe_tokens
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "tx_repetition": f"""
             WITH t AS (
