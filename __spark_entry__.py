@@ -1048,6 +1048,23 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(emb, k=None, tau=0.9)
 
 
+def dd_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a batch against a historical corpus, Bloom-
+    pruned: historical = doc_id % 3 == 0; batch = the rest plus planted
+    twins of every 21st document (id + 1000000, same text — deterministic
+    true dups at any sf). Output is exact text-equality membership, so
+    the oracle is a plain EXISTS twin; the Bloom tier's no-false-negative
+    property is what the value match proves end-to-end."""
+    docs = _read(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 21 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.bloom_dedup(batch, hist, n_bits=1 << 17, k=5)
+
+
 def tx_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): one
     corpus pass to the word-frequency relation, then 8 merge iterations on
@@ -1366,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_novelty": dd_ngram_novelty,
         "dd_segments": dd_segments,
         "dd_semantic": dd_semantic,
+        "dd_bloom": dd_bloom,
         "tx_bpe_train": tx_bpe_train,
         "tx_bpe_tokenize": tx_bpe_tokenize,
         "dd_exact_substr": dd_exact_substr,
@@ -2612,6 +2630,21 @@ def oracle_sql() -> dict[str, str]:
                    round(best.sim, 4) AS max_sim,
                    coalesce(best.sim >= 0.9, FALSE) AS is_dup
             FROM assigned a LEFT JOIN best ON best.ida = a.vec_id
+        """,
+        # exact-membership twin of the Bloom-pruned incremental dedup: the
+        # Bloom tier is a lossless prune, so the oracle is plain EXISTS
+        "dd_bloom": """
+            WITH batch AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id % 21 = 0
+            )
+            SELECT b.doc_id,
+                   EXISTS (SELECT 1 FROM documents h
+                           WHERE h.doc_id % 3 = 0 AND h.text = b.text)
+                       AS is_dup
+            FROM batch b
         """,
         "tx_bpe_train": _bpe_state_sql(8) + """
             SELECT m.rank AS rank, m.l AS left_tok, m.r AS right_tok,

@@ -890,3 +890,85 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def bloom_dedup(
+    new_docs: DataFrame,
+    historical: DataFrame,
+    n_bits: int = 1 << 18,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against a HISTORICAL corpus
+    via a two-tier Bloom-pruned membership check — the "dedup today's
+    crawl against everything already ingested" pass, where the historical
+    side is 10^12 documents and must never shuffle against the batch.
+
+    Tier 1 (lossless prune): a Bloom filter over the historical texts —
+    ``k`` xxhash64 positions into an ``n_bits`` bitmap — is built with ONE
+    two-phase hash aggregate over the historical side (positions →
+    ``bit_or`` word masks) and collected as the filter build (bitmap-sized
+    — the same driver role as Spark's own runtime-filter / DPP subquery
+    broadcasts, NOT a data collect; at 10^12 docs you size ``n_bits`` in
+    GBs and this is still ~10^9× smaller than the corpus). The batch
+    probes the bitmap as a broadcast literal array, map-side, zero
+    shuffle: Bloom filters have NO false negatives, so every true
+    duplicate survives the prune — which the value oracle (a plain exact
+    EXISTS twin) verifies end-to-end.
+
+    Tier 2 (exact): only Bloom-positive batch rows (true dups + the
+    ~``(1-e^(-kn/m))^k`` false-positive sliver) join the historical texts
+    — a left-semi join whose batch side is already pruned to ~the dup
+    rate, so the expensive exact comparison touches a tiny fraction of
+    the batch. Output semantics are therefore EXACT text equality; the
+    Bloom tier is invisible in the result.
+
+    Returns ``(id_col, is_dup)`` for every batch row.
+    """
+    from .util import ensure_parallelism
+
+    n_words = (n_bits + 63) // 64
+    pos = [
+        F.pmod(F.xxhash64(F.col(text_col), F.lit(i)), F.lit(n_bits))
+        for i in range(k)
+    ]
+    hist_words = (
+        ensure_parallelism(historical.select(text_col))
+        .select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(pmod(p, 64) AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in hist_words:
+        words[int(r["word"])] = int(r["bits"])
+    # one expression parse for the bitmap literal (the lit_vec lesson:
+    # per-element F.lit costs a py4j round trip each); referenced as a
+    # named column so the probe conjunction doesn't repeat the 16k-word
+    # array k times in the expression tree
+    bitmap = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+    # n_bits is a multiple of 64, so bit-within-word pmod(pmod(h, n_bits),
+    # 64) collapses to pmod(h, 64)
+    assert n_bits % 64 == 0
+    may = " AND ".join(
+        f"(element_at(_bm, CAST(pmod(xxhash64({text_col}, {i}), {n_bits})"
+        f" DIV 64 AS INT) + 1)"
+        f" & shiftleft(1L, CAST(pmod(xxhash64({text_col}, {i}), 64)"
+        f" AS INT))) != 0"
+        for i in range(k)
+    )
+    batch = new_docs.select(id_col, text_col)
+    flagged = (
+        batch.withColumn("_bm", bitmap).filter(F.expr(may)).drop("_bm")
+    )
+    dups = flagged.join(
+        historical.select(text_col).distinct(), text_col, "left_semi"
+    ).select(F.col(id_col), F.lit(True).alias("is_dup"))
+    return batch.join(dups, id_col, "left").select(
+        id_col, F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )

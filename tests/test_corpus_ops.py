@@ -618,3 +618,52 @@ def test_semantic_dedup_plan_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bloom_dedup — two-tier Bloom-pruned incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def _hist_new(spark):
+    hist = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(40)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"doc number {i}") for i in range(8)]
+        + [(200 + i, f"fresh text {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    return hist, new
+
+
+def test_bloom_dedup_exact_membership(spark):
+    hist, new = _hist_new(spark)
+    out = {r.doc_id: r.is_dup for r in dedup.bloom_dedup(new, hist, n_bits=1 << 12).collect()}
+    assert all(out[100 + i] for i in range(8))
+    assert not any(out[200 + i] for i in range(8))
+    assert len(out) == 16  # every batch row present, flagged or not
+
+
+def test_bloom_dedup_saturated_bitmap_stays_exact(spark):
+    """With a 64-bit bitmap every probe is a false positive — tier 2 must
+    still produce exactly the true-membership answer (Bloom is a lossless
+    prune, never a semantic layer)."""
+    hist, new = _hist_new(spark)
+    a = sorted(map(tuple, dedup.bloom_dedup(new, hist, n_bits=1 << 12).collect()))
+    b = sorted(map(tuple, dedup.bloom_dedup(new, hist, n_bits=64, k=2).collect()))
+    assert a == b
+
+
+def test_bloom_dedup_probe_is_map_side(spark):
+    """The batch-side Bloom probe must be a Filter over the scan (zero
+    shuffle before pruning): the physical plan's filter carries the
+    xxhash64 probe, and no Exchange feeds it."""
+    hist, new = _hist_new(spark)
+    plan = (
+        dedup.bloom_dedup(new, hist, n_bits=1 << 12)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" in plan
+    # the exact tier is a left-semi join on the pruned subset
+    assert "LeftSemi" in plan
