@@ -1048,6 +1048,18 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(emb, k=None, tau=0.9)
 
 
+def tx_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: MinHash-LSH near-dup pairs →
+    connected components → per-GROUP deterministic md5 hash split, so no
+    val document shares a near-dup with train. Oracle reuses the
+    dd_clusters recursive-CTE component walk plus the same hex-prefix
+    hash rule."""
+    docs = _read(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signature(docs, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    return corpus.leakage_safe_split(docs, pairs, val_frac=0.2)
+
+
 def dd_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup of a batch against a historical corpus, Bloom-
     pruned: historical = doc_id % 3 == 0; batch = the rest plus planted
@@ -1384,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_segments": dd_segments,
         "dd_semantic": dd_semantic,
         "dd_bloom": dd_bloom,
+        "tx_train_val_split": tx_train_val_split,
         "tx_bpe_train": tx_bpe_train,
         "tx_bpe_tokenize": tx_bpe_tokenize,
         "dd_exact_substr": dd_exact_substr,
@@ -2630,6 +2643,30 @@ def oracle_sql() -> dict[str, str]:
                    round(best.sim, 4) AS max_sim,
                    coalesce(best.sim >= 0.9, FALSE) AS is_dup
             FROM assigned a LEFT JOIN best ON best.ida = a.vec_id
+        """,
+        # leakage-safe split twin: dd_clusters' recursive component walk,
+        # singletons grouped as themselves, same md5-hex-prefix hash rule
+        # (lexicographic hex comparison = numeric threshold at 0.2*16^8)
+        "tx_train_val_split": lsh_cte.replace("WITH sigs", "WITH RECURSIVE sigs", 1)
+        + """,
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            walk(node, label) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+            ),
+            comp AS (SELECT node, min(label) AS component FROM walk
+                     GROUP BY node)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS group_id,
+                   CASE WHEN md5(CAST(coalesce(c.component, d.doc_id)
+                                      AS VARCHAR)) < '33333333'
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         # exact-membership twin of the Bloom-pruned incremental dedup: the
         # Bloom tier is a lossless prune, so the oracle is plain EXISTS

@@ -384,3 +384,54 @@ def tfidf_topk(
         .where(F.col("rnk") <= k)
         .select(id_col, "tok", "tf", "tfidf", "rnk")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_frac: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/validation split: assign splits per NEAR-DUP
+    CLUSTER, not per document, so no validation document shares a
+    near-duplicate with the training set (the standard eval-integrity
+    requirement — a doc-level random split leaks every near-dup family
+    that straddles the boundary, silently inflating eval scores).
+
+    ``pairs`` is any near-dup pair relation (``id_a``, ``id_b`` — LSH,
+    SimHash, or embedding pairs); documents in no pair are their own
+    singleton group. The split is a deterministic hash of the GROUP id —
+    ``md5(cast(group as string))`` compared against the hex prefix of
+    ``val_frac`` — so membership is reproducible across engines, runs,
+    and partitionings, and every member of a group lands on the same
+    side by construction.
+
+    Returns ``(id_col, group_id, split)`` for every document.
+
+    Scale design: connected components runs on ids only
+    (:func:`~html_table_spark.operators.dedup.connected_components` —
+    min-label propagation, optional pointer jumping); the corpus joins
+    the component relation once on ids, and split assignment is a pure
+    map expression. Nothing corpus-sized shuffles except that one
+    ids-only join.
+    """
+    from .dedup import connected_components
+
+    if not 0.0 < val_frac < 1.0:
+        raise ValueError(f"val_frac must be in (0, 1), got {val_frac}")
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    group = F.coalesce("component", F.col(id_col))
+    # hex prefix threshold: lexicographic comparison of lowercase hex is
+    # numeric comparison, so P(md5 < prefix) = int(prefix, 16) / 16^8
+    thr = format(int(val_frac * 16**8), "08x")
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            group.alias("group_id"),
+            F.when(F.md5(group.cast("string")) < thr, "val")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )

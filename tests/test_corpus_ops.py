@@ -667,3 +667,67 @@ def test_bloom_dedup_probe_is_map_side(spark):
     assert "xxhash64" in plan
     # the exact tier is a left-semi join on the pruned subset
     assert "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split — cluster-level train/val assignment
+# ---------------------------------------------------------------------------
+
+
+def _split_fixture(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    # two near-dup families {0,1,2} and {5,6}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    return docs, pairs
+
+
+def test_split_groups_stay_together(spark):
+    docs, pairs = _split_fixture(spark)
+    out = {r.doc_id: (r.group_id, r.split)
+           for r in corpus.leakage_safe_split(docs, pairs, 0.2).collect()}
+    assert len(out) == 10  # every document assigned
+    # family members share group id AND split side
+    assert out[0] == out[1] == out[2] and out[0][0] == 0
+    assert out[5] == out[6] and out[5][0] == 5
+    # singleton groups are the docs themselves
+    assert out[3][0] == 3 and out[9][0] == 9
+
+
+def test_split_no_leakage_property(spark):
+    docs, pairs = _split_fixture(spark)
+    out = corpus.leakage_safe_split(docs, pairs, 0.5)
+    # join the split table to the pair list: both endpoints must agree
+    s = {r.doc_id: r.split for r in out.collect()}
+    for a, b in [(0, 1), (1, 2), (5, 6)]:
+        assert s[a] == s[b]
+
+
+def test_split_deterministic_and_partition_independent(spark):
+    docs, pairs = _split_fixture(spark)
+    a = sorted(map(tuple, corpus.leakage_safe_split(docs, pairs, 0.2).collect()))
+    b = sorted(map(tuple,
+                   corpus.leakage_safe_split(docs.repartition(7), pairs, 0.2).collect()))
+    assert a == b
+
+
+def test_split_frac_bounds(spark):
+    docs, pairs = _split_fixture(spark)
+    with pytest.raises(ValueError):
+        corpus.leakage_safe_split(docs, pairs, 0.0)
+    with pytest.raises(ValueError):
+        corpus.leakage_safe_split(docs, pairs, 1.0)
+
+
+def test_split_frac_is_calibrated(spark):
+    # 400 singleton docs: val share must sit near 20% (hash uniformity)
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(400)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = corpus.leakage_safe_split(docs, pairs, 0.2)
+    n_val = out.filter(F.col("split") == "val").count()
+    assert 0.12 < n_val / 400 < 0.28
