@@ -1048,6 +1048,17 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(emb, k=None, tau=0.9)
 
 
+def dd_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup output: LSH pairs → connected components →
+    keep each cluster's min-id member plus every unpaired document — the
+    deduplicated corpus a training run actually reads (ids only; unpaired
+    documents never shuffle their text through the components join)."""
+    docs = _read(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signature(docs, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    return dedup.dedup_by_clusters(docs, pairs).select("doc_id", "n_chars")
+
+
 def tx_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val split: MinHash-LSH near-dup pairs →
     connected components → per-GROUP deterministic md5 hash split, so no
@@ -1396,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_segments": dd_segments,
         "dd_semantic": dd_semantic,
         "dd_bloom": dd_bloom,
+        "dd_canonical": dd_canonical,
         "tx_train_val_split": tx_train_val_split,
         "tx_bpe_train": tx_bpe_train,
         "tx_bpe_tokenize": tx_bpe_tokenize,
@@ -2643,6 +2655,26 @@ def oracle_sql() -> dict[str, str]:
                    round(best.sim, 4) AS max_sim,
                    coalesce(best.sim >= 0.9, FALSE) AS is_dup
             FROM assigned a LEFT JOIN best ON best.ida = a.vec_id
+        """,
+        # canonical-corpus twin: recursive component walk; keep min-id
+        # members and every document outside the pair graph
+        "dd_canonical": lsh_cte.replace("WITH sigs", "WITH RECURSIVE sigs", 1)
+        + """,
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            walk(node, label) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+            ),
+            comp AS (SELECT node, min(label) AS component FROM walk
+                     GROUP BY node)
+            SELECT d.doc_id, d.n_chars
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            WHERE c.node IS NULL OR c.component = d.doc_id
         """,
         # leakage-safe split twin: dd_clusters' recursive component walk,
         # singletons grouped as themselves, same md5-hex-prefix hash rule
