@@ -101,6 +101,29 @@ CHECKS = {
     # ranking window bounded per doc — no sort-merge join anywhere
     "tx_tfidf": (["HashAggregate", "BroadcastHashJoin", "Window"],
                  ["Python", "SortMergeJoin"]),
+    # first-occurrence selection must be an aggregate with map-side
+    # partial combine (boilerplate-skew-proof), never a row_number window
+    # over the segment; reassembly join is ids-only
+    "dd_segments": (["Aggregate"], ["Window", "Python",
+                                    "CartesianProduct"]),
+    # cluster-bucketed self-join (never cartesian); Arrow pair rescore is
+    # the one sanctioned Python stage
+    "dd_semantic": (["ArrowEvalPython"], ["CartesianProduct",
+                                          "BatchEvalPython"]),
+    # batch probe is a map-side filter over the broadcast bitmap literal
+    # (xxhash64 in the filter); exact tier is a left-semi on the pruned
+    # sliver — no shuffle of the batch before the prune
+    "dd_bloom": (["xxhash64", "LeftSemi"], ["BatchEvalPython",
+                                            "ArrowEvalPython",
+                                            "CartesianProduct"]),
+    # canonical output: ids-only anti join against the drop set
+    "dd_canonical": (["LeftAnti"], ["Python", "CartesianProduct"]),
+    # split assignment is a map expression after one ids-only join
+    "tx_train_val_split": (["md5"], ["Python", "CartesianProduct"]),
+    # tokenization probes the broadcast word->token-count map; the corpus
+    # side never sort-merge joins
+    "tx_bpe_tokenize": (["BroadcastHashJoin", "HashAggregate"],
+                        ["SortMergeJoin", "Python", "CartesianProduct"]),
 }
 
 
