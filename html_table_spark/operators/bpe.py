@@ -139,9 +139,13 @@ def bpe_train(
             break
         left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merges.append((rank, left, right, left + right, cnt))
+        # lazy checkpoint: materialized by the NEXT iteration's pair-count
+        # job (or the caller's first action after an early break), halving
+        # the Spark jobs per iteration while still truncating lineage to
+        # one-iteration depth
         vocab = vocab.select(
             "w", "cnt", _apply_merge(F.col("toks"), left, right).alias("toks")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, vocab
 
 
