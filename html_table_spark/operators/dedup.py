@@ -926,8 +926,24 @@ def bloom_dedup(
 
     Returns ``(id_col, is_dup)`` for every batch row.
     """
+    words = bloom_build(historical, n_bits, k, text_col)
+    return bloom_probe(new_docs, words, historical, n_bits, k, id_col, text_col)
+
+
+def bloom_build(
+    historical: DataFrame,
+    n_bits: int = 1 << 18,
+    k: int = 5,
+    text_col: str = "text",
+) -> list[int]:
+    """Tier-1 filter build: the Bloom bitmap over historical texts as a
+    list of 64-bit words — ONE two-phase bit_or hash aggregate over the
+    historical side, collected once (bitmap-sized, the runtime-filter/DPP
+    driver role). Build once, probe many batches (the streaming front-end
+    reuses one build across every micro-batch)."""
     from .util import ensure_parallelism
 
+    assert n_bits % 64 == 0
     n_words = (n_bits + 63) // 64
     pos = [
         F.pmod(F.xxhash64(F.col(text_col), F.lit(i)), F.lit(n_bits))
@@ -947,6 +963,21 @@ def bloom_dedup(
     words = [0] * n_words
     for r in hist_words:
         words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def bloom_probe(
+    new_docs: DataFrame,
+    words: list[int],
+    historical: DataFrame,
+    n_bits: int = 1 << 18,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tier-2 probe against a prebuilt bitmap: map-side Bloom filter on
+    the batch (zero shuffle), exact left-semi join for the Bloom-positive
+    sliver only. Returns ``(id_col, is_dup)`` for every batch row."""
     # one expression parse for the bitmap literal (the lit_vec lesson:
     # per-element F.lit costs a py4j round trip each); referenced as a
     # named column so the probe conjunction doesn't repeat the 16k-word

@@ -137,3 +137,67 @@ def windowed_event_rates(
             "value_sum",
         )
     )
+
+
+def stream_dedup_against_history(
+    spark: SparkSession,
+    input_dir: str,
+    historical: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    n_bits: int = 1 << 14,
+    k: int = 5,
+    available_now: bool = True,
+):
+    """Streaming incremental dedup: documents landing in ``input_dir``
+    are Bloom-probed against the HISTORICAL corpus and only novel rows
+    reach ``output_dir`` — the live-crawl shape of
+    :func:`~html_table_spark.operators.dedup.bloom_dedup`.
+
+    The Bloom bitmap is built ONCE (driver-side, before the stream
+    starts) and every micro-batch reuses it via ``foreachBatch``: the
+    per-batch work is a map-side bitmap probe plus an exact left-semi
+    join of only the Bloom-positive sliver, so micro-batch latency is
+    independent of the historical corpus size. Exactly-once delivery
+    comes from the foreachBatch checkpoint/WAL — a restarted query skips
+    committed batches, which the test verifies by re-running the drained
+    stream.
+
+    Note the state story vs ``dedup_stream`` (within-stream dedup,
+    watermark-bounded state): here the "state" is the immutable
+    historical bitmap, so there is NO growing streaming state at all —
+    the cross-batch knowledge lives in the prebuilt filter.
+    """
+    from ..operators.dedup import bloom_probe, bloom_build
+
+    words = bloom_build(historical, n_bits=n_bits, k=k)
+    hist_cached = historical
+
+    def _dedup_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        flags = bloom_probe(
+            batch_df, words, hist_cached, n_bits=n_bits, k=k
+        )
+        novel = (
+            batch_df.join(
+                flags.filter(~F.col("is_dup")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        )
+        novel.write.mode("append").parquet(output_dir)
+
+    docs = (
+        spark.readStream.schema(schema or DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    writer = (
+        docs.writeStream.foreachBatch(_dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.trigger(processingTime="10 seconds").start()

@@ -149,3 +149,44 @@ def test_dedup_stream_drops_repeated_doc_ids(spark, tmp_path):
     out = spark.read.schema("doc_id string, ingest_ts timestamp").parquet(str(out_dir))
     ids = sorted(r.doc_id for r in out.collect())
     assert ids == ["a", "b"]
+
+
+def test_stream_dedup_against_history(spark, tmp_path):
+    """Micro-batches are Bloom-probed against the historical corpus; only
+    novel docs land, and a restart re-run appends nothing (exactly-once
+    via the foreachBatch checkpoint)."""
+    from html_table_spark.streaming.stream import stream_dedup_against_history
+
+    hist = spark.createDataFrame(
+        [(i, f"known text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    (tmp_path / "in").mkdir()
+    # two top-level landing files = two micro-batches (maxFilesPerTrigger=1)
+    for fname, rows in [
+        ("f1.parquet", [(100, "known text 3"), (101, "fresh a")]),
+        ("f2.parquet", [(102, "fresh b"), (103, "known text 7")]),
+    ]:
+        ids, texts = zip(*rows)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            f"{in_dir}/{fname}",
+        )
+
+    stream_dedup_against_history(
+        spark, in_dir, hist, out_dir, ckpt, schema=schema
+    )
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == {101, 102}
+
+    # restart over the drained input: committed batches skipped, no dupes
+    stream_dedup_against_history(
+        spark, in_dir, hist, out_dir, ckpt, schema=schema
+    )
+    assert spark.read.parquet(out_dir).count() == 2
