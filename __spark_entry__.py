@@ -1048,6 +1048,16 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(emb, k=None, tau=0.9)
 
 
+def ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN join: top-5 IVF-probed neighbors for every query in a
+    batch (vec_id % 97 == 0) in ONE plan — query side broadcast, index
+    shuffles zero times, per-query top-k window bounded by batch size."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return similarity.ivf_topk_join(emb, queries, k=5, nprobe=4,
+                                    n_centroids=16)
+
+
 def dd_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup output: LSH pairs → connected components →
     keep each cluster's min-id member plus every unpaired document — the
@@ -1422,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann_ivf,
         "ann_quantized": ann_quantized,
         "ann_pq": ann_pq,
+        "ann_batch": ann_batch,
         "mc_blocks": mc_blocks,
         "mc_main_text": mc_main_text,
         "pdf_spans": pdf_spans,
@@ -2655,6 +2666,52 @@ def oracle_sql() -> dict[str, str]:
                    round(best.sim, 4) AS max_sim,
                    coalesce(best.sim >= 0.9, FALSE) AS is_dup
             FROM assigned a LEFT JOIN best ON best.ida = a.vec_id
+        """,
+        # batched ANN join twin: shared centroid/assignment CTEs, per-query
+        # nprobe centroid ranking, candidate equi-join on cid, per-query
+        # top-k — every tie broken exactly as the Spark sort (cos DESC, id)
+        "ann_batch": """
+            WITH cent AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+                FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            sims AS (
+                SELECT e.vec_id, e.v, cent.cid,
+                       list_cosine_similarity(e.v, cent.c) AS s
+                FROM e CROSS JOIN cent
+            ),
+            assigned AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY s DESC, cid) AS rn
+                    FROM sims
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id % 97 = 0),
+            qprobe AS (
+                SELECT query_id, qv, cid FROM (
+                    SELECT q.query_id, q.qv, cent.cid,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY list_cosine_similarity(q.qv, cent.c)
+                                        DESC, cent.cid) AS rn
+                    FROM q CROSS JOIN cent
+                ) WHERE rn <= 4
+            ),
+            cand AS (
+                SELECT p.query_id, a.vec_id,
+                       list_cosine_similarity(p.qv, a.v) AS cos
+                FROM qprobe p JOIN assigned a USING (cid)
+            )
+            SELECT query_id, vec_id, round(cos, 4) AS cosine,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+                FROM cand
+            ) WHERE rank <= 5
         """,
         # canonical-corpus twin: recursive component walk; keep min-id
         # members and every document outside the pair graph

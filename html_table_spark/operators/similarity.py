@@ -781,3 +781,83 @@ def pq_train(
             for j in range(m)
         ]
     return books, dsub
+
+
+def ivf_topk_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched ANN join: top-``k`` neighbors for EVERY query row at once —
+    the realistic retrieval shape (embedding-dedup candidate generation,
+    RAG batch lookup) where the single-query probe would pay one job per
+    query. Returns ``(query_id_col, id_col, cosine, rank)``.
+
+    Both sides go through the shared rank-deterministic coarse quantizer:
+    the index is assigned to its nearest centroid (pure-JVM, no shuffle),
+    each QUERY picks its ``nprobe`` nearest centroids via the same
+    centroid-literal expressions (``array_sort`` over scored structs —
+    ties toward the lower centroid id, identical to ``ivf_assign``), and
+    the candidate set is one equi-join on ``centroid_id``. The query side
+    is broadcast (a batch of queries is ~rows, the index is ~10^9), so
+    the index shuffles ZERO times: candidates stream out of the scan
+    partition-pruned by the join's centroid key. Exact rescore is the
+    Arrow pair-cosine kernel; per-query top-k is a window over the query
+    id — bounded by batch size, never index size.
+
+    Self-matches (a query that is also an index member) are kept: rank 1
+    at cosine 1.0 is the correctness signal the planted-twin tests use;
+    callers filter ``cosine < 1`` when they want strict neighbors.
+    """
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_iv"),
+        "centroid_id",
+    )
+    cmat = lit_mat([vec for _, vec in cents])
+    cids = F.expr(
+        "array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")"
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    # score every centroid, sort by (-cos, cid), take nprobe — one JVM
+    # expression, mirroring ivf_assign's tie order exactly
+    scored = F.zip_with(
+        cmat,
+        cids,
+        lambda c, cid: F.struct(
+            (-_dot(qv, c) / (_norm(qv) * _norm(c))).alias("negs"),
+            cid.alias("cid"),
+        ),
+    )
+    probes = F.slice(F.array_sort(scored), 1, nprobe)
+    qside = queries.select(
+        F.col(id_col).alias(query_id_col),
+        qv.alias("_qv"),
+        F.explode(probes).alias("_p"),
+    ).select(query_id_col, "_qv", F.col("_p.cid").alias("centroid_id"))
+    cos = pandas_udf(_pair_cosine_batch, "double")(F.col("_qv"), F.col("_iv"))
+    cand = (
+        assigned.join(F.broadcast(qside), "centroid_id")
+        .withColumn("cosine", cos)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("cosine", 4).alias("cosine"),
+            "rank",
+        )
+    )

@@ -1149,3 +1149,59 @@ def test_pq_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 2.0, 3.0])])
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_codebooks(df, m=2, ksub=1)
+
+
+# ---------------------------------------------------------------------------
+# ivf_topk_join — batched multi-query ANN
+# ---------------------------------------------------------------------------
+
+
+def _batch_vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_topk_join_self_and_twin(spark):
+    # centroids (k=2) = 0 and 1; 2/4 are twins near axis-x, 3 near axis-y
+    emb = _batch_vecs(spark, [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.99, 0.1]),
+        (3, [0.1, 0.99]),
+        (4, [0.99, 0.1]),
+    ])
+    queries = emb.filter(F.col("vec_id") == 2)
+    out = [(r.vec_id, r.rank, r.cosine) for r in
+           similarity.ivf_topk_join(emb, queries, k=3, nprobe=1,
+                                    n_centroids=2).orderBy("rank").collect()]
+    # rank 1: self OR identical twin (tie at cos 1.0 -> lower id = 2)
+    assert out[0][0] == 2 and out[0][2] == 1.0
+    assert out[1][0] == 4 and out[1][2] == 1.0  # the twin
+    assert out[2][0] == 0  # the centroid itself, same cluster
+    # nprobe=1: vector 3 (other cluster) never appears
+    assert all(v != 3 for v, _, _ in out)
+
+
+def test_ivf_topk_join_every_query_gets_k(spark):
+    emb = _batch_vecs(
+        spark, [(i, [float(i % 5 + 1), float(i % 3 + 1)]) for i in range(30)]
+    )
+    queries = emb.filter(F.col("vec_id") % 10 == 0)  # 3 queries
+    out = similarity.ivf_topk_join(emb, queries, k=4, nprobe=4, n_centroids=4)
+    per_q = {r.query_id: r.cnt for r in
+             out.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()}
+    assert per_q == {0: 4, 10: 4, 20: 4}
+    # ranks are 1..k per query, no gaps
+    ranks = {(r.query_id, r.rank) for r in out.collect()}
+    assert ranks == {(q, i) for q in (0, 10, 20) for i in (1, 2, 3, 4)}
+
+
+def test_ivf_topk_join_query_side_is_broadcast(spark):
+    emb = _batch_vecs(spark, [(i, [float(i), 1.0]) for i in range(20)])
+    queries = emb.filter(F.col("vec_id") == 0)
+    plan = (
+        similarity.ivf_topk_join(emb, queries, k=2, nprobe=2, n_centroids=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # index never shuffles for the candidate join: the query side broadcasts
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
