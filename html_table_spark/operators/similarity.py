@@ -807,8 +807,11 @@ def ivf_topk_join(
     is broadcast (a batch of queries is ~rows, the index is ~10^9), so
     the index shuffles ZERO times: candidates stream out of the scan
     partition-pruned by the join's centroid key. Exact rescore is the
-    Arrow pair-cosine kernel; per-query top-k is a window over the query
-    id — bounded by batch size, never index size.
+    Arrow pair-cosine kernel. Per-query top-k is a ``row_number`` window
+    that Spark rewrites into a two-phase ``WindowGroupLimit`` (asserted
+    in the plan audit): a PARTIAL group limit runs map-side before the
+    exchange, so the one shuffle carries at most ``k`` rows per query
+    per input partition — candidate volume never reaches the wire.
 
     Self-matches (a query that is also an index member) are kept: rank 1
     at cosine 1.0 is the correctness signal the planted-twin tests use;

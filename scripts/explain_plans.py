@@ -124,6 +124,15 @@ CHECKS = {
     # side never sort-merge joins
     "tx_bpe_tokenize": (["BroadcastHashJoin", "HashAggregate"],
                         ["SortMergeJoin", "Python", "CartesianProduct"]),
+    # batched ANN: query side broadcast, index never shuffles for the
+    # candidate join; per-query window; Arrow rescore only
+    # batched top-k must be the two-phase WindowGroupLimit rewrite: a
+    # partial map-side group limit ahead of the exchange, so the shuffle
+    # carries at most k rows per query per input partition
+    "ann_batch": (["BroadcastHashJoin", "WindowGroupLimit",
+                   "ArrowEvalPython"],
+                  ["SortMergeJoin", "CartesianProduct",
+                   "BatchEvalPython"]),
 }
 
 
