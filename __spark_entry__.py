@@ -1447,6 +1447,25 @@ _TOKS_SQL = (
 )
 
 
+# connected-components walk over the LSH candidate pairs — shared suffix
+# for every oracle that resolves near-dup clusters (dd_clusters,
+# dd_canonical, tx_train_val_split); appended after a recursive lsh_cte
+_COMPONENTS_SQL = """,
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            walk(node, label) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+            ),
+            comp AS (SELECT node, min(label) AS component FROM walk
+                     GROUP BY node)
+"""
+
+
 def _bpe_state_sql(n_merges: int = 8) -> str:
     """Recursive-CTE replay of the distributed BPE training loop
     (operators/bpe.py): the whole vocabulary rides in ONE row as a list of
@@ -2369,19 +2388,8 @@ def oracle_sql() -> dict[str, str]:
         # component's minimum id — exactly what min-label propagation
         # converges to. UNION (not UNION ALL) bounds the walk.
         "dd_clusters": lsh_cte.replace("WITH sigs", "WITH RECURSIVE sigs", 1)
-        + """,
-            edges AS (
-                SELECT id_a AS u, id_b AS v FROM pairs
-                UNION
-                SELECT id_b, id_a FROM pairs
-            ),
-            walk(node, label) AS (
-                SELECT u, u FROM edges
-                UNION
-                SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
-            )
-            SELECT node AS doc_id, min(label) AS canonical_id
-            FROM walk GROUP BY node
+        + _COMPONENTS_SQL + """
+            SELECT node AS doc_id, component AS canonical_id FROM comp
         """,
         "dd_jaccard": lsh_cte + f""",
             sh AS (
@@ -2716,19 +2724,7 @@ def oracle_sql() -> dict[str, str]:
         # canonical-corpus twin: recursive component walk; keep min-id
         # members and every document outside the pair graph
         "dd_canonical": lsh_cte.replace("WITH sigs", "WITH RECURSIVE sigs", 1)
-        + """,
-            edges AS (
-                SELECT id_a AS u, id_b AS v FROM pairs
-                UNION
-                SELECT id_b, id_a FROM pairs
-            ),
-            walk(node, label) AS (
-                SELECT u, u FROM edges
-                UNION
-                SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
-            ),
-            comp AS (SELECT node, min(label) AS component FROM walk
-                     GROUP BY node)
+        + _COMPONENTS_SQL + """
             SELECT d.doc_id, d.n_chars
             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
             WHERE c.node IS NULL OR c.component = d.doc_id
@@ -2737,19 +2733,7 @@ def oracle_sql() -> dict[str, str]:
         # singletons grouped as themselves, same md5-hex-prefix hash rule
         # (lexicographic hex comparison = numeric threshold at 0.2*16^8)
         "tx_train_val_split": lsh_cte.replace("WITH sigs", "WITH RECURSIVE sigs", 1)
-        + """,
-            edges AS (
-                SELECT id_a AS u, id_b AS v FROM pairs
-                UNION
-                SELECT id_b, id_a FROM pairs
-            ),
-            walk(node, label) AS (
-                SELECT u, u FROM edges
-                UNION
-                SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
-            ),
-            comp AS (SELECT node, min(label) AS component FROM walk
-                     GROUP BY node)
+        + _COMPONENTS_SQL + """
             SELECT d.doc_id,
                    coalesce(c.component, d.doc_id) AS group_id,
                    CASE WHEN md5(CAST(coalesce(c.component, d.doc_id)

@@ -115,6 +115,18 @@ def bpe_train(
         .select("w", "cnt", _char_split("w").alias("toks"))
         .localCheckpoint()
     )
+    # the sentinel bytes are NOT regex whitespace, so tokenization can in
+    # principle emit them inside a token of a hostile corpus — that would
+    # corrupt the literal-replace merge application silently. Fail fast
+    # instead (vocab-sized check against the checkpointed relation).
+    n_bad = vocab.filter(
+        F.col("w").contains(_SEPL) | F.col("w").contains(_SEPR)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} vocabulary words contain the BPE sentinel bytes "
+            "\\x1e/\\x1f; strip them from the corpus before training"
+        )
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         n = F.size("toks")

@@ -997,9 +997,16 @@ def bloom_probe(
     flagged = (
         batch.withColumn("_bm", bitmap).filter(F.expr(may)).drop("_bm")
     )
-    dups = flagged.join(
-        historical.select(text_col).distinct(), text_col, "left_semi"
-    ).select(F.col(id_col), F.lit(True).alias("is_dup"))
-    return batch.join(dups, id_col, "left").select(
+    # left_semi keeps at most one output row per flagged row regardless of
+    # right-side duplicates, so the historical side needs NO distinct —
+    # a corpus-sized dedup shuffle would contradict the whole design
+    dups = (
+        flagged.join(historical.select(text_col), text_col, "left_semi")
+        .distinct()  # sliver-sized: one flag row per distinct (id, text)
+        .select(id_col, text_col, F.lit(True).alias("is_dup"))
+    )
+    # rejoin on (id, text), not id alone: an id collision between two
+    # batch rows with different texts must not cross-attach flags
+    return batch.join(dups, [id_col, text_col], "left").select(
         id_col, F.coalesce("is_dup", F.lit(False)).alias("is_dup")
     )

@@ -827,23 +827,37 @@ def ivf_topk_join(
     cids = F.expr(
         "array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")"
     )
+    # centroid norms are compile-time constants (the ivf_assign pattern):
+    # Python doubles are IEEE754 like the JVM's, so the quotient is
+    # bit-identical to an executor-side _norm(c)
+    cnorms = lit_vec(
+        [sum(x * x for x in vec) ** 0.5 for _, vec in cents]
+    )
     qv = F.col(vec_col).cast("array<double>")
     # score every centroid, sort by (-cos, cid), take nprobe — one JVM
-    # expression, mirroring ivf_assign's tie order exactly
-    scored = F.zip_with(
-        cmat,
-        cids,
-        lambda c, cid: F.struct(
-            (-_dot(qv, c) / (_norm(qv) * _norm(c))).alias("negs"),
-            cid.alias("cid"),
+    # expression, mirroring ivf_assign's tie order exactly; the query
+    # norm is bound ONCE per row (_qn) instead of once per centroid
+    scored = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda i: F.struct(
+            (
+                -_dot(F.col("_qv"), F.element_at(cmat, i))
+                / (F.col("_qn") * F.element_at(cnorms, i))
+            ).alias("negs"),
+            F.element_at(cids, i).alias("cid"),
         ),
     )
     probes = F.slice(F.array_sort(scored), 1, nprobe)
-    qside = queries.select(
-        F.col(id_col).alias(query_id_col),
-        qv.alias("_qv"),
-        F.explode(probes).alias("_p"),
-    ).select(query_id_col, "_qv", F.col("_p.cid").alias("centroid_id"))
+    qside = (
+        queries.select(
+            F.col(id_col).alias(query_id_col), qv.alias("_qv")
+        )
+        .withColumn("_qn", _norm(F.col("_qv")))
+        .select(
+            query_id_col, "_qv", F.explode(probes).alias("_p")
+        )
+        .select(query_id_col, "_qv", F.col("_p.cid").alias("centroid_id"))
+    )
     cos = pandas_udf(_pair_cosine_batch, "double")(F.col("_qv"), F.col("_iv"))
     cand = (
         assigned.join(F.broadcast(qside), "centroid_id")

@@ -159,10 +159,14 @@ def stream_dedup_against_history(
     starts) and every micro-batch reuses it via ``foreachBatch``: the
     per-batch work is a map-side bitmap probe plus an exact left-semi
     join of only the Bloom-positive sliver, so micro-batch latency is
-    independent of the historical corpus size. Exactly-once delivery
-    comes from the foreachBatch checkpoint/WAL — a restarted query skips
-    committed batches, which the test verifies by re-running the drained
-    stream.
+    independent of the historical corpus size. Delivery is effectively
+    exactly-once: foreachBatch alone is at-least-once (a crash between
+    the sink write and the WAL commit replays the batch), so each batch
+    OVERWRITES its own ``batch_id``-keyed partition — the replay
+    rewrites the same directory instead of appending a duplicate, the
+    idempotence the Structured Streaming guide requires of foreachBatch
+    sinks. A restart over a drained stream skips committed batches
+    entirely, which the test verifies by re-running it.
 
     Note the state story vs ``dedup_stream`` (within-stream dedup,
     watermark-bounded state): here the "state" is the immutable
@@ -174,7 +178,7 @@ def stream_dedup_against_history(
     words = bloom_build(historical, n_bits=n_bits, k=k)
     hist_cached = historical
 
-    def _dedup_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         flags = bloom_probe(
             batch_df, words, hist_cached, n_bits=n_bits, k=k
         )
@@ -185,7 +189,11 @@ def stream_dedup_against_history(
                 "left_semi",
             )
         )
-        novel.write.mode("append").parquet(output_dir)
+        # idempotent replay: a re-delivered batch overwrites its own
+        # partition instead of appending duplicates
+        novel.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
 
     docs = (
         spark.readStream.schema(schema or DOCUMENTS_SCHEMA)

@@ -121,4 +121,12 @@ def test_bpe_merge_loop_is_vocab_sized(spark, n_merges):
     docs = _docs(spark, ["ab ab cd", "ab ef"])
     _, vocab = bpe.bpe_train(docs, n_merges)
     plan = vocab._jdf.queryExecution().optimizedPlan().toString()
-    assert "Relation" not in plan or "LogicalRDD" in plan  # checkpoint RDD, no source re-scan
+    # the loop's output must read the checkpoint RDD and ONLY it: a plan
+    # that also re-scans a source relation would mean per-iteration
+    # corpus passes (LogicalRDD is how a localCheckpoint scan prints;
+    # "ExistingRDD"/"LogicalRDD" both appear depending on version)
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    # the createDataFrame source would print as LocalRelation; parquet
+    # sources as a file Relation — neither may appear inside the loop
+    assert "LocalRelation" not in plan
+    assert "parquet" not in plan.lower()
