@@ -435,3 +435,113 @@ def leakage_safe_split(
             .alias("split"),
         )
     )
+
+
+def corpus_lineage(committed: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage + metrics rows for a corpus-build run."""
+    return (
+        committed.groupBy("part_id")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_count"),
+            F.sum(F.col("kept").cast("long")).alias("kept_count"),
+            F.sum("n_tokens").alias("token_count"),
+            F.sum(F.col("pii_scrubbed").cast("long")).alias("pii_count"),
+        )
+        .select(F.lit(run_id).alias("run_id"), "part_id", "doc_count",
+                "kept_count", "token_count", "pii_count")
+    )
+
+
+def run_corpus_job(
+    spark,
+    documents: DataFrame,
+    sink,
+    *,
+    resume: bool = True,
+    min_quality: float = 0.3,
+    max_dup: float = 0.5,
+) -> dict:
+    """One snapshot-committed corpus-build run over a span-stream corpus —
+    the training-data shape of the deployment contract: reassemble each
+    document's text JVM-side, gate on quality/repetition, exact-dedup to
+    the min-id member per fingerprint, PII-scrub the survivors, and
+    commit with per-partition lineage, resumable from the last committed
+    snapshot.
+
+    EVERY processed document gets a committed row — survivors with
+    ``kept = true`` and their scrubbed text, gate/dedup victims with
+    ``kept = false`` and a null ``clean_text``. That is not just
+    removal-rate bookkeeping: resume anti-joins on COMMITTED doc_ids, so
+    a document dropped by this run's dedup must still commit, or the
+    next resumed run would see it as unprocessed and resurrect it
+    without its canonical twin in scope (dedup semantics would then
+    depend on how the corpus was split across runs). Dedup is
+    WITHIN-RUN by design; duplicates straddling two snapshots are the
+    incremental pass's job (``dedup.bloom_dedup`` against the committed
+    corpus), exactly as in a production ingest.
+
+    Same crash discipline as ``run_job`` / ``run_maincontent_job``:
+    data materializes exactly once via ``errorifexists``, lineage
+    derives from a columnar re-read, the manifest lands atomically after
+    both writes. The whole pass is JVM expressions + two hash aggregates
+    (fingerprint dedup, lineage) — no Python on the hot path.
+    """
+    from ..functions.text import (
+        dup_token_ratio,
+        fingerprint,
+        pii_scrub,
+        quality_score,
+    )
+    from .extract import html_reassembly_col
+
+    if resume:
+        documents = sink.remaining_documents(documents)
+    run_id = sink.new_run_id()
+    data_path = sink.data_path(run_id)
+    docs = documents.select(
+        "doc_id", html_reassembly_col("spans").alias("text")
+    )
+    scored = docs.select(
+        "doc_id",
+        "text",
+        quality_score("text").alias("quality"),
+        dup_token_ratio("text").alias("dup"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    gate = (F.col("quality") >= min_quality) & (F.col("dup") <= max_dup)
+    # canonical member per fingerprint AMONG gate survivors only (a
+    # low-quality twin must not steal canonical status from a kept doc)
+    canon = (
+        scored.filter(gate)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .withColumn("is_canon", F.lit(True))
+    )
+    scrubbed = pii_scrub("text")
+    out = (
+        scored.join(canon, ["fp", "doc_id"], "left")
+        .withColumn("kept", gate & F.coalesce("is_canon", F.lit(False)))
+        .select(
+            "doc_id",
+            F.when(F.col("kept"), scrubbed).alias("clean_text"),
+            token_count("text").cast("long").alias("n_tokens"),
+            F.round("quality", 4).alias("quality"),
+            "kept",
+            F.spark_partition_id().alias("part_id"),
+            (F.col("kept") & (scrubbed != F.col("text"))).alias(
+                "pii_scrubbed"
+            ),
+        )
+    )
+    out.write.mode("errorifexists").parquet(data_path)
+    committed = spark.read.parquet(data_path)
+    lineage_path = sink.lineage_path(run_id)
+    corpus_lineage(committed, run_id).write.mode("errorifexists").parquet(
+        lineage_path
+    )
+    manifest = sink.commit_run(run_id, data_path, lineage_path)
+    kept = committed.filter("kept")
+    manifest["processed"] = committed.count()
+    manifest["docs"] = kept.count()
+    manifest["tokens"] = int(kept.agg(F.sum("n_tokens")).first()[0] or 0)
+    return manifest

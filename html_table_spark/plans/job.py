@@ -34,10 +34,13 @@ def main(argv: list[str] | None = None) -> dict:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input", required=True, help="corpus path (parquet dir or iceberg://tbl)")
     parser.add_argument("--output", required=True, help="snapshot sink root")
-    parser.add_argument("--mode", choices=["all", "single", "maincontent"], default="all",
+    parser.add_argument("--mode", choices=["all", "single", "maincontent", "corpus"],
+                        default="all",
                         help="'all': every top-level table per doc; 'single': reference "
                              "one-table semantics; 'maincontent': boilerplate-strip "
-                             "pipeline (block features + verdicts) instead of tables")
+                             "pipeline (block features + verdicts) instead of tables; "
+                             "'corpus': training-corpus build (quality gate + exact "
+                             "dedup + PII scrub) with the same snapshot commit")
     parser.add_argument("--partitions", type=int, default=None)
     parser.add_argument("--mega-threshold", type=int, default=None,
                         help="bytes of HTML above which a doc takes the split path")
@@ -54,6 +57,14 @@ def main(argv: list[str] | None = None) -> dict:
     spark = build_session()
     documents = read_documents(spark, args.input)
     sink = SnapshotSink(args.output)
+    if args.mode == "corpus":
+        from html_table_spark.operators.corpus import run_corpus_job
+
+        manifest = run_corpus_job(
+            spark, documents, sink, resume=not args.no_resume
+        )
+        print(json.dumps(manifest))
+        return manifest
     if args.mode == "maincontent":
         from html_table_spark.operators.maincontent import run_maincontent_job
 

@@ -731,3 +731,89 @@ def test_split_frac_is_calibrated(spark):
     out = corpus.leakage_safe_split(docs, pairs, 0.2)
     n_val = out.filter(F.col("split") == "val").count()
     assert 0.12 < n_val / 400 < 0.28
+
+
+# ---------------------------------------------------------------------------
+# run_corpus_job — snapshot-committed corpus build
+# ---------------------------------------------------------------------------
+
+
+def _span_corpus(spark, n_docs: int, dup_of: dict[int, int] | None = None):
+    """Plain-text span-stream docs; dup_of maps doc index -> index whose
+    text it exactly duplicates (for the dedup stage)."""
+    from html_table_spark.sources.documents import DOCUMENTS_SCHEMA
+
+    dup_of = dup_of or {}
+    texts = {}
+    rows = []
+    for i in range(n_docs):
+        if i in dup_of:
+            t = texts[dup_of[i]]
+        else:
+            # varied words -> passes the quality/repetition gate
+            t = " ".join(f"alpha{i} beta{i} gamma{j} delta{j}".split()[j % 3]
+                         for j in range(24))
+            t = " ".join(f"w{i}x{j}" for j in range(24))
+        texts[i] = t
+        rows.append({
+            "doc_id": f"d{i:03d}",
+            "spans": [{"kind": "text", "text": t,
+                       "media_ref": None, "offset": 0}],
+        })
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+
+def test_run_corpus_job_dedup_resume_lineage(spark, tmp_path):
+    from html_table_spark.operators.corpus import run_corpus_job
+    from html_table_spark.sources.sinks import SnapshotSink
+
+    # doc 5 duplicates doc 1 -> only the min-id member keeps kept=true,
+    # and the victim STILL commits (kept=false) so resume never
+    # resurrects it
+    df = _span_corpus(spark, 12, dup_of={5: 1})
+    sink = SnapshotSink(str(tmp_path / "corpus"))
+    half = df.filter(F.xxhash64("doc_id") % 2 == 0)
+    m1 = run_corpus_job(spark, half, sink)
+    assert m1["processed"] == half.count()
+    assert m1["docs"] <= m1["processed"]
+
+    m2 = run_corpus_job(spark, df, sink)
+    assert m2["run_id"] != m1["run_id"]
+    assert m1["processed"] + m2["processed"] == 12
+    committed = spark.read.parquet(str(tmp_path / "corpus" / "data"))
+    # every doc committed exactly once across snapshots
+    assert committed.groupBy("doc_id").count().filter("count > 1").count() == 0
+    assert committed.count() == 12
+    kept = {r.doc_id for r in committed.filter("kept").collect()}
+    half_ids = {r.doc_id for r in half.select("doc_id").collect()}
+    if {"d001", "d005"} <= half_ids or not {"d001", "d005"} & half_ids:
+        # dup pair processed in ONE run -> exactly the min id survives
+        assert "d001" in kept and "d005" not in kept
+    # kept rows carry text; dropped rows carry null
+    assert committed.filter("kept AND clean_text IS NULL").count() == 0
+    assert committed.filter("NOT kept AND clean_text IS NOT NULL").count() == 0
+
+    # third run is a no-op snapshot
+    m3 = run_corpus_job(spark, df, sink)
+    assert m3["processed"] == 0 and m3["docs"] == 0 and m3["tokens"] == 0
+
+    # lineage totals reconcile with run 1's manifest
+    lineage = spark.read.parquet(m1["lineage_path"])
+    agg = lineage.agg(F.sum("doc_count").alias("p"),
+                      F.sum("kept_count").alias("d")).first()
+    assert agg.p == m1["processed"] and agg.d == m1["docs"]
+
+
+def test_job_cli_corpus_mode(spark, tmp_path, monkeypatch):
+    import html_table_spark.plans.job as job
+
+    df = _span_corpus(spark, 6)
+    src = str(tmp_path / "in.parquet")
+    df.write.parquet(src)
+    monkeypatch.setattr(job, "build_session", lambda app="x": spark)
+    manifest = job.main([
+        "--input", src, "--output", str(tmp_path / "out"),
+        "--mode", "corpus",
+    ])
+    assert manifest["docs"] == 6
+    assert manifest["tokens"] == 6 * 24
