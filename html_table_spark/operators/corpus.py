@@ -444,7 +444,8 @@ def corpus_lineage(committed: DataFrame, run_id: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("doc_count"),
             F.sum(F.col("kept").cast("long")).alias("kept_count"),
-            F.sum("n_tokens").alias("token_count"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens"))
+                  .otherwise(F.lit(0))).alias("token_count"),
             F.sum(F.col("pii_scrubbed").cast("long")).alias("pii_count"),
         )
         .select(F.lit(run_id).alias("run_id"), "part_id", "doc_count",
@@ -494,6 +495,12 @@ def run_corpus_job(
     )
     from .extract import html_reassembly_col
 
+    # resume identity is doc_id: a null id can never match the committed
+    # set's anti-join, so it would be reprocessed (and re-committed) on
+    # every resumed run, and the canonical-dedup join would silently drop
+    # it. Reject nulls up front and surface the count in the manifest.
+    n_null = documents.filter(F.col("doc_id").isNull()).count()
+    documents = documents.filter(F.col("doc_id").isNotNull())
     if resume:
         documents = sink.remaining_documents(documents)
     run_id = sink.new_run_id()
@@ -525,7 +532,7 @@ def run_corpus_job(
             "doc_id",
             F.when(F.col("kept"), scrubbed).alias("clean_text"),
             token_count("text").cast("long").alias("n_tokens"),
-            F.round("quality", 4).alias("quality"),
+            "quality",
             "kept",
             F.spark_partition_id().alias("part_id"),
             (F.col("kept") & (scrubbed != F.col("text"))).alias(
@@ -540,8 +547,14 @@ def run_corpus_job(
         lineage_path
     )
     manifest = sink.commit_run(run_id, data_path, lineage_path)
-    kept = committed.filter("kept")
-    manifest["processed"] = committed.count()
-    manifest["docs"] = kept.count()
-    manifest["tokens"] = int(kept.agg(F.sum("n_tokens")).first()[0] or 0)
+    stats = committed.agg(
+        F.count("*").alias("processed"),
+        F.sum(F.col("kept").cast("long")).alias("docs"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens"))
+              .otherwise(F.lit(0))).alias("tokens"),
+    ).first()
+    manifest["processed"] = int(stats["processed"] or 0)
+    manifest["docs"] = int(stats["docs"] or 0)
+    manifest["tokens"] = int(stats["tokens"] or 0)
+    manifest["null_id_docs"] = int(n_null)
     return manifest

@@ -751,8 +751,6 @@ def _span_corpus(spark, n_docs: int, dup_of: dict[int, int] | None = None):
             t = texts[dup_of[i]]
         else:
             # varied words -> passes the quality/repetition gate
-            t = " ".join(f"alpha{i} beta{i} gamma{j} delta{j}".split()[j % 3]
-                         for j in range(24))
             t = " ".join(f"w{i}x{j}" for j in range(24))
         texts[i] = t
         rows.append({
@@ -817,3 +815,33 @@ def test_job_cli_corpus_mode(spark, tmp_path, monkeypatch):
     ])
     assert manifest["docs"] == 6
     assert manifest["tokens"] == 6 * 24
+
+
+def test_run_corpus_job_rejects_null_ids(spark, tmp_path):
+    from html_table_spark.operators.corpus import run_corpus_job
+    from html_table_spark.sources.sinks import SnapshotSink
+    from html_table_spark.sources.documents import DOCUMENTS_SCHEMA
+
+    rows = [
+        {"doc_id": "d1", "spans": [{"kind": "text",
+                                    "text": " ".join(f"w{j}" for j in range(24)),
+                                    "media_ref": None, "offset": 0}]},
+        {"doc_id": None, "spans": [{"kind": "text",
+                                    "text": " ".join(f"v{j}" for j in range(24)),
+                                    "media_ref": None, "offset": 0}]},
+    ]
+    # a foreign parquet writer can relax the non-null doc_id invariant;
+    # model that with a nullable copy of the schema
+    from pyspark.sql.types import StructField, StructType
+
+    relaxed = StructType([
+        StructField(f.name, f.dataType, True) for f in DOCUMENTS_SCHEMA
+    ])
+    df = spark.createDataFrame(rows, relaxed)
+    sink = SnapshotSink(str(tmp_path / "c"))
+    m1 = run_corpus_job(spark, df, sink)
+    assert m1["processed"] == 1 and m1["null_id_docs"] == 1
+    # the null-id doc is surfaced, not silently re-committed forever:
+    # a resumed run still reports it rejected and processes nothing new
+    m2 = run_corpus_job(spark, df, sink)
+    assert m2["processed"] == 0 and m2["null_id_docs"] == 1
