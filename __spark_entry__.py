@@ -1359,7 +1359,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRY ORDER IS LOAD-BEARING EVIDENCE — rotation policy:
+    # the external driver's CORRECTNESS gate attests only the FIRST 50
+    # entries, in dict insertion order.  To keep every query externally
+    # attested within a 2-round window:
+    #   * queries with NO driver-signed row in the previous round go FIRST
+    #     (round 5: the 23 round-4 additions plus ann_topk/ann_lsh/ann_ivf,
+    #     which round 4's mid-registry inserts displaced from the window);
+    #   * genuinely NEW queries added this round are inserted right after
+    #     that block (still inside the top 50) so they are attested the
+    #     round they ship;
+    #   * the remaining window slots are filled with queries whose
+    #     behaviour may change this round, then §2 core;
+    #   * everything below slot 50 MUST already hold a green row in the
+    #     immediately preceding CORRECTNESS_r{N-1}.json.
     return {
+        # -- block 1: un-attested as of CORRECTNESS_r04 (26 entries) ------
+        "tx_bpe_train": tx_bpe_train,
+        "tx_bpe_tokenize": tx_bpe_tokenize,
+        "dd_segments": dd_segments,
+        "dd_semantic": dd_semantic,
+        "dd_bloom": dd_bloom,
+        "dd_canonical": dd_canonical,
+        "dd_decontaminate": dd_decontaminate,
+        "dd_ngram_novelty": dd_ngram_novelty,
+        "dd_exact_substr": dd_exact_substr,
+        "tx_sample_mix": tx_sample_mix,
+        "tx_pii_scrub": tx_pii_scrub,
+        "tx_pack_sequences": tx_pack_sequences,
+        "tx_corpus_pipeline": tx_corpus_pipeline,
+        "tx_lm_score": tx_lm_score,
+        "tx_token_budget": tx_token_budget,
+        "tx_tfidf": tx_tfidf,
+        "tx_train_val_split": tx_train_val_split,
+        "ann_topk": ann_topk,
+        "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
+        "ann_quantized": ann_quantized,
+        "ann_pq": ann_pq,
+        "ann_batch": ann_batch,
+        "mc_blocks": mc_blocks,
+        "mc_main_text": mc_main_text,
+        "pdf_spans": pdf_spans,
+        # -- block 2: new round-5 queries (inside the window) -------------
+        # -- block 3: window fill — behaviour-may-change + §2 core (24) ---
+        "x_media_interleave": x_media_interleave,
+        "x_media_features": x_media_features,
+        "tx_langid": tx_langid,
         "x_cells": x_cells,
         "x_colspan": x_colspan,
         "x_rowspan": x_rowspan,
@@ -1373,8 +1419,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_table_summary": x_table_summary,
         "x_errors": x_errors,
         "x_fixtures": x_fixtures,
-        "x_media_interleave": x_media_interleave,
-        "x_media_features": x_media_features,
+        "qs_json": qs_json,
+        "qs_json_numeric_header": qs_json_numeric_header,
+        "q1_pricing": q1_pricing,
+        "q3_shipping": q3_shipping,
+        "q6_revenue": q6_revenue,
+        "dd_exact": dd_exact,
+        "dd_minhash_sig": dd_minhash_sig,
+        "dd_lsh_pairs": dd_lsh_pairs,
+        # ---- driver window ends here (slot 50) --------------------------
+        # -- below: green in CORRECTNESS_r04.json (1 round old, in policy)
         "qs_filter": qs_filter,
         "qs_sorted_slice": qs_sorted_slice,
         "qs_fetch_pairs": qs_fetch_pairs,
@@ -1382,12 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_map_value": qs_map_value,
         "qs_count": qs_count,
         "qs_reduce": qs_reduce,
-        "qs_json": qs_json,
-        "qs_json_numeric_header": qs_json_numeric_header,
         "qs_project_nullfill": qs_project_nullfill,
-        "q1_pricing": q1_pricing,
-        "q3_shipping": q3_shipping,
-        "q6_revenue": q6_revenue,
         "q_top_customers_window": q_top_customers_window,
         "q_events_hourly": q_events_hourly,
         "q_rollup": q_rollup,
@@ -1397,45 +1446,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": q_percentiles,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
-        "dd_exact": dd_exact,
-        "dd_minhash_sig": dd_minhash_sig,
-        "dd_lsh_pairs": dd_lsh_pairs,
         "dd_clusters": dd_clusters,
         "dd_jaccard": dd_jaccard,
         "dd_simhash": dd_simhash,
         "dd_embed_cosine": dd_embed_cosine,
         "tx_stats": tx_stats,
-        "tx_langid": tx_langid,
         "tx_repetition": tx_repetition,
         "tx_filter": tx_filter,
         "tx_vocab": tx_vocab,
         "tx_topk_ngrams": tx_topk_ngrams,
-        "tx_sample_mix": tx_sample_mix,
-        "tx_pii_scrub": tx_pii_scrub,
-        "dd_decontaminate": dd_decontaminate,
-        "dd_ngram_novelty": dd_ngram_novelty,
-        "dd_segments": dd_segments,
-        "dd_semantic": dd_semantic,
-        "dd_bloom": dd_bloom,
-        "dd_canonical": dd_canonical,
-        "tx_train_val_split": tx_train_val_split,
-        "tx_bpe_train": tx_bpe_train,
-        "tx_bpe_tokenize": tx_bpe_tokenize,
-        "dd_exact_substr": dd_exact_substr,
-        "tx_pack_sequences": tx_pack_sequences,
-        "tx_corpus_pipeline": tx_corpus_pipeline,
-        "tx_lm_score": tx_lm_score,
-        "tx_token_budget": tx_token_budget,
-        "tx_tfidf": tx_tfidf,
-        "ann_topk": ann_topk,
-        "ann_lsh": ann_lsh,
-        "ann_ivf": ann_ivf,
-        "ann_quantized": ann_quantized,
-        "ann_pq": ann_pq,
-        "ann_batch": ann_batch,
-        "mc_blocks": mc_blocks,
-        "mc_main_text": mc_main_text,
-        "pdf_spans": pdf_spans,
     }
 
 

@@ -499,7 +499,16 @@ def run_corpus_job(
     # set's anti-join, so it would be reprocessed (and re-committed) on
     # every resumed run, and the canonical-dedup join would silently drop
     # it. Reject nulls up front and surface the count in the manifest.
-    n_null = documents.filter(F.col("doc_id").isNull()).count()
+    # Rejected docs are never committed, so EVERY run (including resumed
+    # ones) re-reports the nulls still present in its input — that per-run
+    # visibility is the contract (test_run_corpus_job_rejects_null_ids
+    # pins it), not an accounting bug. The count job projects doc_id only,
+    # so the scan reads one column, not the span payloads.
+    n_null = (
+        documents.select("doc_id")
+        .filter(F.col("doc_id").isNull())
+        .count()
+    )
     documents = documents.filter(F.col("doc_id").isNotNull())
     if resume:
         documents = sink.remaining_documents(documents)

@@ -41,6 +41,19 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+# Zero-norm guard for cosine denominators: a zero vector would yield
+# NaN scores with engine-dependent ordering (Spark sorts NaN greatest,
+# DuckDB's twin differs), so clamp the norm to a tiny epsilon — zero
+# vectors then score a deterministic 0.0 cosine against everything in
+# BOTH engines, and any real embedding (norm ≫ eps) is untouched
+# bit-for-bit because greatest() returns the norm itself.
+_NORM_EPS = 1e-300
+
+
+def _safe_norm(a: Column) -> Column:
+    return F.greatest(_norm(a), F.lit(_NORM_EPS))
+
+
 def _sql_double(v: float) -> str:
     v = float(v)
     if v != v or v in (float("inf"), float("-inf")):
@@ -123,7 +136,8 @@ def _pair_cosine_batch(va, vb):
     B = np.array([np.asarray(v, dtype=np.float64) for v in vb])
     num = (A * B).sum(axis=1)
     den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-    return pd.Series(num / den)
+    # same zero-norm clamp as _safe_norm: zero vectors score 0.0, not NaN
+    return pd.Series(num / np.maximum(den, _NORM_EPS))
 
 
 def _bucket_batch_fn(tables: list[list[list[float]]]):
@@ -296,7 +310,8 @@ def ivf_assign(
     # the expression the per-centroid loop built.
     mat = lit_mat([cvec for _, cvec in centroids])
     cnorms = lit_vec(
-        [sum(x * x for x in cvec) ** 0.5 for _, cvec in centroids]
+        [max(sum(x * x for x in cvec) ** 0.5, _NORM_EPS)
+         for _, cvec in centroids]
     )
     negcids = F.expr(
         "array(" + ",".join(str(-int(cid)) + "L" for cid, _ in centroids) + ")"
@@ -307,7 +322,7 @@ def ivf_assign(
         lambda i: F.struct(
             (
                 _dot(v, F.element_at(mat, i))
-                / (_norm(v) * F.element_at(cnorms, i))
+                / (_safe_norm(v) * F.element_at(cnorms, i))
             ).alias("s"),
             F.element_at(negcids, i).alias("negcid"),
         ),
@@ -327,10 +342,10 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF probe: rank centroids against the query driver-side (tiny), scan
     only the ``nprobe`` nearest inverted lists, exact-score the survivors."""
-    qnorm = sum(x * x for x in query) ** 0.5
+    qnorm = max(sum(x * x for x in query) ** 0.5, _NORM_EPS)
 
     def cos(cvec: list[float]) -> float:
-        cn = sum(x * x for x in cvec) ** 0.5
+        cn = max(sum(x * x for x in cvec) ** 0.5, _NORM_EPS)
         return sum(a * b for a, b in zip(cvec, query)) / (cn * qnorm)
 
     probe = [cid for cid, _ in sorted(centroids, key=lambda c: (-cos(c[1]), c[0]))][:nprobe]
@@ -831,7 +846,8 @@ def ivf_topk_join(
     # Python doubles are IEEE754 like the JVM's, so the quotient is
     # bit-identical to an executor-side _norm(c)
     cnorms = lit_vec(
-        [sum(x * x for x in vec) ** 0.5 for _, vec in cents]
+        [max(sum(x * x for x in vec) ** 0.5, _NORM_EPS)
+         for _, vec in cents]
     )
     qv = F.col(vec_col).cast("array<double>")
     # score every centroid, sort by (-cos, cid), take nprobe — one JVM
@@ -852,7 +868,7 @@ def ivf_topk_join(
         queries.select(
             F.col(id_col).alias(query_id_col), qv.alias("_qv")
         )
-        .withColumn("_qn", _norm(F.col("_qv")))
+        .withColumn("_qn", _safe_norm(F.col("_qv")))
         .select(
             query_id_col, "_qv", F.explode(probes).alias("_p")
         )

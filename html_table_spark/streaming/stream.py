@@ -176,7 +176,12 @@ def stream_dedup_against_history(
     from ..operators.dedup import bloom_probe, bloom_build
 
     words = bloom_build(historical, n_bits=n_bits, k=k)
-    hist_cached = historical
+    # The exact tier of every micro-batch left-semi joins against the
+    # historical corpus; persist it once so batches hit executor-local
+    # blocks instead of re-scanning the source each trigger (unpersisted
+    # after an availableNow drain; a continuous stream keeps it pinned
+    # for its lifetime by design).
+    hist_cached = historical.persist()
 
     def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         flags = bloom_probe(
@@ -206,6 +211,9 @@ def stream_dedup_against_history(
     )
     if available_now:
         query = writer.trigger(availableNow=True).start()
-        query.awaitTermination()
+        try:
+            query.awaitTermination()
+        finally:
+            hist_cached.unpersist()
         return query
     return writer.trigger(processingTime="10 seconds").start()

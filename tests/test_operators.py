@@ -1205,3 +1205,37 @@ def test_ivf_topk_join_query_side_is_broadcast(spark):
     # index never shuffles for the candidate join: the query side broadcasts
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_topk_join_zero_norm_query_is_deterministic(spark):
+    # a zero query vector must NOT produce NaN probe scores (engine-
+    # dependent ordering vs the DuckDB twin): the clamped norm makes
+    # every cosine a deterministic 0.0, so ties break on vec_id and the
+    # query still gets exactly k results
+    emb = _batch_vecs(spark, [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.7, 0.7]),
+        (3, [0.5, 0.5]),
+    ])
+    queries = _batch_vecs(spark, [(99, [0.0, 0.0])])
+    out = (
+        similarity.ivf_topk_join(emb, queries, k=2, nprobe=2, n_centroids=2)
+        .orderBy("rank").collect()
+    )
+    assert len(out) == 2
+    assert all(r.cosine == 0.0 for r in out)  # no NaN anywhere
+    assert [r.vec_id for r in out] == sorted(r.vec_id for r in out)
+
+
+def test_ivf_assign_zero_vector_gets_deterministic_centroid(spark):
+    emb = _batch_vecs(spark, [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.0, 0.0]),
+    ])
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = {r.vec_id: r.centroid_id
+            for r in similarity.ivf_assign(emb, cents).collect()}
+    # all sims are exactly 0.0 for the zero vector -> tie -> lowest cid
+    assert rows[2] == 0
