@@ -174,8 +174,44 @@ def _get_spark(cores: int):
     )
 
 
+def _box_quality_probe(window_s: float = 1.5) -> dict:
+    """Window-quality marker for the bench JSON (round-4 VERDICT item 5):
+    this box's walls are bimodal (±40% under snapshot/background
+    interference), so every driver-recorded bench carries the evidence a
+    future reader needs to attribute a regression to window noise —
+    a single-core numpy memcpy bandwidth sample (GB/s; drops when the
+    shared DRAM bus is contended) plus the /proc/stat busy fraction over
+    the same window. Quiet window on this box: ~23-25 GB/s single-core,
+    busy < 0.1. Costs ~2 s, runs outside any Spark timing."""
+    import numpy as np
+
+    n = 32 * 1024 * 1024 // 8  # 32 MiB per array, far beyond one L3 slice
+    src = np.random.default_rng(0).random(n)
+    dst = np.empty_like(src)
+
+    def busy_snap() -> tuple[int, int]:
+        with open("/proc/stat") as fh:
+            parts = [int(x) for x in fh.readline().split()[1:]]
+        return sum(parts), parts[3] + parts[4]
+
+    np.copyto(dst, src)  # warm the buffers
+    t0, i0 = busy_snap()
+    start = time.monotonic()
+    reps = 0
+    while time.monotonic() - start < window_s:
+        np.copyto(dst, src)
+        reps += 1
+    wall = time.monotonic() - start
+    t1, i1 = busy_snap()
+    gbps = reps * 2 * n * 8 / wall / 1e9  # read + write per element
+    total = t1 - t0
+    busy = 1.0 - (i1 - i0) / total if total > 0 else 0.0
+    return {"membw_1core_gbps": round(gbps, 2), "cpu_busy": round(busy, 3)}
+
+
 def main_bench() -> None:
     sf = _sf_of(SF_DIR)
+    probe_pre = _box_quality_probe()
     spark = _get_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -216,6 +252,15 @@ def main_bench() -> None:
                 "sf": _sf_num(sf),
                 "extraction": extraction,
                 "cores": CPUS,
+                # window-quality markers: pre = before the Spark session,
+                # post = after the last timed query. A regression in this
+                # file with membw well below ~20 GB/s or busy >> 0.1 on
+                # either probe is box-window noise, not a code delta
+                # (see BENCH/BASELINE.md bimodal-box notes).
+                "box_quality": {
+                    "pre": probe_pre,
+                    "post": _box_quality_probe(),
+                },
                 # timing policy version, so rounds compare like-for-like:
                 # v2 = best-of-3 wall per headline query (since r02 commit
                 # b9de3c2); v1 (r01) was single-shot. Bump on any change.
