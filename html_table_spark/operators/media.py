@@ -9,14 +9,16 @@ decode / feature-extract / resize / frame-sample stages.
 Decode tiers (round-4: every media family now has a REAL decode level,
 no codec libraries):
 
-- **PNG, GIF or baseline JPEG with a well-formed body: REAL full-pixel
-  decode** — PNG via the stdlib-zlib decoder in :mod:`.png` (IDAT
-  inflate + §9 unfilter + palette expansion), GIF via the
-  pure-bit-arithmetic LZW decoder in :mod:`.gif` (variable-width codes,
-  interlace, palettes), JPEG via the baseline-DCT decoder in
-  :mod:`.jpeg` (Huffman entropy decode, dequant, vectorized IDCT,
-  chroma upsample, YCbCr→RGB) — real dimensions, real frame count
-  (GIF), AND a real pixel-statistics feature vector.
+- **PNG, GIF, or JPEG (baseline OR progressive) with a well-formed
+  body: REAL full-pixel decode** — PNG via the stdlib-zlib decoder in
+  :mod:`.png` (IDAT inflate + §9 unfilter + palette expansion), GIF via
+  the pure-bit-arithmetic LZW decoder in :mod:`.gif` (variable-width
+  codes, interlace, palettes), JPEG via the DCT decoder in :mod:`.jpeg`
+  (Huffman entropy decode — baseline single-scan AND round-5 progressive
+  multi-scan with spectral selection / successive approximation —
+  dequant, vectorized IDCT, chroma upsample, YCbCr→RGB) — real
+  dimensions, real frame count (GIF), AND a real pixel-statistics
+  feature vector.
 - **WAV/RIFF audio: REAL PCM decode** (:mod:`.wav`): n_frames is the
   real sample-frame count and the feature vector carries signal stats
   (RMS, peak, zero-crossing rate); width/height are NULL.
@@ -24,16 +26,18 @@ no codec libraries):
   walk): tkhd display dimensions, stts frame count, mvhd duration —
   digest-fake features (pixel decode needs codecs).
 - PNG/GIF/JPEG with readable headers but undecodable bodies
-  (progressive JPEG, truncated data): real dimensions from the native
-  header parse, digest-fake features. Adam7 interlaced PNG decodes
-  for REAL since round 4 (png.py §8.2 pass scatter).
+  (truncated data, 12-bit/arithmetic-coded JPEG): real dimensions from
+  the native header parse, digest-fake features. Adam7 interlaced PNG
+  decodes for REAL since round 4 (png.py §8.2 pass scatter);
+  progressive JPEG decodes for REAL since round 5 (jpeg.py Annex G).
 - Everything else (opaque payloads): deterministic fake seeded from
   the payload digest — keeps schema, partitioning and batch shape
   real and testable.
 
 The remaining ``_decode_real`` seam is video PIXEL decode / frame
-sampling and progressive JPEG (multi-scan state) — swap it in when the
-cluster image ships Pillow/ffmpeg.
+sampling (and exotic JPEG variants: arithmetic-coded, lossless,
+hierarchical, 12-bit) — swap it in when the cluster image ships
+Pillow/ffmpeg.
 """
 
 from __future__ import annotations
@@ -47,7 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from .gif import encode_gif, gif_pixel_feature
-from .jpeg import encode_jpeg, jpeg_pixel_feature
+from .jpeg import encode_jpeg, encode_jpeg_progressive, jpeg_pixel_feature
 from .mp4 import decode_mp4_meta, encode_mp4_meta, is_mp4
 from .png import encode_png, png_pixel_feature
 from .wav import encode_wav, wav_audio_feature
@@ -70,12 +74,13 @@ FEATURE_DIM = 16
 
 def _decode_real(payload: bytes, mime: str):  # pragma: no cover - needs codecs
     raise NotImplementedError(
-        "video frame-sampling and exotic image variants (progressive JPEG, "
-        "16-bit depths) require codecs not present in this "
-        "container; PNG/GIF/baseline-JPEG pixel decode IS real (stdlib-only "
-        "operators/png.py, gif.py, jpeg.py), header metadata is parsed "
-        "natively (parse_image_header), and everything else uses the "
-        "deterministic fake (swap in Pillow/ffmpeg on a cluster image)"
+        "video frame-sampling and exotic image variants (arithmetic-coded/"
+        "lossless/12-bit JPEG, 16-bit depths) require codecs not present in "
+        "this container; PNG/GIF/JPEG (baseline AND progressive) pixel "
+        "decode IS real (stdlib-only operators/png.py, gif.py, jpeg.py), "
+        "header metadata is parsed natively (parse_image_header), and "
+        "everything else uses the deterministic fake (swap in Pillow/ffmpeg "
+        "on a cluster image)"
     )
 
 
@@ -203,7 +208,7 @@ def _decode_meta(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
             w, h, feature = jpeg_pixel_feature(payload)
             return w, h, 1, feature
         except ValueError:
-            pass  # header-only JPEG (progressive, truncated scan, 12-bit)
+            pass  # header-only JPEG (truncated scan, 12-bit, arithmetic)
     b = payload or b""
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         try:
@@ -304,6 +309,7 @@ MEDIA_TIERS = (
     "wav-pcm",       # COMPLETE RIFF/WAVE PCM audio (8/16/32-bit)
     "mp4-meta",      # real ISO-BMFF ftyp+moov (mvhd/tkhd/stts), no mdat
     "opaque",        # opaque bytes claiming image/png (fake-decode tier)
+    "jpeg-prog",     # COMPLETE progressive JPEG (SOF2 scan script, round 5)
 )
 
 
@@ -402,6 +408,33 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
                     axis=-1,
                 ).astype(np.uint8)
             payload = encode_jpeg(
+                base,
+                subsample=(shape == 2),
+                restart_interval=(2 if digest[5] % 2 else 0),
+            )
+            mime = "image/jpeg"
+        elif tier == "jpeg-prog":
+            # complete PROGRESSIVE JPEG (SOF2, round 5): the default scan
+            # script (interleaved DC + per-component spectral bands +
+            # successive-approximation refinements with EOB runs); digest
+            # rotates gray / 4:4:4 / 4:2:0 and restart markers so every
+            # Annex G decode path sits inside the oracle corpus
+            jw, jh = 9 + digest[2] % 12, 9 + digest[3] % 12
+            rng = np.random.default_rng(int.from_bytes(digest[6:14], "big"))
+            shape = digest[4] % 3
+            if shape == 0:
+                base = rng.integers(0, 256, size=(jh, jw), dtype=np.uint8)
+            else:
+                yy, xx = np.mgrid[0:jh, 0:jw]
+                base = np.stack(
+                    [
+                        (xx * int(digest[7] % 5 + 1) + yy * 2) % 256,
+                        (yy * int(digest[8] % 5 + 1) + xx) % 256,
+                        (xx + yy * 3) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+            payload = encode_jpeg_progressive(
                 base,
                 subsample=(shape == 2),
                 restart_interval=(2 if digest[5] % 2 else 0),

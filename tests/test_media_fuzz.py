@@ -49,6 +49,19 @@ _CASES = {
 }
 
 
+def _prog_payload() -> bytes:
+    from html_table_spark.operators.jpeg import encode_jpeg_progressive
+
+    return encode_jpeg_progressive(
+        _nprng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8),
+        subsample=True,
+        restart_interval=2,
+    )
+
+
+_CASES["jpeg-prog"] = (decode_jpeg, _prog_payload())
+
+
 @pytest.mark.parametrize("fmt", sorted(_CASES))
 def test_mutation_fuzz_only_valueerror(fmt):
     decode, payload = _CASES[fmt]

@@ -196,11 +196,21 @@ def test_roundtrip_coarse_quant_still_decodes():
 # ---------------------------------------------------------------------------
 
 
-def test_progressive_rejected():
+def test_sof2_with_baseline_scan_rejected():
+    # SOF2 decodes for real since round 5, but a baseline full-band scan
+    # (Ss=0, Se=63) inside a progressive frame is malformed: T.81
+    # G.1.1.1.1 forbids DC and AC sharing a progressive scan
     good = encode_jpeg(np.zeros((8, 8), np.uint8))
-    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    mutated = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        decode_jpeg(mutated)
+
+
+def test_lossless_sof3_rejected():
+    good = encode_jpeg(np.zeros((8, 8), np.uint8))
+    mutated = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with pytest.raises(ValueError, match="unsupported frame type"):
-        decode_jpeg(progressive)
+        decode_jpeg(mutated)
 
 
 def test_twelve_bit_precision_rejected():
@@ -290,5 +300,114 @@ def test_synthesize_media_table_jpeg_tier():
         assert feat[15] == 1.0, "every '7' payload must reach the real tier"
         px = decode_jpeg(row["payload"])
         assert (px.shape[1], px.shape[0]) == (w, h)
+        shapes.add(px.shape[2])
+    assert shapes == {1, 3}, "digest rotation must cover gray and color"
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — round 5
+# ---------------------------------------------------------------------------
+
+
+def _prog_enc():
+    from html_table_spark.operators.jpeg import encode_jpeg_progressive
+
+    return encode_jpeg_progressive
+
+
+@pytest.mark.parametrize("size", [(8, 8), (23, 31), (16, 17), (40, 56)])
+def test_progressive_gray_matches_baseline_decode(size):
+    # the scan script transmits every coefficient bit, so progressive and
+    # baseline encodings of the same pixels must decode BIT-IDENTICALLY —
+    # a differential oracle that catches any scan-accounting bug
+    rng = np.random.default_rng(sum(size))
+    px = rng.integers(0, 256, size=size, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px))
+    prog = decode_jpeg(_prog_enc()(px))
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_progressive_rgb_matches_baseline_decode(subsample):
+    rng = np.random.default_rng(5 + subsample)
+    px = rng.integers(0, 256, size=(21, 26, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, subsample=subsample))
+    prog = decode_jpeg(_prog_enc()(px, subsample=subsample))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_restart_markers_match_baseline():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(17, 18, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, restart_interval=2))
+    prog = decode_jpeg(_prog_enc()(px, restart_interval=2))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eob_runs_span_many_blocks():
+    # a large flat image: every AC band is all-zero, so the luma AC scan
+    # collapses to EOBn runs spanning dozens of blocks (and the chroma
+    # scans likewise) — the EOBRUN accumulate/consume paths must agree
+    px = np.full((64, 80, 3), 200, np.uint8)
+    base = decode_jpeg(encode_jpeg(px))
+    prog = decode_jpeg(_prog_enc()(px))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_coarse_quant_matches_baseline():
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quant_luma=16))
+    prog = decode_jpeg(_prog_enc()(px, quant_luma=16))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_spectral_only_script():
+    # spectral selection WITHOUT successive approximation (Ah=Al=0
+    # everywhere) is also a legal progressive stream
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, size=(20, 22, 3), dtype=np.uint8)
+    script = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 20, 0, 0),
+        ([0], 21, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(px))
+    prog = decode_jpeg(_prog_enc()(px, scan_script=script))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_partial_scan_script_decodes_dc_average():
+    # a DC-only progressive stream is legal (T.81 G permits any
+    # coverage): pixels decode to per-block averages, no AC detail
+    px = np.full((16, 16), 77, np.uint8)
+    script = [([0], 0, 0, 0, 0)]
+    out = decode_jpeg(_prog_enc()(px, scan_script=script))
+    assert out.shape == (16, 16, 1)
+    assert np.all(out == 77)
+
+
+def test_progressive_truncated_rejected():
+    px = np.full((32, 32), 150, np.uint8)
+    payload = _prog_enc()(px)
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) // 2])
+
+
+def test_progressive_media_tier_real_decode():
+    from html_table_spark.operators.media import refs_for_tier
+
+    refs = refs_for_tier("jpeg-prog", 8)
+    rows = synthesize_media_table(refs)
+    shapes = set()
+    for row in rows:
+        assert row["mime"] == "image/jpeg"
+        w, h, n, feat = _decode_meta(row["payload"], row["mime"])
+        assert feat[15] == 1.0, "progressive payloads must real-decode"
+        px = decode_jpeg(row["payload"])
+        assert (px.shape[1], px.shape[0]) == (w, h)
+        assert row["payload"].find(b"\xff\xc2") > 0  # really SOF2
         shapes.add(px.shape[2])
     assert shapes == {1, 3}, "digest rotation must cover gray and color"
