@@ -900,6 +900,25 @@ def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based language ID (the seam a fastText-class model plugs
+    into): a hashed-char-trigram linear classifier trained on the labeled
+    seed split (doc_id % 5 < 2) in one distributed pass — per-batch partial
+    (bucket, class) counts, two-phase hash agg, model-sized collect — then
+    applied to the full corpus with a broadcast model + one Arrow-batched
+    mapInPandas (vectorized numpy scoring, corpus never shuffles).  The
+    DuckDB twin replays train AND predict exactly: same polynomial gram
+    hash, add-one smoothing, log priors, round-6 alphabetical argmax."""
+    from html_table_spark.operators import langid as langid_ops
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 < 2)
+    model = langid_ops.train_langid_model(
+        train, text_col="text", label_col="lang", buckets=2048, ngram=3
+    )
+    return langid_ops.langid_predict(docs, model)
+
+
 def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-token fraction, most-
     common-token fraction, duplicate word-trigram fraction."""
@@ -1401,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mc_blocks": mc_blocks,
         "mc_main_text": mc_main_text,
         "pdf_spans": pdf_spans,
+        # -- block 2: NEW this round (attested the round they ship) -------
+        "tx_langid_model": tx_langid_model,
         # -- block 2: new round-5 queries (inside the window) -------------
         # -- block 3: window fill — behaviour-may-change + §2 core (24) ---
         "x_media_interleave": x_media_interleave,
@@ -1902,6 +1923,71 @@ def _langid_sql() -> str:
                CASE WHEN ({best_s}) > 0 THEN ({best_l}) ELSE 'unk' END AS lang,
                CAST(s_en AS BIGINT) AS en_hits
         FROM s
+    """
+
+
+def _langid_model_sql() -> str:
+    """DuckDB twin of tx_langid_model: replays the full train→predict loop
+    of operators/langid.py — gram extraction on the identical ' '+fold+' '
+    normalization, the (cp0*961 + cp1*31 + cp2) % 2048 polynomial hash via
+    unicode()/substr(), add-one-smoothed log weights over the doc_id%5<2
+    seed split, log priors, and the round-6 alphabetical-tie argmax."""
+    return """
+        WITH norm AS (
+            SELECT doc_id, lang,
+                   ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(
+                       generate_series(1, length(t) - 2),
+                       i -> (unicode(substr(t, i, 1)) * 961
+                           + unicode(substr(t, i + 1, 1)) * 31
+                           + unicode(substr(t, i + 2, 1))) % 2048)) AS b
+            FROM norm
+        ),
+        counts AS (
+            SELECT lang AS cls, b, count(*) AS c
+            FROM grams WHERE doc_id % 5 < 2 GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT lang AS cls, count(*) AS tot
+            FROM grams WHERE doc_id % 5 < 2 GROUP BY 1
+        ),
+        priors AS (
+            SELECT lang AS cls,
+                   ln(count(*)::DOUBLE /
+                      (SELECT count(*) FROM norm WHERE doc_id % 5 < 2)) AS pr
+            FROM norm WHERE doc_id % 5 < 2 GROUP BY 1
+        ),
+        classes AS (
+            SELECT p.cls, coalesce(t.tot, 0) AS tot, p.pr
+            FROM priors p LEFT JOIN totals t ON t.cls = p.cls
+        ),
+        gram_term AS (
+            SELECT g.doc_id, c.cls,
+                   sum(ln((coalesce(cn.c, 0) + 1)::DOUBLE / (c.tot + 2048))) AS s
+            FROM grams g
+            CROSS JOIN classes c
+            LEFT JOIN counts cn ON cn.cls = c.cls AND cn.b = g.b
+            GROUP BY 1, 2
+        ),
+        scores AS (
+            SELECT n.doc_id, c.cls, c.pr + coalesce(gt.s, 0.0) AS score
+            FROM norm n
+            CROSS JOIN classes c
+            LEFT JOIN gram_term gt ON gt.doc_id = n.doc_id AND gt.cls = c.cls
+        ),
+        ranked AS (
+            SELECT doc_id, cls, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY round(score, 6) DESC, cls ASC)
+                       AS rn
+            FROM scores
+        )
+        SELECT doc_id, cls AS pred_lang, round(score, 4) AS score
+        FROM ranked WHERE rn = 1
     """
 
 
@@ -2448,6 +2534,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "tx_langid": _langid_sql(),
+        "tx_langid_model": _langid_model_sql(),
         "tx_vocab": f"""
             WITH tok AS (
                 SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents

@@ -51,6 +51,10 @@ CHECKS = {
     "ann_ivf": (["TakeOrderedAndProject"], ["Python", "Exchange rangepartitioning"]),
     "tx_stats": ([], ["Python", "Exchange"]),  # pure map
     "tx_langid": ([], ["Python", "Exchange"]),  # pure map (trigram argmax)
+    # model-based langid: ONE Arrow-batched map pass over the corpus — the
+    # broadcast-model predict never shuffles (training's two-phase agg is a
+    # separate driver-side job, not part of this plan)
+    "tx_langid_model": (["MapInPandas"], ["Exchange", "CartesianProduct"]),
     "tx_repetition": ([], ["Python", "Exchange"]),  # pure map
     "tx_filter": ([], ["Python", "Exchange"]),  # pure map + filter, one scan
     "q_top_customers_window": (["BroadcastHashJoin", "Window"], ["Python"]),
