@@ -22,9 +22,13 @@ no codec libraries):
 - **WAV/RIFF audio: REAL PCM decode** (:mod:`.wav`): n_frames is the
   real sample-frame count and the feature vector carries signal stats
   (RMS, peak, zero-crossing rate); width/height are NULL.
+- **AVI/MJPEG video: REAL frame pixels** (:mod:`.avi`, round 5):
+  RIFF container walk (hdrl/strh/strf/movi/idx1), uniform frame
+  sampling, per-frame baseline-JPEG decode through :mod:`.jpeg`, and
+  a temporal feature vector (pixel stats + frame-diff energy).
 - **MP4/ISO-BMFF video: REAL container metadata** (:mod:`.mp4` box
   walk): tkhd display dimensions, stts frame count, mvhd duration —
-  digest-fake features (pixel decode needs codecs).
+  digest-fake features (H.264-class pixel decode needs codecs).
 - PNG/GIF/JPEG with readable headers but undecodable bodies
   (truncated data, 12-bit/arithmetic-coded JPEG): real dimensions from
   the native header parse, digest-fake features. Adam7 interlaced PNG
@@ -34,10 +38,10 @@ no codec libraries):
   the payload digest — keeps schema, partitioning and batch shape
   real and testable.
 
-The remaining ``_decode_real`` seam is video PIXEL decode / frame
-sampling (and exotic JPEG variants: arithmetic-coded, lossless,
-hierarchical, 12-bit) — swap it in when the cluster image ships
-Pillow/ffmpeg.
+The remaining ``_decode_real`` seam is inter-frame-codec video (H.264/
+VP9 class — MJPEG pixels ARE decoded, round 5) and exotic JPEG variants
+(arithmetic-coded, lossless, hierarchical, 12-bit) — swap it in when the
+cluster image ships Pillow/ffmpeg.
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from .avi import avi_video_feature, encode_avi_mjpeg, is_avi
 from .gif import encode_gif, gif_pixel_feature
 from .jpeg import encode_jpeg, encode_jpeg_progressive, jpeg_pixel_feature
 from .mp4 import decode_mp4_meta, encode_mp4_meta, is_mp4
@@ -74,13 +79,14 @@ FEATURE_DIM = 16
 
 def _decode_real(payload: bytes, mime: str):  # pragma: no cover - needs codecs
     raise NotImplementedError(
-        "video frame-sampling and exotic image variants (arithmetic-coded/"
-        "lossless/12-bit JPEG, 16-bit depths) require codecs not present in "
-        "this container; PNG/GIF/JPEG (baseline AND progressive) pixel "
-        "decode IS real (stdlib-only operators/png.py, gif.py, jpeg.py), "
-        "header metadata is parsed natively (parse_image_header), and "
-        "everything else uses the deterministic fake (swap in Pillow/ffmpeg "
-        "on a cluster image)"
+        "inter-frame video codecs (H.264/VP9 class) and exotic image "
+        "variants (arithmetic-coded/lossless/12-bit JPEG, 16-bit depths) "
+        "require codecs not present in this container; PNG/GIF/JPEG "
+        "(baseline AND progressive) pixel decode IS real (stdlib-only "
+        "operators/png.py, gif.py, jpeg.py), AVI/MJPEG video frames decode "
+        "for REAL with frame sampling (operators/avi.py), header metadata "
+        "is parsed natively (parse_image_header), and everything else uses "
+        "the deterministic fake (swap in Pillow/ffmpeg on a cluster image)"
     )
 
 
@@ -184,11 +190,14 @@ def _decode_meta(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
     2. WAV/RIFF audio → REAL PCM decode (``wav.py``): n_frames is the
        real sample-frame count, the feature vector carries signal stats
        (marker 1.0), width/height are NULL (audio has none).
-    3. MP4/ISO-BMFF → REAL container metadata (``mp4.py`` box walk):
+    3. AVI/MJPEG video → REAL sampled frame pixels (``avi.py`` container
+       walk + per-frame JPEG decode): real dimensions, real frame count,
+       temporal pixel-stats feature (marker 1.0).
+    4. MP4/ISO-BMFF → REAL container metadata (``mp4.py`` box walk):
        tkhd display dimensions + stts frame count, digest-fake features
-       (video pixel decode needs codecs — the one remaining stub seam).
-    4. Recognizable PNG/GIF/JPEG header → real dimensions, fake features.
-    5. Otherwise → deterministic digest fake.
+       (inter-frame pixel decode needs codecs — the remaining stub seam).
+    5. Recognizable PNG/GIF/JPEG header → real dimensions, fake features.
+    6. Otherwise → deterministic digest fake.
     """
     header = parse_image_header(payload)
     if header is not None and header[0] == "image/png":
@@ -210,6 +219,11 @@ def _decode_meta(payload: bytes, mime: str) -> tuple[int, int, int, np.ndarray]:
         except ValueError:
             pass  # header-only JPEG (truncated scan, 12-bit, arithmetic)
     b = payload or b""
+    if is_avi(b):
+        try:
+            return avi_video_feature(payload)
+        except ValueError:
+            pass  # non-MJPEG codec / truncated movi → fake fallback
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         try:
             frames, _channels, feature = wav_audio_feature(payload)
@@ -310,6 +324,7 @@ MEDIA_TIERS = (
     "mp4-meta",      # real ISO-BMFF ftyp+moov (mvhd/tkhd/stts), no mdat
     "opaque",        # opaque bytes claiming image/png (fake-decode tier)
     "jpeg-prog",     # COMPLETE progressive JPEG (SOF2 scan script, round 5)
+    "avi-mjpeg",     # COMPLETE AVI/MJPEG video (real frame pixels, round 5)
 )
 
 
@@ -478,6 +493,26 @@ def synthesize_media_table(media_refs: list[str], seed: int = 42) -> list[dict]:
                 version=digest[6] % 2,
             )
             mime = "video/mp4"
+        elif tier == "avi-mjpeg":
+            # complete AVI/MJPEG video (round 5): 3-7 frames of a smooth
+            # gradient that shifts per frame (bounded quant error + real
+            # temporal-diff energy); digest rotates size and frame count
+            vw, vh = 10 + digest[2] % 10, 10 + digest[3] % 10
+            n_fr = 3 + digest[4] % 5
+            yy, xx = np.mgrid[0:vh, 0:vw]
+            frames = [
+                np.stack(
+                    [
+                        (xx * int(digest[7] % 5 + 1) + yy * 2 + 16 * f) % 256,
+                        (yy * int(digest[8] % 5 + 1) + xx + 8 * f) % 256,
+                        (xx + yy * 3 + 4 * f) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                for f in range(n_fr)
+            ]
+            payload = encode_avi_mjpeg(frames, fps=5 + digest[5] % 25)
+            mime = "video/x-msvideo"
         elif tier == "video-opaque":
             payload = digest * 4
             mime = "video/mp4"

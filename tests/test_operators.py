@@ -235,7 +235,7 @@ def test_media_real_codec_path_stubbed(spark):
     refs = refs_for_tier("png-header", 1)
     media = spark.createDataFrame(synthesize_media_table(refs), MEDIA_SCHEMA)
     rows = extract_media_features(media, use_real_codecs=True).collect()
-    assert rows[0].status.startswith("error: video frame-sampling")
+    assert rows[0].status.startswith("error: inter-frame video codecs")
 
 
 def test_image_header_parsers():
