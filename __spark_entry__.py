@@ -919,6 +919,95 @@ def tx_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_ops.langid_predict(docs, model)
 
 
+def _warc_fixture_archives() -> list[tuple[str, bytes]]:
+    """Deterministic WARC archives wrapping the fixture corpus: 8 archives
+    × (6 fixture HTML pages + one 404 + one non-HTML JSON page), odd
+    archives in the Common Crawl member-per-record .warc.gz layout, plus
+    one final archive carrying leading garbage (resync path) and a
+    latin-1-charset page (decode fallback path)."""
+    from html_table_spark.corpus import synthesize_documents
+    from html_table_spark.sources.warc import encode_warc
+    from html_table_spark.spans import doc_spans_to_html
+
+    docs_rows = synthesize_documents(n_docs=48, seed=29, media_fraction=0.5)
+    archives: list[tuple[str, bytes]] = []
+    per = 6
+    for a in range(len(docs_rows) // per):
+        batch = docs_rows[a * per : (a + 1) * per]
+        pages = [
+            {
+                "url": f"http://site{a}.example/doc/{d['doc_id']}",
+                "html": doc_spans_to_html(d["spans"]),
+            }
+            for d in batch
+        ]
+        pages.append(
+            {"url": f"http://site{a}.example/missing", "html": "<h1>gone</h1>",
+             "status": 404}
+        )
+        pages.append(
+            {"url": f"http://site{a}.example/data.json", "html": '{"a": 1}',
+             "mime": "application/json"}
+        )
+        gz = a % 2 == 1
+        name = f"archive-{a:02d}.warc" + (".gz" if gz else "")
+        archives.append((name, encode_warc(pages, per_record_gzip=gz)))
+    tricky = encode_warc(
+        [
+            {"url": "http://tricky.example/latin",
+             "html": "<table><tr><td>café</td></tr></table>",
+             "charset": "latin-1"},
+        ]
+    )
+    archives.append(("archive-xx.warc", b"garbage-prefix\r\n" + tricky))
+    return archives
+
+
+def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) ingestion end-to-end: fixture crawl archives (both
+    plain .warc and Common-Crawl member-gzip .warc.gz, with error-resync
+    and charset-fallback payloads) → tolerant record parse → HTML-response
+    filter → the canonical documents shape → table extraction; output is
+    one row per WARC record with its extraction yield.  The DuckDB twin
+    replays the same reader kernel + extraction kernel driver-side
+    (sources/warc.py parse_warc, semantics.parse_document)."""
+    from html_table_spark.sources.warc import parse_warc_column, warc_to_documents
+
+    adf = spark.createDataFrame(
+        _warc_fixture_archives(), "archive string, payload binary"
+    )
+    records = parse_warc_column(adf)
+    docs = warc_to_documents(records)
+    extracted = extract_tables(docs, ParserConfig().all_tables())
+    per_doc = (
+        # table_idx -1 is the zero-table marker row, not a table
+        extracted.where((F.col("status") == "ok") & (F.col("table_idx") >= 0))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nt"),
+            F.sum(F.size("spans")).alias("ns"),
+        )
+    )
+    return (
+        records.withColumn(
+            "doc_id",
+            F.concat_ws("#", F.col("url"), F.col("record_idx").cast("string")),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "archive",
+            F.col("record_idx").cast("int").alias("record_idx"),
+            "record_type",
+            "url",
+            F.col("http_status").cast("int").alias("http_status"),
+            "mime",
+            F.col("status").alias("rec_status"),
+            F.coalesce(F.col("nt"), F.lit(0)).cast("int").alias("n_tables"),
+            F.coalesce(F.col("ns"), F.lit(0)).cast("int").alias("n_spans"),
+        )
+    )
+
+
 def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-token fraction, most-
     common-token fraction, duplicate word-trigram fraction."""
@@ -1422,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_spans": pdf_spans,
         # -- block 2: NEW this round (attested the round they ship) -------
         "tx_langid_model": tx_langid_model,
+        "x_warc_extract": x_warc_extract,
         # -- block 2: new round-5 queries (inside the window) -------------
         # -- block 3: window fill — behaviour-may-change + §2 core (24) ---
         "x_media_interleave": x_media_interleave,
@@ -1924,6 +2014,51 @@ def _langid_sql() -> str:
                CAST(s_en AS BIGINT) AS en_hits
         FROM s
     """
+
+
+def _warc_extract_values_sql() -> str:
+    """VALUES oracle for x_warc_extract: the same WARC reader kernel
+    (sources/warc.py parse_warc — gzip members, tolerant resync, HTTP +
+    charset decode) and the same extraction kernel (semantics.parse_document
+    + encode_table_spans) replayed driver-side, mirroring the media VALUES
+    oracles."""
+    from html_table_spark.semantics import parse_document
+    from html_table_spark.sources.warc import parse_warc
+    from html_table_spark.spans import encode_table_spans
+
+    cfg = ParserConfig().all_tables()
+
+    def lit(v) -> str:
+        return "NULL" if v is None else _sql_lit(v)
+
+    rows = []
+    for name, payload in _warc_fixture_archives():
+        for idx, r in enumerate(parse_warc(payload)):
+            nt = ns = 0
+            if (
+                r.get("status") == "ok"
+                and r.get("record_type") == "response"
+                and r.get("mime") in ("text/html", "application/xhtml+xml")
+                and r.get("http_status") == 200
+            ):
+                for t in parse_document(r.get("text") or "", cfg):
+                    if t.status == "ok":
+                        nt += 1
+                        ns += len(encode_table_spans(t))
+            hs = r.get("http_status")
+            rows.append(
+                f"({_sql_lit(name)}, {idx}, {lit(r.get('record_type'))}, "
+                f"{lit(r.get('url'))}, {'NULL' if hs is None else int(hs)}, "
+                f"{lit(r.get('mime'))}, {_sql_lit(r.get('status'))}, {nt}, {ns})"
+            )
+    return (
+        "SELECT archive, CAST(record_idx AS INT) AS record_idx, record_type, "
+        "url, CAST(http_status AS INT) AS http_status, mime, rec_status, "
+        "CAST(n_tables AS INT) AS n_tables, CAST(n_spans AS INT) AS n_spans "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(archive, record_idx, record_type, url, http_status, mime, "
+        "rec_status, n_tables, n_spans)"
+    )
 
 
 def _langid_model_sql() -> str:
@@ -2535,6 +2670,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tx_langid": _langid_sql(),
         "tx_langid_model": _langid_model_sql(),
+        "x_warc_extract": _warc_extract_values_sql(),
         "tx_vocab": f"""
             WITH tok AS (
                 SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents

@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> dict:
     parser.add_argument("--mega-threshold", type=int, default=None,
                         help="bytes of HTML above which a doc takes the split path")
     parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--format", choices=["auto", "warc"], default="auto",
+                        help="'auto': parquet/iceberg documents table; 'warc': a "
+                             "directory of .warc/.warc.gz crawl archives ingested "
+                             "via sources/warc.py (HTML 200 responses become docs)")
     args = parser.parse_args(argv)
 
     # absolute imports: spark-submit executes this file as a top-level
@@ -53,9 +57,13 @@ def main(argv: list[str] | None = None) -> dict:
     from html_table_spark.plans.pipeline import DEFAULT_MEGA_COST, run_job
     from html_table_spark.sources.documents import read_documents
     from html_table_spark.sources.sinks import SnapshotSink
+    from html_table_spark.sources.warc import read_warc_documents
 
     spark = build_session()
-    documents = read_documents(spark, args.input)
+    if args.format == "warc":
+        documents = read_warc_documents(spark, args.input)
+    else:
+        documents = read_documents(spark, args.input)
     sink = SnapshotSink(args.output)
     if args.mode == "corpus":
         from html_table_spark.operators.corpus import run_corpus_job

@@ -51,6 +51,9 @@ CHECKS = {
     "ann_ivf": (["TakeOrderedAndProject"], ["Python", "Exchange rangepartitioning"]),
     "tx_stats": ([], ["Python", "Exchange"]),  # pure map
     "tx_langid": ([], ["Python", "Exchange"]),  # pure map (trigram argmax)
+    # WARC ingestion: parse is one Arrow-batched map over archives; the
+    # record×extraction join must never degenerate to a cartesian plan
+    "x_warc_extract": (["MapInPandas"], ["CartesianProduct", "BroadcastNestedLoop"]),
     # model-based langid: ONE Arrow-batched map pass over the corpus — the
     # broadcast-model predict never shuffles (training's two-phase agg is a
     # separate driver-side job, not part of this plan)
