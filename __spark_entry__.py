@@ -1008,6 +1008,99 @@ def x_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _markdown_fixture_rows() -> list[tuple[str, str]]:
+    """Deterministic (doc_id, html) rows for the markdown renderer: the
+    fixture corpus pages plus a per-doc markdown-stress tail (headings,
+    nested lists, links/images, blockquote, fenced code, inline styles)
+    so every renderer feature sits inside the oracle."""
+    from html_table_spark.corpus import synthesize_documents
+    from html_table_spark.spans import doc_spans_to_html
+
+    docs_rows = synthesize_documents(n_docs=64, seed=17, media_fraction=0.5)
+    out = []
+    for k, d in enumerate(docs_rows):
+        stress = (
+            f"<h2>Doc {k} &amp; friends</h2>"
+            f"<p>See <a href='/d/{k}'>doc <b>{k}</b></a> "
+            f"<img src='im{k}.png' alt='im {k}'> <code>f({k})</code></p>"
+            f"<ul><li>alpha {k}</li><li>beta<ol><li>x</li><li>y</li></ol></li></ul>"
+            f"<blockquote><p>quote {k}</p></blockquote>"
+            f"<pre>raw  {k}\n  indent</pre><hr>"
+        )
+        out.append((d["doc_id"], doc_spans_to_html(d["spans"]) + stress))
+    return out
+
+
+def mc_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → Markdown rendering (operators/markdown.py) over the fixture
+    corpus + a markdown-stress tail: headings, nested lists, pipe tables
+    with escaped cells, links/images, blockquotes, fenced code.  One
+    Arrow-batched zero-shuffle pass; the DuckDB twin replays the renderer
+    kernel driver-side (VALUES oracle, byte-exact markdown strings)."""
+    from html_table_spark.operators.markdown import render_markdown
+
+    docs = spark.createDataFrame(
+        _markdown_fixture_rows(), "doc_id string, html string"
+    )
+    return render_markdown(docs).select("doc_id", "markdown", "status")
+
+
+def _metadata_fixture_rows() -> list[tuple[str, str]]:
+    """(doc_id, html) rows with deterministic metadata heads: rotating
+    presence/absence of each field, duplicated tags (first-wins), OG
+    properties, canonical links, charset forms, and lang declarations."""
+    from html_table_spark.corpus import synthesize_documents
+    from html_table_spark.spans import doc_spans_to_html
+
+    docs_rows = synthesize_documents(n_docs=64, seed=23, media_fraction=0.25)
+    langs = ("en", "fr", "de-DE", "")
+    out = []
+    for k, d in enumerate(docs_rows):
+        lang = langs[k % 4]
+        head = ["<head>"]
+        if k % 3 != 0:
+            head.append(f"<title>Doc {k} &amp; title</title>")
+            head.append("<title>dup ignored</title>")
+        if k % 2 == 0:
+            head.append(f'<meta name="description" content="about doc {k}">')
+        if k % 5 == 0:
+            head.append(f'<meta name="author" content="author-{k}">')
+        if k % 4 == 1:
+            head.append(f'<meta property="og:title" content="OG {k}">')
+            head.append(f'<meta property="og:image" content="http://img/{k}.png">')
+        if k % 6 == 0:
+            head.append(f'<link rel="canonical" href="http://canon.example/{k}">')
+        if k % 2 == 1:
+            head.append('<meta charset="utf-8">')
+        else:
+            head.append(
+                '<meta http-equiv="Content-Type" '
+                'content="text/html; charset=ISO-8859-1">'
+            )
+        head.append("</head>")
+        html_attr = f' lang="{lang}"' if lang else ""
+        html = (
+            f"<html{html_attr}>" + "".join(head)
+            + "<body>" + doc_spans_to_html(d["spans"]) + "</body></html>"
+        )
+        out.append((d["doc_id"], html))
+    return out
+
+
+def mc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page metadata extraction (operators/metadata.py): title / meta /
+    OpenGraph / canonical / base / charset / lang, first-wins document
+    order, over fixture pages whose heads rotate every field's presence,
+    duplication, and encoding form.  One Arrow-batched zero-shuffle pass;
+    the DuckDB twin replays the kernel driver-side."""
+    from html_table_spark.operators.metadata import page_metadata
+
+    docs = spark.createDataFrame(
+        _metadata_fixture_rows(), "doc_id string, html string"
+    )
+    return page_metadata(docs)
+
+
 def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-token fraction, most-
     common-token fraction, duplicate word-trigram fraction."""
@@ -1512,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 2: NEW this round (attested the round they ship) -------
         "tx_langid_model": tx_langid_model,
         "x_warc_extract": x_warc_extract,
+        "mc_markdown": mc_markdown,
+        "mc_metadata": mc_metadata,
         # -- block 2: new round-5 queries (inside the window) -------------
         # -- block 3: window fill — behaviour-may-change + §2 core (24) ---
         "x_media_interleave": x_media_interleave,
@@ -2014,6 +2109,38 @@ def _langid_sql() -> str:
                CAST(s_en AS BIGINT) AS en_hits
         FROM s
     """
+
+
+def _markdown_values_sql() -> str:
+    """VALUES oracle for mc_markdown: the renderer kernel replayed
+    driver-side over the identical fixture rows — byte-exact markdown."""
+    from html_table_spark.operators.markdown import html_to_markdown
+
+    rows = [
+        f"({_sql_lit(doc_id)}, {_sql_lit(html_to_markdown(html))}, 'ok')"
+        for doc_id, html in _markdown_fixture_rows()
+    ]
+    return (
+        "SELECT doc_id, markdown, status FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, markdown, status)"
+    )
+
+
+def _metadata_values_sql() -> str:
+    """VALUES oracle for mc_metadata: kernel replayed driver-side."""
+    from html_table_spark.operators.metadata import META_FIELDS, extract_page_meta
+
+    cols = ["doc_id", *META_FIELDS, "status"]
+    rows = []
+    for doc_id, html in _metadata_fixture_rows():
+        m = extract_page_meta(html)
+        vals = [_sql_lit(doc_id)] + [_sql_lit(m[f]) for f in META_FIELDS] + ["'ok'"]
+        rows.append("(" + ", ".join(vals) + ")")
+    return (
+        "SELECT " + ", ".join(cols) + " FROM (VALUES "
+        + ", ".join(rows) + ") AS t(" + ", ".join(cols) + ")"
+    )
 
 
 def _warc_extract_values_sql() -> str:
@@ -2671,6 +2798,8 @@ def oracle_sql() -> dict[str, str]:
         "tx_langid": _langid_sql(),
         "tx_langid_model": _langid_model_sql(),
         "x_warc_extract": _warc_extract_values_sql(),
+        "mc_markdown": _markdown_values_sql(),
+        "mc_metadata": _metadata_values_sql(),
         "tx_vocab": f"""
             WITH tok AS (
                 SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents

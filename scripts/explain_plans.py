@@ -51,6 +51,10 @@ CHECKS = {
     "ann_ivf": (["TakeOrderedAndProject"], ["Python", "Exchange rangepartitioning"]),
     "tx_stats": ([], ["Python", "Exchange"]),  # pure map
     "tx_langid": ([], ["Python", "Exchange"]),  # pure map (trigram argmax)
+    # markdown render / metadata extraction: ONE Arrow-batched map pass,
+    # zero shuffle
+    "mc_markdown": (["MapInPandas"], ["Exchange", "CartesianProduct"]),
+    "mc_metadata": (["MapInPandas"], ["Exchange", "CartesianProduct"]),
     # WARC ingestion: parse is one Arrow-batched map over archives; the
     # record×extraction join must never degenerate to a cartesian plan
     "x_warc_extract": (["MapInPandas"], ["CartesianProduct", "BroadcastNestedLoop"]),
