@@ -89,3 +89,31 @@ def test_spark_render_and_registry(spark):
     assert all(r["status"] == "ok" for r in out)
     # the stress tail guarantees every doc renders list + heading + code
     assert all("- alpha" in r["markdown"] and "```" in r["markdown"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# property: arbitrary tag soup never raises, output is deterministic text
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TAGS = ["p", "div", "b", "i", "ul", "ol", "li", "table", "tr", "td", "th",
+         "h1", "h3", "a", "img", "pre", "blockquote", "br", "hr", "span"]
+_soup = st.lists(
+    st.one_of(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",),
+                                       max_codepoint=0x2FFF), max_size=30),
+        st.sampled_from([f"<{t}>" for t in _TAGS] + [f"</{t}>" for t in _TAGS]
+                        + ['<a href="x">', "<img src='i' alt='a'>", "<!-- c -->"]),
+    ),
+    max_size=40,
+).map("".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(html=_soup)
+def test_property_tag_soup_never_raises(html):
+    out = html_to_markdown(html)
+    assert isinstance(out, str)
+    assert out == html_to_markdown(html)  # deterministic

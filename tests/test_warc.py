@@ -147,3 +147,55 @@ def test_registry_query_shape(spark):
         for r in rows
         if r["http_status"] != 200 or r["mime"] != "text/html"
     )
+
+
+# ---------------------------------------------------------------------------
+# property tests: encode→parse roundtrip and no-crash tolerance
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_urls = st.from_regex(r"http://[a-z]{1,8}\.example/[a-zA-Z0-9/_-]{0,12}", fullmatch=True)
+_html = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=400,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pages=st.lists(
+        st.fixed_dictionaries({"url": _urls, "html": _html}), min_size=1, max_size=5
+    ),
+    gz=st.booleans(),
+)
+def test_property_roundtrip(pages, gz):
+    recs = parse_warc(encode_warc(pages, per_record_gzip=gz))
+    assert len(recs) == len(pages) + 1
+    assert all(r["status"] == "ok" for r in recs)
+    for page, rec in zip(pages, recs[1:]):
+        assert rec["url"] == page["url"]
+        assert rec["text"] == page["html"]
+        assert rec["http_status"] == 200
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=300))
+def test_property_garbage_never_raises(data):
+    rows = parse_warc(data)
+    assert all(isinstance(r.get("status"), str) for r in rows)
+
+
+@settings(max_examples=40, deadline=None)
+@given(cut=st.integers(min_value=0, max_value=10**6))
+def test_property_truncation_never_raises(cut):
+    b = encode_warc(
+        [{"url": "http://t.example/a", "html": "<p>x</p>"}] * 2, per_record_gzip=False
+    )
+    rows = parse_warc(b[: min(cut, len(b))])
+    assert all(isinstance(r.get("status"), str) for r in rows)
+    gz = encode_warc([{"url": "http://t.example/a", "html": "<p>x</p>"}],
+                     per_record_gzip=True)
+    rows = parse_warc(gz[: min(cut, len(gz))])
+    assert all(isinstance(r.get("status"), str) for r in rows)
