@@ -1101,6 +1101,62 @@ def mc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_metadata(docs)
 
 
+def _url_fixture_rows() -> list[tuple[int, str]]:
+    """Deterministic messy URLs exercising every normalization rule:
+    case, default/explicit ports, userinfo, duplicate slashes, trailing
+    slashes, root paths, unsorted + empty + tracking query params,
+    fragments, IPv4 hosts, schemeless strings."""
+    hosts = ["Example.COM", "example.com", "WWW.Site.ORG", "10.0.0.1"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a//b///c", "/a/b/", "/index.html", "//x"]
+    queries = [
+        "", "?b=2&a=1", "?a=1&b=2", "?utm_source=x&a=1", "?a=1&&b=2&",
+        "?fbclid=zz", "?z=9&gclid=1&y=8&utm_campaign=c",
+    ]
+    frags = ["", "#frag", "#a/b?c=d"]
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    out: list[tuple[int, str]] = []
+    i = 0
+    for k in range(240):
+        s = schemes[k % 4]
+        h = hosts[k % 3 if k % 7 else 3]
+        user = "u:pw@" if k % 11 == 0 else ""
+        url = (
+            f"{s}://{user}{h}{ports[k % 4]}{paths[k % 6]}"
+            f"{queries[k % 7]}{frags[k % 3]}"
+        )
+        out.append((i, url))
+        i += 1
+    out.append((i, "example.com/no-scheme?b=1&a=2")); i += 1
+    out.append((i, "http://example.com")); i += 1
+    out.append((i, "https://example.com:443//")); i += 1
+    return out
+
+
+def tx_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py) — the URL-level dedup key
+    computed before content dedup: pure JVM Column expressions (RFC 3986
+    regex decomposition, lowercased scheme/host, default-port drop,
+    slash-run collapse, tracking-param strip, bytewise query sort,
+    fragment drop) over a messy-URL fixture, plus the dedup verdict (is
+    this id its canonical form's first occurrence).  The DuckDB twin
+    replays the SAME normalization in SQL (RE2 regexes, list lambdas) —
+    a genuine cross-engine check of the expression semantics, not a
+    driver-side replay."""
+    from html_table_spark.functions.urls import url_canonical
+
+    rows = spark.createDataFrame(_url_fixture_rows(), "id long, url string")
+    canon = rows.select("id", "url", url_canonical("url").alias("canon"))
+    first = canon.groupBy("canon").agg(F.min("id").alias("first_id"))
+    return (
+        canon.join(first, "canon")
+        .select(
+            "id", "url", "canon",
+            (F.col("id") == F.col("first_id")).alias("is_canonical_first"),
+        )
+    )
+
+
 def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-token fraction, most-
     common-token fraction, duplicate word-trigram fraction."""
@@ -1607,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_warc_extract": x_warc_extract,
         "mc_markdown": mc_markdown,
         "mc_metadata": mc_metadata,
+        "tx_url_dedup": tx_url_dedup,
         # -- block 2: new round-5 queries (inside the window) -------------
         # -- block 3: window fill — behaviour-may-change + §2 core (24) ---
         "x_media_interleave": x_media_interleave,
@@ -2108,6 +2165,73 @@ def _langid_sql() -> str:
                CASE WHEN ({best_s}) > 0 THEN ({best_l}) ELSE 'unk' END AS lang,
                CAST(s_en AS BIGINT) AS en_hits
         FROM s
+    """
+
+
+def _url_dedup_sql() -> str:
+    """DuckDB twin of tx_url_dedup: the SAME normalization steps written
+    in SQL over the same VALUES fixture — RE2 backrefs (\\1) where Spark
+    uses $1, 'g' flags where Spark replaces all by default, list
+    lambdas for the param filter/sort."""
+    rows = ", ".join(
+        f"({i}, {_sql_lit(u)})" for i, u in _url_fixture_rows()
+    )
+    return f"""
+        WITH fixture(id, url) AS (VALUES {rows}),
+        parts AS (
+            SELECT id, url,
+                   lower(regexp_extract(url, '^([^:/?#]+):', 1)) AS scheme,
+                   regexp_extract(url, '^[^:/?#]*://([^/?#]*)', 1) AS auth,
+                   regexp_extract(url,
+                       '^(?:[^:/?#]+:)?(?://[^/?#]*)?([^?#]*)', 1) AS rawpath,
+                   regexp_extract(regexp_replace(url, '#.*$', ''),
+                                  '\\?([^#]*)', 1) AS rawq
+            FROM fixture
+        ),
+        norm AS (
+            SELECT id, url, scheme,
+                   regexp_extract(auth, '^([^@]*@)', 1)
+                   || lower(regexp_extract(
+                          regexp_replace(auth, '^[^@]*@', ''), '^([^:]*)', 1))
+                   || CASE
+                        WHEN regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+                                            ':([0-9]+)$', 1) = '' THEN ''
+                        WHEN scheme = 'http' AND regexp_extract(
+                             regexp_replace(auth, '^[^@]*@', ''),
+                             ':([0-9]+)$', 1) = '80' THEN ''
+                        WHEN scheme = 'https' AND regexp_extract(
+                             regexp_replace(auth, '^[^@]*@', ''),
+                             ':([0-9]+)$', 1) = '443' THEN ''
+                        ELSE ':' || regexp_extract(
+                             regexp_replace(auth, '^[^@]*@', ''),
+                             ':([0-9]+)$', 1)
+                      END AS nauth,
+                   CASE WHEN regexp_replace(
+                            regexp_replace(rawpath, '/{{2,}}', '/', 'g'),
+                            '(.)/+$', '\\1') = '' THEN '/'
+                        ELSE regexp_replace(
+                            regexp_replace(rawpath, '/{{2,}}', '/', 'g'),
+                            '(.)/+$', '\\1')
+                   END AS npath,
+                   coalesce(array_to_string(
+                       list_sort(list_filter(string_split(rawq, '&'),
+                           x -> x != '' AND NOT regexp_matches(x,
+                               '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)='))),
+                       '&'), '') AS nquery
+            FROM parts
+        ),
+        canon AS (
+            SELECT id, url,
+                   CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END
+                   || nauth || npath
+                   || CASE WHEN nquery = '' THEN '' ELSE '?' || nquery END
+                       AS canon
+            FROM norm
+        )
+        SELECT c.id, c.url, c.canon,
+               c.id = min(c.id) OVER (PARTITION BY c.canon)
+                   AS is_canonical_first
+        FROM canon c
     """
 
 
@@ -2800,6 +2924,7 @@ def oracle_sql() -> dict[str, str]:
         "x_warc_extract": _warc_extract_values_sql(),
         "mc_markdown": _markdown_values_sql(),
         "mc_metadata": _metadata_values_sql(),
+        "tx_url_dedup": _url_dedup_sql(),
         "tx_vocab": f"""
             WITH tok AS (
                 SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents

@@ -51,6 +51,15 @@ CHECKS = {
     "ann_ivf": (["TakeOrderedAndProject"], ["Python", "Exchange rangepartitioning"]),
     "tx_stats": ([], ["Python", "Exchange"]),  # pure map
     "tx_langid": ([], ["Python", "Exchange"]),  # pure map (trigram argmax)
+    # URL canonicalization: pure JVM expressions (zero Python); the
+    # first-occurrence verdict is one hash agg + one join, never a window
+    # over a single partition or a cartesian plan
+    # (forbid Python EXECUTION nodes, not the bare token: the local
+    # fixture's createDataFrame scan mentions applySchemaToPythonRDD)
+    "tx_url_dedup": (
+        ["HashAggregate"],
+        ["EvalPython", "PythonUDF", "MapInPandas", "CartesianProduct"],
+    ),
     # markdown render / metadata extraction: ONE Arrow-batched map pass,
     # zero shuffle
     "mc_markdown": (["MapInPandas"], ["Exchange", "CartesianProduct"]),
