@@ -1157,6 +1157,68 @@ def tx_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _robots_fixture() -> tuple[list[tuple[str, str]], list[tuple[int, str]]]:
+    """(robots rows, url rows) exercising every RFC 9309 decision path:
+    longest-match precedence, Allow-wins ties, $ anchors, * wildcards,
+    exact-agent vs * group selection, unknown directives inside groups,
+    hosts without robots, rules that match nothing, query-string
+    matching, and case-insensitive hosts."""
+    robots = [
+        ("site-a.example", "\n".join([
+            "# crawl policy",
+            "User-agent: GoodBot",
+            "Disallow: /private/",
+            "Allow: /private/pub*",
+            "Disallow: /search?*q=",
+            "Sitemap: http://site-a.example/s.xml",
+            "User-agent: *",
+            "Disallow: /",
+        ])),
+        ("site-b.example", "\n".join([
+            "User-agent: *",
+            "Disallow: /tmp/$",
+            "Allow: /tmp/",          # tie on /tmp/ ONLY via $-rule: lens 6 vs 5
+            "Disallow: /cgi*",
+            "Disallow:",             # empty Disallow: matches nothing
+        ])),
+        ("site-c.example", "User-agent: OtherBot\nDisallow: /\n"),
+    ]
+    paths = [
+        "/", "/private/x", "/private/pub/ok", "/private/pubzzz",
+        "/search?x=1&q=f", "/search?plain", "/tmp/", "/tmp/file",
+        "/cgi-bin/run", "/open/page", "",
+    ]
+    hosts = ["site-a.example", "Site-B.example", "site-c.example",
+             "norobots.example"]
+    urls = []
+    i = 0
+    for h in hosts:
+        for p in paths:
+            urls.append((i, f"http://{h}{p}"))
+            i += 1
+    urls.append((i, "https://u@site-a.example:8443/private/x")); i += 1
+    return robots, urls
+
+
+def tx_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt crawl-permission evaluation
+    (operators/robots.py): the host-count-sized robots table parses in
+    one Arrow pass (rule → regex translation on the small side); the
+    URL-side evaluation is pure JVM — broadcast rules join, per-row
+    RLIKE, longest-match-Allow-wins as one max-struct aggregate, hosts
+    without rules defaulting to allowed.  The DuckDB twin replays the
+    DECISION logic in SQL over the same rules relation — a cross-engine
+    check of group selection, matching, and precedence."""
+    from html_table_spark.operators.robots import robots_allowed, robots_rules
+
+    robots_rows, url_rows = _robots_fixture()
+    rules = robots_rules(
+        spark.createDataFrame(robots_rows, "host string, robots_txt string")
+    )
+    urls = spark.createDataFrame(url_rows, "id long, url string")
+    return robots_allowed(urls, rules, agent="GoodBot")
+
+
 def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-token fraction, most-
     common-token fraction, duplicate word-trigram fraction."""
@@ -1664,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mc_markdown": mc_markdown,
         "mc_metadata": mc_metadata,
         "tx_url_dedup": tx_url_dedup,
+        "tx_robots_filter": tx_robots_filter,
         # -- block 2: new round-5 queries (inside the window) -------------
         # -- block 3: window fill — behaviour-may-change + §2 core (24) ---
         "x_media_interleave": x_media_interleave,
@@ -2165,6 +2228,66 @@ def _langid_sql() -> str:
                CASE WHEN ({best_s}) > 0 THEN ({best_l}) ELSE 'unk' END AS lang,
                CAST(s_en AS BIGINT) AS en_hits
         FROM s
+    """
+
+
+def _robots_filter_sql() -> str:
+    """DuckDB twin of tx_robots_filter: the rules relation comes from the
+    same parse kernel (VALUES), but group selection, RLIKE matching, and
+    the longest-match-Allow-wins precedence are replayed IN SQL."""
+    from html_table_spark.operators.robots import parse_robots
+
+    robots_rows, url_rows = _robots_fixture()
+    rule_vals = []
+    for host, text in robots_rows:
+        for r in parse_robots(text):
+            rule_vals.append(
+                f"({_sql_lit(host)}, {_sql_lit(r['agent'])}, {r['allow']}, "
+                f"{_sql_lit(r['pattern'])}, {r['pattern_len']}, "
+                f"{_sql_lit(r['regex'])})"
+            )
+    url_vals = ", ".join(f"({i}, {_sql_lit(u)})" for i, u in url_rows)
+    return f"""
+        WITH urls(id, url) AS (VALUES {url_vals}),
+        rules(host, agent, allow, pattern, pattern_len, regex) AS (
+            VALUES {", ".join(rule_vals)}
+        ),
+        scoped AS (
+            SELECT * FROM rules WHERE agent IN ('goodbot', '*')
+        ),
+        hx AS (
+            SELECT host, bool_or(agent = 'goodbot') AS has_exact
+            FROM scoped GROUP BY host
+        ),
+        grp AS (
+            SELECT s.host, s.allow, s.pattern, s.pattern_len, s.regex
+            FROM scoped s JOIN hx ON s.host = hx.host
+            WHERE s.agent = 'goodbot'
+               OR (NOT hx.has_exact AND s.agent = '*')
+        ),
+        parts AS (
+            SELECT id, url,
+                   lower(regexp_extract(url,
+                       '^[^:/?#]*://(?:[^@/?#]*@)?([^:/?#]*)', 1)) AS host,
+                   coalesce(nullif(regexp_extract(url,
+                       '^(?:[^:/?#]+:)?(?://[^/?#]*)?([^#]*)', 1), ''), '/')
+                       AS path
+            FROM urls
+        ),
+        m AS (
+            SELECT p.id, p.url, p.host, p.path,
+                   max(CASE WHEN g.regex IS NOT NULL
+                                 AND regexp_matches(p.path, g.regex)
+                            THEN struct_pack(l := g.pattern_len,
+                                             a := g.allow,
+                                             p := g.pattern) END) AS win
+            FROM parts p LEFT JOIN grp g ON g.host = p.host
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT id, url, host, path,
+               coalesce(win.a, TRUE) AS allowed,
+               win.p AS matched_pattern
+        FROM m
     """
 
 
@@ -2925,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
         "mc_markdown": _markdown_values_sql(),
         "mc_metadata": _metadata_values_sql(),
         "tx_url_dedup": _url_dedup_sql(),
+        "tx_robots_filter": _robots_filter_sql(),
         "tx_vocab": f"""
             WITH tok AS (
                 SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents

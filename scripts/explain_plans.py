@@ -60,6 +60,14 @@ CHECKS = {
         ["HashAggregate"],
         ["EvalPython", "PythonUDF", "MapInPandas", "CartesianProduct"],
     ),
+    # robots evaluation: ONE Arrow parse of the host-sized robots table
+    # (plan dedup via the window form), URL side pure JVM; never cartesian
+    # (max-over-struct aggregates plan as SortAggregate, hence the looser
+    # "Aggregate" expectation)
+    "tx_robots_filter": (
+        ["MapInPandas", "Aggregate"],
+        ["CartesianProduct", "BroadcastNestedLoop"],
+    ),
     # markdown render / metadata extraction: ONE Arrow-batched map pass,
     # zero shuffle
     "mc_markdown": (["MapInPandas"], ["Exchange", "CartesianProduct"]),
