@@ -1219,6 +1219,22 @@ def tx_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_allowed(urls, rules, agent="GoodBot")
 
 
+def x_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX indexing (sources/cdx.py) over the same WARC fixture archives
+    as x_warc_extract: one row per locatable record with the classic
+    massaged urlkey, 14-digit timestamp, SHA1-b32 digest, and the
+    (offset, length) random-access coordinates — member offsets in the
+    COMPRESSED stream for .warc.gz, raw byte offsets for .warc (the
+    slice-and-reparse property is pytest-pinned).  The DuckDB twin
+    replays the kernel driver-side."""
+    from html_table_spark.sources.cdx import warc_cdx
+
+    adf = spark.createDataFrame(
+        _warc_fixture_archives(), "archive string, payload binary"
+    )
+    return warc_cdx(adf)
+
+
 def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-token fraction, most-
     common-token fraction, duplicate word-trigram fraction."""
@@ -1727,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mc_metadata": mc_metadata,
         "tx_url_dedup": tx_url_dedup,
         "tx_robots_filter": tx_robots_filter,
+        "x_warc_cdx": x_warc_cdx,
         # -- block 2: new round-5 queries (inside the window) -------------
         # -- block 3: window fill — behaviour-may-change + §2 core (24) ---
         "x_media_interleave": x_media_interleave,
@@ -2229,6 +2246,34 @@ def _langid_sql() -> str:
                CAST(s_en AS BIGINT) AS en_hits
         FROM s
     """
+
+
+def _warc_cdx_values_sql() -> str:
+    """VALUES oracle for x_warc_cdx: kernel replayed driver-side."""
+    from html_table_spark.sources.cdx import cdx_records
+
+    def lit(v) -> str:
+        return "NULL" if v is None else _sql_lit(str(v))
+
+    rows = []
+    for name, payload in _warc_fixture_archives():
+        for r in cdx_records(name, payload):
+            hs = r["http_status"]
+            rows.append(
+                f"({_sql_lit(r['urlkey'])}, {_sql_lit(r['ts'])}, "
+                f"{_sql_lit(r['url'])}, {lit(r['mime'])}, "
+                f"{'NULL' if hs is None else int(hs)}, "
+                f"{_sql_lit(r['digest'])}, {r['offset']}, {r['length']}, "
+                f"{_sql_lit(r['archive'])}, {_sql_lit(r['record_type'])})"
+            )
+    cols = ('urlkey, ts, url, mime, http_status, digest, "offset", '
+            "length, archive, record_type")
+    return (
+        f"SELECT urlkey, ts, url, mime, CAST(http_status AS INT) AS "
+        f'http_status, digest, CAST("offset" AS BIGINT) AS "offset", '
+        f"CAST(length AS BIGINT) AS length, archive, record_type "
+        f"FROM (VALUES {', '.join(rows)}) AS t({cols})"
+    )
 
 
 def _robots_filter_sql() -> str:
@@ -3049,6 +3094,7 @@ def oracle_sql() -> dict[str, str]:
         "mc_metadata": _metadata_values_sql(),
         "tx_url_dedup": _url_dedup_sql(),
         "tx_robots_filter": _robots_filter_sql(),
+        "x_warc_cdx": _warc_cdx_values_sql(),
         "tx_vocab": f"""
             WITH tok AS (
                 SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents

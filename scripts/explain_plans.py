@@ -60,6 +60,8 @@ CHECKS = {
         ["HashAggregate"],
         ["EvalPython", "PythonUDF", "MapInPandas", "CartesianProduct"],
     ),
+    # CDX indexing: one Arrow pass over archives, zero shuffle
+    "x_warc_cdx": (["MapInPandas"], ["Exchange", "CartesianProduct"]),
     # robots evaluation: ONE Arrow parse of the host-sized robots table
     # (plan dedup via the window form), URL side pure JVM; never cartesian
     # (max-over-struct aggregates plan as SortAggregate, hence the looser
